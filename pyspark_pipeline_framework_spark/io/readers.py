@@ -1,0 +1,117 @@
+"""Batch sources.
+
+Capability parity: reference ``ReadCsv`` / ``ReadTable``
+(examples/batch.py:38-102,171-235) — read + optional filter + register a
+named dataset. Differences by design: datasets are passed **by
+DataFrame reference** through an explicit :class:`Catalog` instead of
+session-global temp-view strings (SURVEY.md §7 risk register:
+"temp-view name collisions"), and all formats Spark supports are
+reachable through one ``read_source``.
+
+Scale notes: reads stay lazy, so filters/projections supplied here (or
+later) reach the parquet scan via Catalyst pushdown — the 100 TB path
+never materializes an unfiltered table.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+#: driver testdata star schema (TESTDATA.md)
+STAR_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+@dataclass
+class SourceConfig:
+    """Declarative batch source (ReadCsv/ReadTable config parity,
+    examples/batch.py:38-53,171-184)."""
+
+    format: str = "parquet"          # parquet | csv | json | orc | table
+    path: str | None = None
+    table: str | None = None          # catalog table when format == "table"
+    schema: str | None = None         # DDL string; None -> infer
+    filter_condition: str | None = None  # SQL predicate, pushed down by Catalyst
+    select: list[str] | None = None   # column pruning at the scan
+    options: dict[str, str] = field(default_factory=dict)
+
+
+def read_source(spark: SparkSession, config: SourceConfig) -> DataFrame:
+    if config.format == "table":
+        if not config.table:
+            raise ValueError("format='table' requires table name")
+        df = spark.table(config.table)
+    else:
+        reader = spark.read.format(config.format)
+        if config.schema:
+            reader = reader.schema(config.schema)
+        elif config.format == "csv":
+            reader = reader.option("inferSchema", "true")
+        if config.format == "csv":
+            reader = reader.option("header", config.options.get("header", "true"))
+        for k, v in config.options.items():
+            reader = reader.option(k, v)
+        if not config.path:
+            raise ValueError(f"format={config.format!r} requires path")
+        df = reader.load(config.path)
+    if config.filter_condition:
+        df = df.filter(config.filter_condition)
+    if config.select:
+        df = df.select(*config.select)
+    return df
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """One driver-testdata table (lazy parquet scan)."""
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_star(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = STAR_TABLES) -> dict[str, DataFrame]:
+    return {n: table(spark, sf_dir, n) for n in names}
+
+
+class Catalog:
+    """Named-dataset hand-off between pipeline stages.
+
+    Replaces the reference's ``createOrReplaceTempView`` string
+    hand-off (examples/batch.py:97,289; docs/scope.rst:54-56) with
+    in-process DataFrame references; ``register_views()`` still exposes
+    every dataset as a temp view for SQL-transform stages, so chained
+    SQL fuses into one Catalyst plan exactly like the reference's
+    temp-view chaining (SURVEY.md §4).
+    """
+
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+        self._datasets: dict[str, DataFrame] = {}
+
+    def put(self, name: str, df: DataFrame, register_view: bool = True) -> DataFrame:
+        self._datasets[name] = df
+        if register_view:
+            df.createOrReplaceTempView(name)
+        return df
+
+    def get(self, name: str) -> DataFrame:
+        if name in self._datasets:
+            return self._datasets[name]
+        return self.spark.table(name)  # escape hatch to the session catalog
+
+    def names(self) -> list[str]:
+        return sorted(self._datasets)
+
+    def sql(self, query: str) -> DataFrame:
+        """SQL over registered datasets (SqlTransform parity,
+        examples/batch.py:286-293)."""
+        return self.spark.sql(query)

@@ -1,0 +1,51 @@
+"""Batch sinks.
+
+Capability parity: reference ``WriteCsv`` / ``WriteTable``
+(examples/batch.py:105-168,296-364) — mode, header, partitionBy,
+saveAsTable — generalized to every Spark batch format.
+
+Scale notes: ``partition_by`` drives on-disk layout → partition pruning
+for downstream readers; ``bucket_by`` enables shuffle-free co-located
+joins on the bucket key (SURVEY.md 'Partitioning & shuffle').
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+
+
+@dataclass
+class SinkConfig:
+    format: str = "parquet"           # parquet | csv | json | orc | table
+    path: str | None = None
+    table: str | None = None
+    mode: str = "overwrite"           # append | overwrite | ignore | error
+    partition_by: list[str] = field(default_factory=list)
+    bucket_by: tuple[int, list[str]] | None = None  # (num_buckets, cols); table sinks only
+    sort_by: list[str] = field(default_factory=list)
+    options: dict[str, str] = field(default_factory=dict)
+
+
+def write_sink(df: DataFrame, config: SinkConfig) -> None:
+    writer = df.write.mode(config.mode)
+    for k, v in config.options.items():
+        writer = writer.option(k, v)
+    if config.partition_by:
+        writer = writer.partitionBy(*config.partition_by)
+    if config.format == "table" or config.table:
+        if config.bucket_by:
+            n, cols = config.bucket_by
+            writer = writer.bucketBy(n, *cols)
+            if config.sort_by:
+                writer = writer.sortBy(*config.sort_by)
+        if not config.table:
+            raise ValueError("table sink requires table name")
+        writer.saveAsTable(config.table)
+        return
+    if not config.path:
+        raise ValueError(f"format={config.format!r} sink requires path")
+    if config.format == "csv":
+        writer = writer.option("header", config.options.get("header", "true"))
+    writer.format(config.format).save(config.path)

@@ -1,0 +1,29 @@
+"""Shared helpers for the correctness suite."""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: exact, order-independent sum of a double expression (matches DuckDB
+#: CAST(SUM(CAST(x AS DECIMAL(38,6))) AS DOUBLE))
+def dsum(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast("decimal(38,6)")).cast("double")
+
+
+def davg(col: Column | str, count_col: Column | None = None) -> Column:
+    """Deterministic average: exact decimal sum / exact count, one final
+    double division (identical IEEE op in DuckDB:
+    CAST(SUM(CAST(x AS DECIMAL(38,6))) AS DOUBLE) / COUNT(x))."""
+    c = F.col(col) if isinstance(col, str) else col
+    return dsum(c) / (count_col if count_col is not None else F.count(c))
+
+
+def o_dsum(expr: str) -> str:
+    """Oracle-side rendering of :func:`dsum`."""
+    return f"CAST(SUM(CAST(({expr}) AS DECIMAL(38,6))) AS DOUBLE)"
+
+
+def o_davg(expr: str, count_expr: str | None = None) -> str:
+    return f"{o_dsum(expr)} / {count_expr or f'COUNT({expr})'}"
