@@ -18,6 +18,7 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 #: driver testdata star schema (TESTDATA.md)
 STAR_TABLES = (
@@ -73,9 +74,23 @@ def read_source(spark: SparkSession, config: SourceConfig) -> DataFrame:
     return df
 
 
+#: parquet TIMESTAMP(NANOS) columns per testdata table — Spark's parquet
+#: reader rejects nanos ([PARQUET_TYPE_ILLEGAL]); we read them as long
+#: (legacy conf) and truncate to microseconds, matching how DuckDB (the
+#: oracle) and Arrow coerce ns → us.
+_NANOS_TS_COLS = {"events": ["ts"]}
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """One driver-testdata table (lazy parquet scan)."""
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    nanos_cols = _NANOS_TS_COLS.get(name, ())
+    if nanos_cols:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    for c in nanos_cols:
+        if dict(df.dtypes).get(c) == "bigint":
+            df = df.withColumn(c, F.expr(f"timestamp_micros({c} DIV 1000)"))
+    return df
 
 
 def load_star(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = STAR_TABLES) -> dict[str, DataFrame]:

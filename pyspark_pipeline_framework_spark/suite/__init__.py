@@ -70,6 +70,12 @@ def _load_all() -> None:
     if _LOADED:
         return
     from pyspark_pipeline_framework_spark.suite import (  # noqa: F401
+        aggregates,
+        functions,
+        joins,
         relational,
+        setops,
+        udfs,
+        windows,
     )
     _LOADED = True
