@@ -1,0 +1,48 @@
+"""LLM-training-data pipeline operators (SURVEY.md §2.8, [beyond-ref]).
+
+Dedup (exact / MinHash-LSH / SimHash / n-gram Jaccard / embedding
+cosine), similarity search (brute-force + LSH-bucketed ANN), text
+analysis (token counts, quality features, language-ID heuristic,
+fingerprinting) and multimodal binary-column plumbing — every operator
+a shuffle-bounded DataFrame composition designed for 100 TB:
+no driver collects, no unblocked N² pairs, JVM-side hashing
+(xxhash64/md5) instead of Python UDFs wherever possible.
+"""
+
+from pyspark_pipeline_framework_spark.llm.text import (
+    language_id,
+    md5_fingerprint,
+    normalize_text,
+    quality_features,
+    quality_filter,
+    token_count_regex,
+    token_count_ws,
+)
+from pyspark_pipeline_framework_spark.llm.dedup import (
+    exact_text_dedup,
+    minhash_candidate_pairs,
+    minhash_signature,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from pyspark_pipeline_framework_spark.llm.similarity import (
+    cosine_topk_bruteforce,
+    cosine_topk_lsh,
+)
+
+__all__ = [
+    "language_id",
+    "md5_fingerprint",
+    "normalize_text",
+    "quality_features",
+    "quality_filter",
+    "token_count_regex",
+    "token_count_ws",
+    "exact_text_dedup",
+    "minhash_candidate_pairs",
+    "minhash_signature",
+    "ngram_jaccard_pairs",
+    "simhash",
+    "cosine_topk_bruteforce",
+    "cosine_topk_lsh",
+]

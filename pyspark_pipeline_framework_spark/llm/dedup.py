@@ -1,0 +1,188 @@
+"""Deduplication operators: exact, MinHash-LSH, SimHash, n-gram Jaccard.
+
+100 TB design rules: candidate generation is always a *band/bucket
+equi-join* (shuffle bounded by bucket sizes), never an all-pairs cross
+join; every hash is a JVM built-in (``xxhash64``/``sha2``/``md5``) so
+no Python enters the hot path and results are deterministic across
+executors, sessions, and retries.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from pyspark_pipeline_framework_spark.llm.text import normalize_text
+
+
+def exact_text_dedup(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Exact dedup on normalized text: keep the row with the smallest
+    id per sha256(normalized text). One shuffle on the 256-bit hash —
+    never on the text payload itself (the scale-critical trick: at
+    100 TB you shuffle 32-byte keys, not documents)."""
+    hashed = df.withColumn("__h", F.sha2(normalize_text(text_col), 256))
+    w = Window.partitionBy("__h").orderBy(F.col(id_col))
+    return hashed.withColumn("__rn", F.row_number().over(w)).filter(
+        F.col("__rn") == 1
+    ).drop("__h", "__rn")
+
+
+def _shingles(text_col: str, k: int) -> Column:
+    """Distinct k-word shingles as strings."""
+    words = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    n = F.size(words)
+    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i, k)))
+    )
+
+
+def minhash_signature(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """MinHash signatures: ``num_hashes`` permutations simulated by
+    seeded xxhash64 (seed = permutation index). Output: (id,
+    signature array<bigint>). Map-only — no shuffle."""
+    sh = _shingles(text_col, shingle_k)
+    sig = F.array(
+        *[
+            F.array_min(F.transform(sh, lambda s, i=i: F.xxhash64(s, F.lit(i))))
+            for i in range(num_hashes)
+        ]
+    )
+    return df.select(F.col(id_col), sig.alias("signature"))
+
+
+def minhash_candidate_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """MinHash-LSH candidate pairs: band the signature (rows_per_band =
+    num_hashes/bands), hash each band, self-join on (band_idx,
+    band_hash). Pair count is bounded by bucket collisions — the
+    classic no-N² shape. Returns distinct (id_a < id_b) pairs."""
+    if num_hashes % bands:
+        raise ValueError("num_hashes must divide evenly into bands")
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signature(df, id_col, text_col, num_hashes, shingle_k)
+    banded = sigs.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.xxhash64(
+                    F.concat_ws(
+                        ",",
+                        F.transform(
+                            F.slice(F.col("signature"), b * rows_per_band + 1, rows_per_band),
+                            lambda v: v.cast("string"),
+                        ),
+                    )
+                ),
+            )
+        ).alias("band_idx", "band_hash"),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """EXACT n-gram Jaccard near-dup pairs: explode distinct shingles,
+    self-join on shingle (inverted index — only docs sharing ≥1
+    shingle ever pair), count intersections, Jaccard = |∩|/(|A|+|B|-|∩|).
+
+    Exact (oracle-checkable) but quadratic in posting-list length:
+    at 100 TB run :func:`minhash_candidate_pairs` first and use this
+    as the verify stage on candidates only."""
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(_shingles(text_col, shingle_k)).alias("shingle"),
+    )
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common") / (F.col("sz_a") + F.col("sz_b") - F.col("n_common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "n_common", "jaccard")
+    )
+
+
+def simhash(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 64,
+) -> DataFrame:
+    """SimHash signature: per word, take xxhash64 bits; sum ±1 per bit
+    position over all words; signature bit = sign. Near-dup docs have
+    small Hamming distance. Pure array expressions — map-only."""
+    if bits != 64:
+        raise ValueError("simhash is fixed at 64 bits (xxhash64 output width)")
+    words = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    # per word: ±1 per bit, via the 64-char binary string of its hash
+    # (shiftright/shiftleft take only literal shift amounts, so the
+    # per-position loop below stays in Python with static ints)
+    bit_arrays = F.transform(
+        words,
+        lambda w: F.transform(
+            F.slice(F.split(F.lpad(F.bin(F.xxhash64(w)), 64, "0"), ""), 1, 64),
+            lambda ch: F.when(ch == "1", F.lit(1)).otherwise(F.lit(-1)),
+        ),
+    )
+    zeros = F.array_repeat(F.lit(0), 64)
+    sums = F.aggregate(
+        bit_arrays, zeros, lambda acc, ba: F.zip_with(acc, ba, lambda x, y: x + y)
+    )
+    hashed = df.select(F.col(id_col), sums.alias("__sums"))
+    signature = F.lit(0).cast("long")
+    for j in range(64):
+        signature = signature.bitwiseOR(
+            F.when(
+                F.element_at(F.col("__sums"), j + 1) > 0,
+                F.shiftleft(F.lit(1).cast("long"), j),
+            ).otherwise(F.lit(0).cast("long"))
+        )
+    return hashed.select(F.col(id_col), signature.alias("simhash"))
+
+
+def hamming_distance(a: Column, b: Column) -> Column:
+    """Hamming distance between two 64-bit signatures (bit_count of XOR)."""
+    return F.bit_count(a.bitwiseXOR(b))

@@ -73,6 +73,7 @@ def _load_all() -> None:
         aggregates,
         functions,
         joins,
+        llm,
         relational,
         setops,
         udfs,

@@ -1,0 +1,262 @@
+"""LLM-data-pipeline cases — SURVEY.md §2.8 [beyond-ref].
+
+Exact operators (text stats, quality filter, lang-ID, fingerprints,
+exact dedup, n-gram Jaccard, brute-force kNN) are oracle-checked;
+hash-family operators (MinHash-LSH, SimHash, LSH-kNN) have no DuckDB
+equivalent of xxhash64 → rows-only here, recall-tested in
+``tests/test_llm_ops.py``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pyspark_pipeline_framework_spark.io.readers import table
+from pyspark_pipeline_framework_spark.llm.dedup import (
+    exact_text_dedup,
+    minhash_candidate_pairs,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from pyspark_pipeline_framework_spark.llm.multimodal import (
+    attach_binary_payload,
+    extract_features,
+)
+from pyspark_pipeline_framework_spark.llm.similarity import (
+    cosine_topk_bruteforce,
+    cosine_topk_lsh,
+)
+from pyspark_pipeline_framework_spark.llm.text import (
+    BPE_ISH_PATTERN,
+    LANG_MARKERS,
+    language_id,
+    md5_fingerprint,
+    quality_filter,
+    token_count_regex,
+    token_count_ws,
+)
+from pyspark_pipeline_framework_spark.suite import case
+
+
+@case(
+    "q_text_stats",
+    oracle=rf"""
+    SELECT doc_id,
+           CAST(LENGTH(text) AS INT) AS n_chars_m,
+           CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INT) AS n_tokens_ws,
+           CAST(len(regexp_extract_all(text, '{BPE_ISH_PATTERN}')) AS INT) AS n_tokens_bpe
+    FROM documents
+    """,
+)
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.length("text").alias("n_chars_m"),
+        token_count_ws("text").alias("n_tokens_ws"),
+        token_count_regex("text").alias("n_tokens_bpe"),
+    )
+
+
+@case(
+    "q_text_filter_quality",
+    oracle=r"""
+    WITH feats AS (
+      SELECT doc_id, lang, LENGTH(text) AS nc,
+             len(regexp_split_to_array(trim(text), '\s+')) AS nt,
+             CAST(LENGTH(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS DOUBLE)
+               / LENGTH(text) AS symbol_ratio,
+             CAST(len(list_distinct(regexp_split_to_array(trim(text), '\s+'))) AS DOUBLE)
+               / len(regexp_split_to_array(trim(text), '\s+')) AS uniq_ratio
+      FROM documents
+    )
+    SELECT doc_id, lang FROM feats
+    WHERE nc >= 50 AND nc <= 100000 AND nt >= 10
+      AND symbol_ratio <= 0.3 AND uniq_ratio >= 0.1
+    """,
+)
+def q_text_filter_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    return quality_filter(d).select("doc_id", "lang")
+
+
+def _langid_oracle() -> str:
+    score_cols, case_arms = [], []
+    for lang in sorted(LANG_MARKERS):
+        arr = ", ".join(f"'{w}'" for w in LANG_MARKERS[lang])
+        score_cols.append(
+            f"len(list_intersect(list_distinct(regexp_split_to_array(lower(text), '\\s+')), [{arr}]))"
+            f" AS s_{lang}"
+        )
+        case_arms.append(f"WHEN s_{lang} = mx THEN '{lang}'")
+    scores = ",\n           ".join(score_cols)
+    greatest = ", ".join(f"s_{lang}" for lang in sorted(LANG_MARKERS))
+    arms = "\n             ".join(case_arms)
+    return f"""
+    WITH scored AS (
+      SELECT doc_id, {scores}
+      FROM documents
+    ), best AS (
+      SELECT *, GREATEST({greatest}) AS mx FROM scored
+    )
+    SELECT doc_id,
+           CASE {arms} END AS lang_pred
+    FROM best
+    """
+
+
+@case("q_text_langid", oracle=_langid_oracle())
+def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    return language_id(d).select("doc_id", "lang_pred")
+
+
+@case(
+    "q_text_fingerprint",
+    oracle=r"""
+    SELECT doc_id,
+           md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp
+    FROM documents
+    """,
+)
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    return d.select("doc_id", md5_fingerprint("text").alias("fp"))
+
+
+@case(
+    "q_dedup_exact_text",
+    oracle=r"""
+    SELECT doc_id, lang, n_chars FROM (
+      SELECT doc_id, lang, n_chars,
+             ROW_NUMBER() OVER (
+               PARTITION BY sha256(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))
+               ORDER BY doc_id) AS rn
+      FROM documents
+    ) WHERE rn = 1
+    """,
+)
+def q_dedup_exact_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars", "text")
+    return exact_text_dedup(d).select("doc_id", "lang", "n_chars")
+
+
+@case(
+    "q_dedup_ngram_jaccard",
+    oracle="""
+    WITH words AS (
+      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS w FROM documents
+    ), sh AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+               range(1, greatest(len(w) - 2, 1) + 1),
+               i -> array_to_string(list_slice(w, i, i + 2), ' ')))) AS shingle
+      FROM words
+    ), sizes AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz FROM sh GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS BIGINT) AS n_common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, n_common,
+           CAST(n_common AS DOUBLE) / (sa.sz + sb.sz - n_common) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE CAST(n_common AS DOUBLE) / (sa.sz + sb.sz - n_common) >= 0.8
+    """,
+)
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(d, shingle_k=3, threshold=0.8)
+
+
+@case("q_dedup_minhash", oracle=None)  # xxhash64 has no DuckDB twin → rows-only
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    return minhash_candidate_pairs(d, num_hashes=64, bands=16, shingle_k=3)
+
+
+@case("q_dedup_simhash", oracle=None)  # rows-only; recall tested in pytest
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    sigs = simhash(d)
+    a = sigs.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("h_a"))
+    b = sigs.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("h_b"))
+    # 4-bit-block LSH on the signature bounds the self-join (no N²)
+    def blocks(h, n=4):
+        return F.array(*[F.shiftright(h, 16 * i).bitwiseAND(F.lit(0xFFFF)) for i in range(n)])
+    ab = a.withColumn("blk", F.explode(blocks(F.col("h_a"))))
+    bb = b.withColumn("blk", F.explode(blocks(F.col("h_b"))))
+    return (
+        ab.join(bb, ["blk"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("hamming", F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))))
+        .filter(F.col("hamming") <= 6)
+        .select("id_a", "id_b", "hamming")
+        .distinct()
+    )
+
+
+_KNN_ORACLE = """
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 5
+    ), scored AS (
+      SELECT q.query_id, e.vec_id,
+             CAST(list_sum(list_transform(range(1, len(q.qe) + 1),
+                    i -> CAST(CAST(q.qe[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)
+                              AS DECIMAL(38,14)))) AS DOUBLE)
+             / ( SQRT(CAST(list_sum(list_transform(range(1, len(q.qe) + 1),
+                    i -> CAST(CAST(q.qe[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)
+                              AS DECIMAL(38,14)))) AS DOUBLE))
+               * SQRT(CAST(list_sum(list_transform(range(1, len(e.embedding) + 1),
+                    i -> CAST(CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)
+                              AS DECIMAL(38,14)))) AS DOUBLE)) ) AS cos_sim
+      FROM q JOIN embeddings e ON e.vec_id <> q.query_id
+    )
+    SELECT query_id, vec_id, cos_sim, rank FROM (
+      SELECT query_id, vec_id, cos_sim,
+             CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cos_sim DESC, vec_id) AS BIGINT) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+"""
+
+
+@case("q_sim_knn", oracle=_KNN_ORACLE)
+def q_sim_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return cosine_topk_bruteforce(emb, queries, k=5).select(
+        "query_id", "vec_id", "cos_sim", "rank"
+    )
+
+
+@case("q_sim_knn_lsh", oracle=None)  # approximate (recall<1) → rows-only
+def q_sim_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return cosine_topk_lsh(emb, queries, dim=64, k=5, n_planes=4, n_tables=8).select(
+        "query_id", "vec_id", "cos_sim", "rank"
+    )
+
+
+@case(
+    "q_mm_features",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           CAST(list_sum(list_transform(range(1, least(length(text), 16) + 1),
+                  i -> ascii(substr(text, i, 1)))) AS BIGINT) AS head_checksum
+    FROM documents
+    """,
+)
+def q_mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    payloads = attach_binary_payload(d)
+    return extract_features(payloads).select("doc_id", "n_bytes", "head_checksum")

@@ -1,0 +1,117 @@
+"""Behavioral tests for the hash-family LLM operators that can't be
+oracle-checked (xxhash64 has no DuckDB twin): MinHash-LSH recall vs the
+exact Jaccard pairs, SimHash near-dup properties, LSH-kNN recall vs
+brute force, multimodal plumbing."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pyspark_pipeline_framework_spark.io.readers import table
+from pyspark_pipeline_framework_spark.llm.dedup import (
+    exact_text_dedup,
+    minhash_candidate_pairs,
+    minhash_signature,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from pyspark_pipeline_framework_spark.llm.multimodal import (
+    attach_binary_payload,
+    extract_features,
+    frame_sample_plan,
+)
+from pyspark_pipeline_framework_spark.llm.similarity import (
+    cosine_topk_bruteforce,
+    cosine_topk_lsh,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return table(spark, sf_dir, "documents")
+
+
+def test_minhash_lsh_recall(spark, sf_dir, docs):
+    """Every exact near-dup pair (J>=0.8) must surface as an LSH candidate
+    (16 bands × 4 rows: P[miss | J=0.8] = (1-0.8^4)^16 ≈ 8e-5)."""
+    truth = {
+        (r.id_a, r.id_b)
+        for r in ngram_jaccard_pairs(docs, shingle_k=3, threshold=0.8).collect()
+    }
+    assert truth, "testdata should contain planted near-dups"
+    cands = {
+        (r.id_a, r.id_b)
+        for r in minhash_candidate_pairs(docs, num_hashes=64, bands=16).collect()
+    }
+    assert truth <= cands, f"LSH missed true pairs: {truth - cands}"
+
+
+def test_minhash_signature_shape(spark, docs):
+    sig = minhash_signature(docs.limit(10), num_hashes=32).collect()
+    assert all(len(r.signature) == 32 for r in sig)
+    # deterministic across evaluations
+    sig2 = minhash_signature(docs.limit(10), num_hashes=32).collect()
+    assert {r.doc_id: r.signature for r in sig} == {r.doc_id: r.signature for r in sig2}
+
+
+def test_simhash_near_dups_close(spark, docs):
+    """Near-identical docs should have near-identical simhash."""
+    pairs = ngram_jaccard_pairs(docs, shingle_k=3, threshold=0.9).collect()
+    sigs = {r.doc_id: r.simhash for r in simhash(docs).collect()}
+    assert pairs
+    for p in pairs:
+        # mask to 64 bits: signatures are signed longs, Python XOR on
+        # negatives would count sign-extended bits
+        ham = bin((sigs[p.id_a] ^ sigs[p.id_b]) & ((1 << 64) - 1)).count("1")
+        assert ham <= 10, f"pair ({p.id_a},{p.id_b}) J={p.jaccard:.2f} hamming={ham}"
+
+
+def test_exact_dedup_idempotent(spark, docs):
+    d = docs.select("doc_id", "text")
+    once = exact_text_dedup(d)
+    assert once.count() == exact_text_dedup(once).count()
+
+
+def test_lsh_knn_recall_vs_bruteforce(spark, sf_dir):
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = cosine_topk_bruteforce(emb, queries, k=3)
+    approx = cosine_topk_lsh(emb, queries, dim=64, k=3, n_planes=4, n_tables=8)
+    e = {(r.query_id, r.vec_id) for r in exact.collect()}
+    a = {(r.query_id, r.vec_id) for r in approx.collect()}
+    # approximate: expect reasonable (not perfect) overlap with truth
+    assert len(a & e) / len(e) >= 0.3
+    # every approx hit must carry the same cos_sim as brute force would
+    ce = {(r.query_id, r.vec_id): r.cos_sim for r in exact.collect()}
+    ca = {(r.query_id, r.vec_id): r.cos_sim for r in approx.collect()}
+    for k2 in a & e:
+        assert abs(ce[k2] - ca[k2]) < 1e-12
+
+
+def test_multimodal_plumbing(spark, docs):
+    payloads = attach_binary_payload(docs.limit(20))
+    feats = extract_features(payloads).collect()
+    assert len(feats) == 20
+    rows = {r.doc_id: r for r in feats}
+    src = {r.doc_id: r.text for r in docs.limit(20).collect()}
+    for did, r in rows.items():
+        assert r.n_bytes == len(src[did].encode())
+        assert r.head_checksum == sum(src[did].encode()[:16])
+        assert len(r.feature) == 4
+
+
+def test_frame_sample_plan(spark, docs):
+    media = attach_binary_payload(docs.limit(3)).withColumn(
+        "media_meta",
+        F.struct(
+            F.lit("video").alias("media_type"),
+            F.lit("mp4").alias("format"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(3500).cast("long").alias("duration_ms"),
+        ),
+    )
+    frames = frame_sample_plan(media, every_ms=1000)
+    per_doc = frames.groupBy("doc_id").count().collect()
+    assert all(r["count"] == 4 for r in per_doc)  # ts 0,1000,2000,3000
