@@ -1,0 +1,55 @@
+"""CLI: run a JSON pipeline config.
+
+Parity with ``ppf-run`` (reference runner/cli.py:15-99): dry-run,
+no-fail-fast, log level; exit codes 0 success / 1 failure / 2 partial.
+Usage: ``python -m pyspark_pipeline_framework_spark config.json
+[--dry-run] [--no-fail-fast] [--log-level INFO]``."""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import sys
+
+from pyspark_pipeline_framework_spark.plans.config import PipelineConfig, PipelineValidationError
+from pyspark_pipeline_framework_spark.plans.runner import PipelineRunner
+from pyspark_pipeline_framework_spark.observability.hooks import LoggingHooks
+from pyspark_pipeline_framework_spark.session import SparkConfig, build_session
+
+
+def main(argv: list[str] | None = None) -> int:
+    parser = argparse.ArgumentParser(prog="ppfs-run", description=__doc__)
+    parser.add_argument("config", help="pipeline config JSON file")
+    parser.add_argument("--dry-run", action="store_true", help="validate without executing")
+    parser.add_argument("--no-fail-fast", action="store_true", help="continue past failures")
+    parser.add_argument("--log-level", default="INFO")
+    args = parser.parse_args(argv)
+
+    logging.basicConfig(level=args.log_level.upper(), format="%(levelname)s %(name)s: %(message)s")
+
+    try:
+        config = PipelineConfig.from_file(args.config)
+    except (OSError, ValueError, PipelineValidationError) as exc:
+        print(f"config error: {exc}", file=sys.stderr)
+        return 1
+
+    spark = build_session(SparkConfig(app_name=f"ppfs:{config.name}"))
+    runner = PipelineRunner(
+        config, spark, hooks=LoggingHooks(), fail_fast=not args.no_fail_fast
+    )
+    if args.dry_run:
+        problems = runner.validate()
+        for p in problems:
+            print(f"validation: {p}", file=sys.stderr)
+        return 1 if problems else 0
+
+    result = runner.run()
+    for c in result.components:
+        print(f"{c.name}: {c.status.value} ({c.duration_s:.2f}s, attempts={c.attempts})"
+              + (f" error={c.error}" if c.error else ""))
+    print(f"pipeline {result.pipeline}: {result.status.value}")
+    return result.exit_code()
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,85 @@
+"""Checkpoint / resume.
+
+Behavior parity with the reference store (runner/checkpoint.py:52-292):
+JSON state with completed components, atomic write-then-rename, a
+SHA-256 structural fingerprint over (name, op/class_path, depends_on) —
+params deliberately excluded so config-value tweaks don't invalidate a
+resume — and ``load_for_resume`` that only matches same-fingerprint
+runs."""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import tempfile
+import time
+from dataclasses import asdict, dataclass, field
+
+from pyspark_pipeline_framework_spark.plans.config import PipelineConfig
+
+
+def structural_fingerprint(config: PipelineConfig) -> str:
+    payload = [
+        {"name": c.name, "op": c.op or c.class_path, "depends_on": sorted(c.depends_on)}
+        for c in sorted(config.components, key=lambda c: c.name)
+    ]
+    blob = json.dumps({"pipeline": config.name, "components": payload}, sort_keys=True)
+    return hashlib.sha256(blob.encode()).hexdigest()
+
+
+@dataclass
+class CheckpointState:
+    pipeline: str
+    fingerprint: str
+    completed_components: list[str] = field(default_factory=list)
+    updated_at: float = field(default_factory=time.time)
+
+    def to_json(self) -> str:
+        return json.dumps(asdict(self), sort_keys=True)
+
+    @classmethod
+    def from_json(cls, s: str) -> "CheckpointState":
+        return cls(**json.loads(s))
+
+
+class LocalCheckpointStore:
+    def __init__(self, directory: str):
+        self.directory = directory
+        os.makedirs(directory, exist_ok=True)
+
+    def _path(self, pipeline: str) -> str:
+        safe = "".join(c if c.isalnum() or c in "-_" else "_" for c in pipeline)
+        return os.path.join(self.directory, f"{safe}.checkpoint.json")
+
+    def save(self, state: CheckpointState) -> None:
+        """Atomic write-rename so a crash never leaves a torn file."""
+        path = self._path(state.pipeline)
+        fd, tmp = tempfile.mkstemp(dir=self.directory, suffix=".tmp")
+        try:
+            with os.fdopen(fd, "w") as f:
+                f.write(state.to_json())
+            os.replace(tmp, path)
+        finally:
+            if os.path.exists(tmp):
+                os.unlink(tmp)
+
+    def load(self, pipeline: str) -> CheckpointState | None:
+        path = self._path(pipeline)
+        if not os.path.exists(path):
+            return None
+        with open(path) as f:
+            return CheckpointState.from_json(f.read())
+
+    def clear(self, pipeline: str) -> None:
+        path = self._path(pipeline)
+        if os.path.exists(path):
+            os.unlink(path)
+
+    def load_for_resume(self, config: PipelineConfig) -> list[str]:
+        """Completed components from a matching previous run — empty if
+        none or if the pipeline structure changed."""
+        state = self.load(config.name)
+        if state and state.fingerprint == structural_fingerprint(config):
+            return list(state.completed_components)
+        return []

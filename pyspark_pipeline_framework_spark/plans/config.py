@@ -1,0 +1,136 @@
+"""Declarative pipeline spec.
+
+Semantics parity with the reference's ``PipelineConfig`` /
+``ComponentConfig`` (core/config/pipeline.py:13-146): named+versioned
+pipeline, unique component names, validated ``depends_on`` references,
+DFS cycle detection, Kahn topological execution order, ``enabled``
+flags. Differences by design: components name REGISTRY OPERATORS (or a
+``class_path`` escape hatch) with plain-dict params instead of
+HOCON-instantiated classes; datasets flow by reference through a
+Catalog rather than implicit temp-view strings."""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any
+
+
+class PipelineValidationError(ValueError):
+    pass
+
+
+@dataclass
+class ComponentConfig:
+    name: str
+    op: str = ""                     # registry operator name
+    class_path: str = ""             # or dotted-path escape hatch
+    component_type: str = "transformation"   # source | transformation | sink
+    params: dict[str, Any] = field(default_factory=dict)
+    inputs: list[str] = field(default_factory=list)    # dataset names consumed
+    output: str = ""                 # dataset name produced ('' = component name)
+    depends_on: list[str] = field(default_factory=list)
+    enabled: bool = True
+
+    def __post_init__(self) -> None:
+        if not self.name or not self.name.strip():
+            raise PipelineValidationError("component name must be non-empty")
+        if bool(self.op) == bool(self.class_path):
+            raise PipelineValidationError(
+                f"component {self.name!r}: exactly one of op/class_path required"
+            )
+        if not self.output:
+            self.output = self.name
+
+
+@dataclass
+class PipelineConfig:
+    name: str
+    components: list[ComponentConfig]
+    version: str = "0"
+    spark_conf: dict[str, str] = field(default_factory=dict)
+    description: str = ""
+
+    def __post_init__(self) -> None:
+        if not self.name or not self.name.strip():
+            raise PipelineValidationError("pipeline name must be non-empty")
+        names = [c.name for c in self.components]
+        dupes = {n for n in names if names.count(n) > 1}
+        if dupes:
+            raise PipelineValidationError(f"duplicate component names: {sorted(dupes)}")
+        known = set(names)
+        for c in self.components:
+            for dep in c.depends_on:
+                if dep not in known:
+                    raise PipelineValidationError(
+                        f"component {c.name!r} depends on unknown component {dep!r}"
+                    )
+        cycle = self._find_cycle()
+        if cycle:
+            raise PipelineValidationError(f"dependency cycle: {' -> '.join(cycle)}")
+
+    def _find_cycle(self) -> list[str] | None:
+        deps = {c.name: list(c.depends_on) for c in self.components}
+        WHITE, GREY, BLACK = 0, 1, 2
+        color = {n: WHITE for n in deps}
+        stack: list[str] = []
+
+        def dfs(n: str) -> list[str] | None:
+            color[n] = GREY
+            stack.append(n)
+            for d in deps[n]:
+                if color[d] == GREY:
+                    return stack[stack.index(d):] + [d]
+                if color[d] == WHITE:
+                    found = dfs(d)
+                    if found:
+                        return found
+            color[n] = BLACK
+            stack.pop()
+            return None
+
+        for n in deps:
+            if color[n] == WHITE:
+                found = dfs(n)
+                if found:
+                    return found
+        return None
+
+    def execution_order(self) -> list[str]:
+        """Kahn topological order; insertion order breaks ties so runs
+        are reproducible."""
+        deps = {c.name: set(c.depends_on) for c in self.components}
+        order: list[str] = []
+        remaining = [c.name for c in self.components]
+        satisfied: set[str] = set()
+        while remaining:
+            ready = [n for n in remaining if deps[n] <= satisfied]
+            if not ready:  # unreachable post-validation; defensive
+                raise PipelineValidationError(f"unresolvable dependencies among {remaining}")
+            order.extend(ready)
+            satisfied.update(ready)
+            remaining = [n for n in remaining if n not in satisfied]
+        return order
+
+    def get(self, name: str) -> ComponentConfig:
+        for c in self.components:
+            if c.name == name:
+                return c
+        raise KeyError(name)
+
+    @classmethod
+    def from_dict(cls, d: dict[str, Any]) -> "PipelineConfig":
+        comps = [ComponentConfig(**c) for c in d.get("components", [])]
+        return cls(
+            name=d.get("name", ""),
+            components=comps,
+            version=str(d.get("version", "0")),
+            spark_conf=dict(d.get("spark_conf", {})),
+            description=d.get("description", ""),
+        )
+
+    @classmethod
+    def from_file(cls, path: str) -> "PipelineConfig":
+        import json
+
+        with open(path) as f:
+            return cls.from_dict(json.load(f))

@@ -1,0 +1,97 @@
+"""Operator registry: names → callables ``(spark, catalog, **params) ->
+DataFrame | None``. Replaces the reference's importlib class-path
+loading (runtime/loader.py:15-137) as the primary lookup; the dotted
+``class_path`` escape hatch is kept for user extensions."""
+
+from __future__ import annotations
+
+import importlib
+from typing import Any, Callable, Protocol
+
+from pyspark.sql import DataFrame, SparkSession
+
+from pyspark_pipeline_framework_spark.io.readers import Catalog, SourceConfig, read_source
+from pyspark_pipeline_framework_spark.io.writers import SinkConfig, write_sink
+
+Operator = Callable[..., "DataFrame | None"]
+
+
+class OperatorRegistry:
+    def __init__(self) -> None:
+        self._ops: dict[str, Operator] = {}
+
+    def register(self, name: str, fn: Operator | None = None):
+        if fn is not None:
+            self._ops[name] = fn
+            return fn
+
+        def deco(f: Operator) -> Operator:
+            self._ops[name] = f
+            return f
+
+        return deco
+
+    def get(self, name: str) -> Operator:
+        if name not in self._ops:
+            raise KeyError(f"unknown operator {name!r}; known: {sorted(self._ops)}")
+        return self._ops[name]
+
+    def names(self) -> list[str]:
+        return sorted(self._ops)
+
+
+def load_class_path(path: str) -> Any:
+    """Dotted-path import (``pkg.mod.attr``) — the escape hatch."""
+    mod_path, _, attr = path.rpartition(".")
+    if not mod_path:
+        raise ValueError(f"class_path {path!r} must be dotted")
+    mod = importlib.import_module(mod_path)
+    try:
+        return getattr(mod, attr)
+    except AttributeError as e:
+        raise ImportError(f"{attr!r} not found in {mod_path!r}") from e
+
+
+# ---------------------------------------------------------------------------
+# built-in operator vocabulary (reference §2.1 components, Spark-first)
+# ---------------------------------------------------------------------------
+
+default_registry = OperatorRegistry()
+
+
+@default_registry.register("read")
+def op_read(spark: SparkSession, catalog: Catalog, *, output: str, **params) -> DataFrame:
+    df = read_source(spark, SourceConfig(**params))
+    return catalog.put(output, df)
+
+
+@default_registry.register("sql")
+def op_sql(spark: SparkSession, catalog: Catalog, *, output: str, sql: str, **_) -> DataFrame:
+    """SqlTransform parity: SQL over registered datasets; stays lazy so
+    chained SQL stages fuse into one Catalyst plan."""
+    return catalog.put(output, catalog.sql(sql))
+
+
+@default_registry.register("transform")
+def op_transform(
+    spark: SparkSession, catalog: Catalog, *, output: str, input: str,
+    filter: str | None = None, select: list[str] | None = None,
+    with_columns: dict[str, str] | None = None, **_,
+) -> DataFrame:
+    """Declarative projection/filter/computed-columns stage."""
+    from pyspark.sql import functions as F
+
+    df = catalog.get(input)
+    if filter:
+        df = df.filter(filter)
+    for name, expr in (with_columns or {}).items():
+        df = df.withColumn(name, F.expr(expr))
+    if select:
+        df = df.selectExpr(*select)
+    return catalog.put(output, df)
+
+
+@default_registry.register("write")
+def op_write(spark: SparkSession, catalog: Catalog, *, input: str, **params) -> None:
+    write_sink(catalog.get(input), SinkConfig(**params))
+    return None

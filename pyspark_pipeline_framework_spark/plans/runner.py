@@ -1,0 +1,186 @@
+"""Sequential pipeline runner.
+
+Behavior parity with the reference's ``SimplePipelineRunner`` +
+``ComponentExecutor`` (runner/simple_runner.py:86-165,
+runner/component_executor.py:54-152): validate → hooks → topo order →
+per-component retry/circuit-breaker wrap → result aggregation, with
+resume (``completed_components``), ``enabled`` flags, fail-fast or
+continue, and dry-run validation. Deliberately sequential
+(docs/scope.rst:156-177) — parallelism belongs to Spark, not the
+orchestrator; because operators stay lazy, a chain of components
+composes into ONE Catalyst plan per sink exactly like the reference's
+temp-view fusion (SURVEY.md §4)."""
+
+from __future__ import annotations
+
+import time
+from typing import Callable, Iterable
+
+from pyspark.sql import SparkSession
+
+from pyspark_pipeline_framework_spark.io.readers import Catalog
+from pyspark_pipeline_framework_spark.observability.hooks import NoOpHooks, PipelineHooks
+from pyspark_pipeline_framework_spark.plans.config import ComponentConfig, PipelineConfig
+from pyspark_pipeline_framework_spark.plans.registry import (
+    OperatorRegistry,
+    default_registry,
+    load_class_path,
+)
+from pyspark_pipeline_framework_spark.plans.result import (
+    ComponentResult,
+    ComponentStatus,
+    PipelineResult,
+)
+from pyspark_pipeline_framework_spark.quality.gate import QualityGate
+from pyspark_pipeline_framework_spark.quality.checks import CheckTiming
+from pyspark_pipeline_framework_spark.resilience.circuit_breaker import (
+    CircuitBreaker,
+    CircuitBreakerOpenError,
+)
+from pyspark_pipeline_framework_spark.resilience.presets import DEFAULT, ResiliencePolicy
+from pyspark_pipeline_framework_spark.resilience.retry import RetryExecutor
+
+
+class PipelineRunner:
+    def __init__(
+        self,
+        config: PipelineConfig,
+        spark: SparkSession,
+        registry: OperatorRegistry | None = None,
+        hooks: PipelineHooks | None = None,
+        quality_gate: QualityGate | None = None,
+        resilience: ResiliencePolicy = DEFAULT,
+        fail_fast: bool = True,
+        clock: Callable[[], float] = time.monotonic,
+        sleep: Callable[[float], None] = time.sleep,
+    ):
+        self.config = config
+        self.spark = spark
+        self.registry = registry or default_registry
+        self.hooks = hooks or NoOpHooks()
+        self.quality_gate = quality_gate
+        self.resilience = resilience
+        self.fail_fast = fail_fast
+        self._clock = clock
+        self._sleep = sleep
+        self.catalog = Catalog(spark)
+        self._breaker = (
+            CircuitBreaker(
+                failure_threshold=resilience.failure_threshold,
+                timeout_s=resilience.cb_timeout_s,
+            )
+            if resilience.circuit_breaker_enabled
+            else None
+        )
+        for k, v in config.spark_conf.items():
+            spark.conf.set(k, v)
+
+    # -- validation / dry run -------------------------------------------------
+    def validate(self) -> list[str]:
+        """Resolve every component's operator without executing
+        (reference dry-run, core/config/validator.py:85-181)."""
+        problems: list[str] = []
+        for c in self.config.components:
+            try:
+                self._resolve(c)
+            except Exception as exc:  # noqa: BLE001
+                problems.append(f"{c.name}: {exc}")
+        self.hooks.on_validation_complete(self.config.name, not problems, problems)
+        return problems
+
+    def _resolve(self, c: ComponentConfig):
+        if c.op:
+            return self.registry.get(c.op)
+        return load_class_path(c.class_path)
+
+    # -- execution ------------------------------------------------------------
+    def run(self, completed_components: Iterable[str] = ()) -> PipelineResult:
+        completed = set(completed_components)
+        result = PipelineResult(self.config.name)
+        t0 = self._clock()
+        self.hooks.on_pipeline_start(self.config.name)
+
+        problems = self.validate()
+        if problems:
+            self.hooks.on_pipeline_end(self.config.name, "failure", self._clock() - t0)
+            result.components = [
+                ComponentResult(n, ComponentStatus.FAILURE, error="validation: " + "; ".join(problems))
+                for n in self.config.execution_order()
+            ]
+            return result
+
+        if self.quality_gate:
+            self.quality_gate.run(CheckTiming.BEFORE_PIPELINE, self._datasets())
+
+        aborted = False
+        for name in self.config.execution_order():
+            comp = self.config.get(name)
+            if aborted:
+                result.components.append(ComponentResult(name, ComponentStatus.SKIPPED))
+                self.hooks.on_component_skipped(self.config.name, name, "fail-fast abort")
+                continue
+            if not comp.enabled:
+                result.components.append(ComponentResult(name, ComponentStatus.SKIPPED))
+                self.hooks.on_component_skipped(self.config.name, name, "disabled")
+                continue
+            if name in completed:
+                result.components.append(ComponentResult(name, ComponentStatus.SKIPPED))
+                self.hooks.on_component_skipped(self.config.name, name, "resume: already completed")
+                continue
+            cr = self._run_component(comp)
+            result.components.append(cr)
+            if cr.status == ComponentStatus.FAILURE and self.fail_fast:
+                aborted = True
+
+        if self.quality_gate and not aborted:
+            self.quality_gate.run(CheckTiming.AFTER_PIPELINE, self._datasets())
+
+        self.hooks.on_pipeline_end(
+            self.config.name, result.status.value, self._clock() - t0
+        )
+        return result
+
+    def _datasets(self):
+        return {n: self.catalog.get(n) for n in self.catalog.names()}
+
+    def _run_component(self, comp: ComponentConfig) -> ComponentResult:
+        self.hooks.on_component_start(self.config.name, comp.name)
+        t0 = self._clock()
+        executor = RetryExecutor(
+            self.resilience.retry,
+            sleep=self._sleep,
+            on_retry=lambda attempt, exc, _d: self.hooks.on_component_retry(
+                self.config.name, comp.name, attempt, str(exc)
+            ),
+        )
+
+        def invoke():
+            fn = self._resolve(comp)
+            kwargs = dict(comp.params)
+            if comp.op in ("read", "sql", "transform"):
+                kwargs.setdefault("output", comp.output)
+            out = fn(self.spark, self.catalog, **kwargs)
+            if out is not None and comp.output:
+                self.catalog.put(comp.output, out)
+            if self.quality_gate:
+                self.quality_gate.run(CheckTiming.AFTER_COMPONENT, self._datasets())
+            return out
+
+        try:
+            if self._breaker:
+                self._breaker.call(executor.execute, invoke)
+            else:
+                executor.execute(invoke)
+            dur = self._clock() - t0
+            self.hooks.on_component_end(self.config.name, comp.name, "success", dur)
+            return ComponentResult(comp.name, ComponentStatus.SUCCESS, dur, executor.attempts)
+        except CircuitBreakerOpenError as exc:
+            dur = self._clock() - t0
+            self.hooks.on_component_skipped(self.config.name, comp.name, str(exc))
+            return ComponentResult(comp.name, ComponentStatus.SKIPPED, dur, 0, str(exc))
+        except Exception as exc:  # noqa: BLE001
+            dur = self._clock() - t0
+            self.hooks.on_component_end(self.config.name, comp.name, "failure", dur)
+            return ComponentResult(
+                comp.name, ComponentStatus.FAILURE, dur, executor.attempts, str(exc)
+            )

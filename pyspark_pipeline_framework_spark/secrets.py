@@ -1,0 +1,126 @@
+"""Secrets: provider protocol, env-var provider, TTL cache, routing
+resolver, and ``secret://PROVIDER/KEY`` config interpolation — behavior
+parity with the reference subsystem (core/secrets/base.py:61-81,
+providers.py:16-149, resolver.py:17-98, core/config/
+secret_resolver.py:31-111). AWS Secrets Manager / Vault providers are
+import-gated (their SDKs aren't bundled here); values are never logged
+or audited (only key names)."""
+
+from __future__ import annotations
+
+import os
+import time
+from dataclasses import dataclass
+from typing import Any, Callable, Protocol
+
+SECRET_SCHEME = "secret://"
+
+
+class SecretNotFoundError(KeyError):
+    pass
+
+
+class SecretsProvider(Protocol):
+    name: str
+
+    def get_secret(self, key: str) -> str: ...
+
+
+class EnvSecretsProvider:
+    name = "env"
+
+    def get_secret(self, key: str) -> str:
+        value = os.environ.get(key)
+        if value is None:
+            raise SecretNotFoundError(f"env var {key!r} not set")
+        return value
+
+
+class AwsSecretsManagerProvider:
+    """Import-gated: requires boto3 (not bundled in this container)."""
+
+    name = "aws"
+
+    def __init__(self, region: str = "us-east-1"):
+        try:
+            import boto3  # noqa: F401
+        except ImportError as e:
+            raise ImportError("AwsSecretsManagerProvider requires boto3") from e
+        import boto3 as _b
+
+        self._client = _b.client("secretsmanager", region_name=region)
+
+    def get_secret(self, key: str) -> str:
+        resp = self._client.get_secret_value(SecretId=key)
+        return resp["SecretString"]
+
+
+class VaultKv2Provider:
+    """Import-gated: requires hvac (not bundled in this container)."""
+
+    name = "vault"
+
+    def __init__(self, url: str, token: str, mount: str = "secret"):
+        try:
+            import hvac  # noqa: F401
+        except ImportError as e:
+            raise ImportError("VaultKv2Provider requires hvac") from e
+        import hvac as _h
+
+        self._client = _h.Client(url=url, token=token)
+        self._mount = mount
+
+    def get_secret(self, key: str) -> str:
+        path, _, field = key.partition("#")
+        data = self._client.secrets.kv.v2.read_secret_version(path=path, mount_point=self._mount)
+        return data["data"]["data"][field or "value"]
+
+
+@dataclass
+class _Cached:
+    value: str
+    expires_at: float
+
+
+class SecretsResolver:
+    """Routes ``provider/key`` to the registered provider, with a TTL
+    cache and an access log of KEY NAMES only (never values)."""
+
+    def __init__(self, providers: list[SecretsProvider] | None = None, ttl_s: float = 300.0,
+                 clock: Callable[[], float] = time.monotonic):
+        self._providers = {p.name: p for p in (providers or [EnvSecretsProvider()])}
+        self._ttl = ttl_s
+        self._clock = clock
+        self._cache: dict[str, _Cached] = {}
+        self.access_log: list[tuple[str, str]] = []  # (provider, key)
+
+    def register(self, provider: SecretsProvider) -> None:
+        self._providers[provider.name] = provider
+
+    def resolve(self, ref: str) -> str:
+        provider_name, _, key = ref.partition("/")
+        if not provider_name or not key:
+            raise ValueError(f"secret ref must be PROVIDER/KEY, got {ref!r}")
+        if provider_name not in self._providers:
+            raise SecretNotFoundError(f"unknown secrets provider {provider_name!r}")
+        cache_key = f"{provider_name}/{key}"
+        hit = self._cache.get(cache_key)
+        if hit and hit.expires_at > self._clock():
+            return hit.value
+        value = self._providers[provider_name].get_secret(key)
+        self._cache[cache_key] = _Cached(value, self._clock() + self._ttl)
+        self.access_log.append((provider_name, key))
+        return value
+
+    def interpolate(self, config: Any) -> Any:
+        """Recursively replace ``secret://PROVIDER/KEY`` strings in a
+        config tree (reference core/config/secret_resolver.py:31-111)."""
+        if isinstance(config, str):
+            if config.startswith(SECRET_SCHEME):
+                return self.resolve(config[len(SECRET_SCHEME):])
+            return config
+        if isinstance(config, dict):
+            return {k: self.interpolate(v) for k, v in config.items()}
+        if isinstance(config, list):
+            return [self.interpolate(v) for v in config]
+        return config

@@ -71,7 +71,9 @@ def _load_all() -> None:
         return
     from pyspark_pipeline_framework_spark.suite import (  # noqa: F401
         aggregates,
+        dq,
         functions,
+        io_cases,
         joins,
         llm,
         relational,

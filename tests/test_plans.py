@@ -1,0 +1,267 @@
+"""Pipeline config validation, topo order, runner execution semantics,
+checkpoint/resume, secrets, schema contracts — pure-Python + small-Spark
+tests following the reference's layering (SURVEY.md §5)."""
+
+import json
+import os
+
+import pytest
+from hypothesis import given, strategies as st
+
+from pyspark_pipeline_framework_spark.plans.checkpoint import (
+    CheckpointState,
+    LocalCheckpointStore,
+    structural_fingerprint,
+)
+from pyspark_pipeline_framework_spark.plans.config import (
+    ComponentConfig,
+    PipelineConfig,
+    PipelineValidationError,
+)
+from pyspark_pipeline_framework_spark.plans.result import ComponentStatus, PipelineStatus
+from pyspark_pipeline_framework_spark.plans.runner import PipelineRunner
+from pyspark_pipeline_framework_spark.resilience.presets import NO_RETRY
+from pyspark_pipeline_framework_spark.schema.model import DataType, SchemaDefinition, SchemaField
+from pyspark_pipeline_framework_spark.schema.converter import from_struct_type, to_struct_type
+from pyspark_pipeline_framework_spark.schema.validator import validate_compatibility
+from pyspark_pipeline_framework_spark.secrets import EnvSecretsProvider, SecretsResolver
+
+
+def comp(name, deps=(), op="sql", **kw):
+    return ComponentConfig(name=name, op=op, depends_on=list(deps), **kw)
+
+
+# ---------------------------------------------------------------- config
+
+def test_duplicate_names_rejected():
+    with pytest.raises(PipelineValidationError, match="duplicate"):
+        PipelineConfig("p", [comp("a"), comp("a")])
+
+
+def test_unknown_dependency_rejected():
+    with pytest.raises(PipelineValidationError, match="unknown"):
+        PipelineConfig("p", [comp("a", deps=["ghost"])])
+
+
+def test_cycle_rejected():
+    with pytest.raises(PipelineValidationError, match="cycle"):
+        PipelineConfig("p", [comp("a", deps=["b"]), comp("b", deps=["a"])])
+
+
+def test_topo_order_respects_deps():
+    cfg = PipelineConfig(
+        "p", [comp("c", deps=["a", "b"]), comp("b", deps=["a"]), comp("a")]
+    )
+    order = cfg.execution_order()
+    assert order.index("a") < order.index("b") < order.index("c")
+
+
+@given(st.integers(min_value=2, max_value=12))
+def test_topo_order_is_valid_for_chains(n):
+    comps = [comp(f"s{i}", deps=[f"s{i-1}"] if i else []) for i in range(n)]
+    order = PipelineConfig("p", comps).execution_order()
+    assert order == [f"s{i}" for i in range(n)]
+
+
+def test_op_xor_class_path_required():
+    with pytest.raises(PipelineValidationError):
+        ComponentConfig(name="x")
+    with pytest.raises(PipelineValidationError):
+        ComponentConfig(name="x", op="sql", class_path="a.b")
+
+
+# ---------------------------------------------------------------- runner
+
+@pytest.fixture
+def star_pipeline(tmp_path):
+    return PipelineConfig(
+        "demo",
+        [
+            ComponentConfig(
+                name="load_region",
+                op="read",
+                component_type="source",
+                params={"format": "parquet", "path": "/root/testdata/sf0.001/region.parquet"},
+                output="region",
+            ),
+            ComponentConfig(
+                name="upper_names",
+                op="sql",
+                params={"sql": "SELECT r_regionkey, UPPER(r_name) AS name_uc FROM region"},
+                depends_on=["load_region"],
+                output="region_uc",
+            ),
+            ComponentConfig(
+                name="save",
+                op="write",
+                component_type="sink",
+                params={"format": "parquet", "path": str(tmp_path / "out"), "input": "region_uc"},
+                depends_on=["upper_names"],
+            ),
+        ],
+    )
+
+
+def test_runner_end_to_end(spark, star_pipeline, tmp_path):
+    result = PipelineRunner(star_pipeline, spark, resilience=NO_RETRY).run()
+    assert result.status == PipelineStatus.SUCCESS
+    out = spark.read.parquet(str(tmp_path / "out"))
+    assert {r.name_uc for r in out.collect()} >= {"AFRICA", "AMERICA"}
+
+
+def test_runner_fail_fast_skips_downstream(spark):
+    cfg = PipelineConfig(
+        "ff",
+        [
+            comp("bad", op="sql", params={"sql": "SELECT * FROM missing_table"}),
+            comp("after", op="sql", params={"sql": "SELECT 1 AS one"}, deps=["bad"]),
+        ],
+    )
+    result = PipelineRunner(cfg, spark, resilience=NO_RETRY).run()
+    by = {c.name: c.status for c in result.components}
+    assert by["bad"] == ComponentStatus.FAILURE
+    assert by["after"] == ComponentStatus.SKIPPED
+    assert result.status == PipelineStatus.FAILURE
+
+
+def test_runner_continue_on_failure(spark):
+    cfg = PipelineConfig(
+        "cont",
+        [
+            comp("bad", op="sql", params={"sql": "SELECT * FROM missing_table"}),
+            comp("indep", op="sql", params={"sql": "SELECT 1 AS one"}),
+        ],
+    )
+    result = PipelineRunner(cfg, spark, resilience=NO_RETRY, fail_fast=False).run()
+    by = {c.name: c.status for c in result.components}
+    assert by["indep"] == ComponentStatus.SUCCESS
+    assert result.status == PipelineStatus.PARTIAL_SUCCESS
+
+
+def test_runner_resume_skips_completed(spark):
+    cfg = PipelineConfig(
+        "resume",
+        [
+            comp("one", op="sql", params={"sql": "SELECT 1 AS one"}),
+            comp("two", op="sql", params={"sql": "SELECT 2 AS two"}, deps=["one"]),
+        ],
+    )
+    result = PipelineRunner(cfg, spark, resilience=NO_RETRY).run(completed_components=["one"])
+    by = {c.name: c.status for c in result.components}
+    assert by["one"] == ComponentStatus.SKIPPED
+    assert by["two"] == ComponentStatus.SUCCESS
+
+
+def test_runner_disabled_component(spark):
+    cfg = PipelineConfig(
+        "dis",
+        [comp("off", op="sql", params={"sql": "SELECT 1 AS one"}, enabled=False)],
+    )
+    result = PipelineRunner(cfg, spark, resilience=NO_RETRY).run()
+    assert result.components[0].status == ComponentStatus.SKIPPED
+
+
+def test_runner_validation_failure_no_execution(spark):
+    cfg = PipelineConfig("v", [comp("ghost", op="no_such_op")])
+    result = PipelineRunner(cfg, spark, resilience=NO_RETRY).run()
+    assert result.status == PipelineStatus.FAILURE
+    assert "validation" in result.components[0].error
+
+
+def test_runner_retries_component(spark):
+    from pyspark_pipeline_framework_spark.plans.registry import OperatorRegistry
+    from pyspark_pipeline_framework_spark.resilience.presets import ResiliencePolicy
+    from pyspark_pipeline_framework_spark.resilience.retry import RetryPolicy
+
+    reg = OperatorRegistry()
+    calls = {"n": 0}
+
+    @reg.register("flaky")
+    def flaky(spark_, catalog, **kw):
+        calls["n"] += 1
+        if calls["n"] < 2:
+            raise RuntimeError("transient")
+        return None
+
+    cfg = PipelineConfig("r", [ComponentConfig(name="f", op="flaky")])
+    pol = ResiliencePolicy(retry=RetryPolicy(max_attempts=3, initial_delay_s=0, jitter=0))
+    result = PipelineRunner(cfg, spark, registry=reg, resilience=pol, sleep=lambda s: None).run()
+    assert result.status == PipelineStatus.SUCCESS
+    assert result.components[0].attempts == 2
+
+
+# ---------------------------------------------------------------- checkpoint
+
+def test_checkpoint_roundtrip_and_resume(tmp_path):
+    cfg = PipelineConfig("cp", [comp("a"), comp("b", deps=["a"])])
+    store = LocalCheckpointStore(str(tmp_path))
+    fp = structural_fingerprint(cfg)
+    store.save(CheckpointState("cp", fp, ["a"]))
+    assert store.load_for_resume(cfg) == ["a"]
+
+    # structural change invalidates the checkpoint (params don't)
+    cfg2 = PipelineConfig("cp", [comp("a"), comp("b2", deps=["a"])])
+    assert store.load_for_resume(cfg2) == []
+    cfg3 = PipelineConfig("cp", [comp("a", params={"x": 1}), comp("b", deps=["a"])])
+    assert store.load_for_resume(cfg3) == ["a"]
+
+    store.clear("cp")
+    assert store.load("cp") is None
+
+
+# ---------------------------------------------------------------- secrets
+
+def test_secret_interpolation(monkeypatch):
+    monkeypatch.setenv("MY_TOKEN", "s3cr3t")
+    r = SecretsResolver([EnvSecretsProvider()])
+    cfg = {"conn": {"password": "secret://env/MY_TOKEN", "host": "h"}, "list": ["secret://env/MY_TOKEN"]}
+    out = r.interpolate(cfg)
+    assert out["conn"]["password"] == "s3cr3t"
+    assert out["list"] == ["s3cr3t"]
+    assert r.access_log == [("env", "MY_TOKEN")]  # cached second hit not re-logged
+
+
+def test_secret_cache_ttl(monkeypatch):
+    monkeypatch.setenv("K", "v1")
+    t = {"now": 0.0}
+    r = SecretsResolver([EnvSecretsProvider()], ttl_s=10, clock=lambda: t["now"])
+    assert r.resolve("env/K") == "v1"
+    monkeypatch.setenv("K", "v2")
+    assert r.resolve("env/K") == "v1"  # cached
+    t["now"] = 11
+    assert r.resolve("env/K") == "v2"  # expired
+
+
+# ---------------------------------------------------------------- schema
+
+def test_schema_struct_roundtrip():
+    schema = SchemaDefinition(
+        [
+            SchemaField("id", DataType.LONG, nullable=False),
+            SchemaField("name", DataType.STRING),
+            SchemaField("tags", "array<string>"),
+            SchemaField("props", "map<string,double>"),
+        ]
+    )
+    struct = to_struct_type(schema)
+    back = from_struct_type(struct)
+    assert back.names() == schema.names()
+    assert back.get("tags").type_string() == "array<string>"
+    assert not back.get("id").nullable
+
+
+def test_schema_validator_rules():
+    expected = SchemaDefinition(
+        [SchemaField("id", DataType.LONG, nullable=False), SchemaField("v", DataType.DOUBLE)]
+    )
+    actual = SchemaDefinition(
+        [SchemaField("id", DataType.LONG, nullable=True), SchemaField("extra", DataType.STRING)]
+    )
+    issues = validate_compatibility(expected, actual)
+    kinds = {(i.severity, i.field) for i in issues}
+    assert ("error", "id") in kinds        # nullability weakened
+    assert ("warning", "v") in kinds       # optional missing
+    assert ("warning", "extra") in kinds   # extra column
+    # vacuous unless strict
+    assert validate_compatibility(None, actual) == []
+    assert validate_compatibility(None, actual, strict=True)
