@@ -1,0 +1,146 @@
+"""Streaming integration tests on locally-runnable sources/sinks (rate,
+file, memory, foreachBatch) — reference pattern
+tests/integration/test_streaming_spark.py: availableNow triggers +
+bounded awaits, never open-ended streams."""
+
+import json
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from pyspark_pipeline_framework_spark.streaming import (
+    FileStreamingSink,
+    FileStreamingSource,
+    ForeachBatchSink,
+    MemoryStreamingSink,
+    OutputMode,
+    RateStreamingSource,
+    StreamingPipeline,
+    Trigger,
+    TriggerType,
+    attach_listener,
+)
+from pyspark_pipeline_framework_spark.streaming.hooks import NoOpStreamingHooks
+
+
+def _wait_for(predicate, timeout_s=30.0, interval=0.25):
+    deadline = time.monotonic() + timeout_s
+    while time.monotonic() < deadline:
+        if predicate():
+            return True
+        time.sleep(interval)
+    return False
+
+
+def test_trigger_validation():
+    with pytest.raises(ValueError):
+        Trigger(TriggerType.PROCESSING_TIME)
+    with pytest.raises(ValueError):
+        Trigger(TriggerType.CONTINUOUS)
+    Trigger(TriggerType.ONCE)
+    Trigger(TriggerType.AVAILABLE_NOW)
+
+
+def test_rate_to_memory_with_transform(spark):
+    pipe = StreamingPipeline(
+        source=RateStreamingSource(rows_per_second=100, num_partitions=2),
+        sink=MemoryStreamingSink("rate_doubled"),
+        output_mode=OutputMode.APPEND,
+        transform_fn=lambda df: df.select("timestamp", (F.col("value") * 2).alias("doubled")),
+        query_name="rate_doubled",
+    )
+    query = pipe.set_spark_session(spark).start_stream()
+    try:
+        assert _wait_for(lambda: spark.table("rate_doubled").count() > 0)
+        rows = spark.table("rate_doubled").limit(50).collect()
+        assert all(r.doubled % 2 == 0 for r in rows)
+    finally:
+        query.stop()
+
+
+def test_file_stream_available_now(spark, tmp_path):
+    src_dir, out_dir, ckpt = str(tmp_path / "in"), str(tmp_path / "out"), str(tmp_path / "ck")
+    df = spark.createDataFrame([(1, "Alice"), (2, "Bob"), (3, "Carol")], "id long, name string")
+    df.coalesce(1).write.json(src_dir)
+
+    pipe = StreamingPipeline(
+        source=FileStreamingSource(src_dir, file_format="json", schema="id LONG, name STRING"),
+        sink=FileStreamingSink(out_dir, file_format="parquet"),
+        trigger=Trigger(TriggerType.AVAILABLE_NOW),
+        checkpoint_location=ckpt,
+    )
+    pipe.set_spark_session(spark).run(timeout_s=60)
+    out = spark.read.parquet(out_dir)
+    assert {r.name for r in out.collect()} == {"Alice", "Bob", "Carol"}
+
+
+def test_foreach_batch_sink(spark, tmp_path):
+    src_dir, ckpt = str(tmp_path / "in"), str(tmp_path / "ck")
+    spark.createDataFrame([(i,) for i in range(10)], "v long").coalesce(1).write.json(src_dir)
+    seen: list[tuple[int, int]] = []
+
+    pipe = StreamingPipeline(
+        source=FileStreamingSource(src_dir, file_format="json", schema="v LONG"),
+        sink=ForeachBatchSink(lambda batch, bid: seen.append((bid, batch.count()))),
+        trigger=Trigger(TriggerType.AVAILABLE_NOW),
+        checkpoint_location=ckpt,
+    )
+    pipe.set_spark_session(spark).run(timeout_s=60)
+    assert sum(n for _, n in seen) == 10
+
+
+def test_watermarked_windowed_agg(spark, tmp_path):
+    """Event-time tumbling window + watermark over a file stream —
+    the operators added beyond the reference (SURVEY.md §2.6)."""
+    src_dir, ckpt = str(tmp_path / "in"), str(tmp_path / "ck")
+    rows = [(f"2024-01-01 00:{m:02d}:00", "click") for m in range(10)]
+    spark.createDataFrame(rows, "ts_str string, kind string").coalesce(1).write.json(src_dir)
+
+    def windowed(df):
+        df = df.withColumn("ts", F.to_timestamp("ts_str"))
+        return df.withWatermark("ts", "1 minute").groupBy(
+            F.window("ts", "5 minutes").alias("win"), "kind"
+        ).agg(F.count(F.lit(1)).alias("n"))
+
+    pipe = StreamingPipeline(
+        source=FileStreamingSource(src_dir, file_format="json", schema="ts_str STRING, kind STRING"),
+        sink=MemoryStreamingSink("windowed_counts"),
+        output_mode=OutputMode.COMPLETE,
+        trigger=Trigger(TriggerType.AVAILABLE_NOW),
+        checkpoint_location=ckpt,
+        transform_fn=windowed,
+    )
+    pipe.set_spark_session(spark).run(timeout_s=60)
+    out = {(r.win.start.minute, r.n) for r in spark.table("windowed_counts").collect()}
+    assert out == {(0, 5), (5, 5)}
+
+
+def test_streaming_listener_hooks(spark, tmp_path):
+    events = {"started": 0, "progress": 0, "terminated": 0}
+
+    class Recorder(NoOpStreamingHooks):
+        def on_query_start(self, query_id, name):
+            events["started"] += 1
+
+        def on_batch_progress(self, query_id, batch_id, num_rows, duration_ms):
+            events["progress"] += 1
+
+        def on_query_terminated(self, query_id, exception):
+            events["terminated"] += 1
+
+    listener = attach_listener(spark, Recorder())
+    try:
+        src_dir = str(tmp_path / "in")
+        spark.createDataFrame([(1,)], "v long").write.json(src_dir)
+        pipe = StreamingPipeline(
+            source=FileStreamingSource(src_dir, file_format="json", schema="v LONG"),
+            sink=MemoryStreamingSink("listener_probe"),
+            trigger=Trigger(TriggerType.AVAILABLE_NOW),
+            checkpoint_location=str(tmp_path / "ck"),
+        )
+        pipe.set_spark_session(spark).run(timeout_s=60)
+        assert _wait_for(lambda: events["started"] >= 1 and events["terminated"] >= 1)
+        assert events["progress"] >= 1
+    finally:
+        spark.streams.removeListener(listener)
