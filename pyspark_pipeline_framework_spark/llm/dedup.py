@@ -46,17 +46,24 @@ def minhash_signature(
     num_hashes: int = 64,
     shingle_k: int = 3,
 ) -> DataFrame:
-    """MinHash signatures: ``num_hashes`` permutations simulated by
-    seeded xxhash64 (seed = permutation index). Output: (id,
-    signature array<bigint>). Map-only — no shuffle."""
-    sh = _shingles(text_col, shingle_k)
-    sig = F.array(
-        *[
-            F.array_min(F.transform(sh, lambda s, i=i: F.xxhash64(s, F.lit(i))))
-            for i in range(num_hashes)
-        ]
+    """MinHash signatures. One string xxhash64 per shingle, then
+    ``num_hashes`` permutations as ``xxhash64(base_hash, i)`` over the
+    8-byte base values — far cheaper than re-hashing every shingle
+    string per permutation, and overflow-free under ANSI mode (Spark 4
+    default; affine a·h+b permutations would throw on long overflow).
+    Output: (id, signature array<bigint>). Map-only — no shuffle."""
+    # explode → 64 min-aggregates: flat long columns keep whole-stage
+    # codegen tight (64 nested array transforms per row do not), and the
+    # partial agg collapses shingle rows before the doc_id shuffle
+    exploded = df.select(
+        F.col(id_col),
+        F.explode(_shingles(text_col, shingle_k)).alias("__s"),
+    ).select(F.col(id_col), F.xxhash64("__s").alias("__h"))
+    mins = exploded.groupBy(id_col).agg(
+        *[F.min(F.xxhash64("__h", F.lit(i))).alias(f"__m{i}") for i in range(num_hashes)]
     )
-    return df.select(F.col(id_col), sig.alias("signature"))
+    sig = F.array(*[F.col(f"__m{i}") for i in range(num_hashes)])
+    return mins.select(F.col(id_col), sig.alias("signature"))
 
 
 def minhash_candidate_pairs(
@@ -113,24 +120,41 @@ def ngram_jaccard_pairs(
     shingle_k: int = 3,
     threshold: float = 0.5,
 ) -> DataFrame:
-    """EXACT n-gram Jaccard near-dup pairs: explode distinct shingles,
-    self-join on shingle (inverted index — only docs sharing ≥1
-    shingle ever pair), count intersections, Jaccard = |∩|/(|A|+|B|-|∩|).
+    """EXACT n-gram Jaccard near-dup pairs via an inverted index:
+    explode distinct shingles (as 8-byte xxhash64 keys — shuffle hashes,
+    never shingle strings), group to posting lists, drop singleton
+    shingles (can't pair), emit in-list id pairs, count intersections,
+    Jaccard = |∩|/(|A|+|B|-|∩|).
 
-    Exact (oracle-checkable) but quadratic in posting-list length:
-    at 100 TB run :func:`minhash_candidate_pairs` first and use this
-    as the verify stage on candidates only."""
+    Exact (oracle-checkable; hash-collision risk ~|shingles|²/2^64) but
+    quadratic in posting-list length: at 100 TB run
+    :func:`minhash_candidate_pairs` first and use this as the verify
+    stage on candidates only — or bound hot shingles upstream."""
     sh = df.select(
         F.col(id_col).alias("id"),
         F.explode(_shingles(text_col, shingle_k)).alias("shingle"),
-    )
+    ).select("id", F.xxhash64("shingle").alias("sh"))
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
-    a, b = sh.alias("a"), sh.alias("b")
-    inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .agg(F.count(F.lit(1)).alias("n_common"))
+    postings = (
+        sh.groupBy("sh")
+        .agg(F.sort_array(F.collect_list("id")).alias("ids"))
+        .filter(F.size("ids") > 1)  # singleton shingles never create pairs
     )
+    # all in-list (a < b) pairs: one explode instead of a self-join
+    pairs = postings.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("ids"),
+                    lambda x, i: F.transform(
+                        F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                        lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.id_a", "p.id_b")
+    inter = pairs.groupBy("id_a", "id_b").agg(F.count(F.lit(1)).alias("n_common"))
     sa = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
     sb = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"))
     return (
@@ -156,31 +180,31 @@ def simhash(
     small Hamming distance. Pure array expressions — map-only."""
     if bits != 64:
         raise ValueError("simhash is fixed at 64 bits (xxhash64 output width)")
+    # explode words → 64 sum-aggregates of ±1 per bit position (from the
+    # lpad'ed binary string of the word hash; shiftright only accepts
+    # literal shift amounts so positions are Python-loop static), then
+    # pack signs into a long. Flat columns + partial agg beat nested
+    # array folds both in codegen and in shuffle volume.
     words = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
-    # per word: ±1 per bit, via the 64-char binary string of its hash
-    # (shiftright/shiftleft take only literal shift amounts, so the
-    # per-position loop below stays in Python with static ints)
-    bit_arrays = F.transform(
-        words,
-        lambda w: F.transform(
-            F.slice(F.split(F.lpad(F.bin(F.xxhash64(w)), 64, "0"), ""), 1, 64),
-            lambda ch: F.when(ch == "1", F.lit(1)).otherwise(F.lit(-1)),
-        ),
+    exploded = df.select(F.col(id_col), F.explode(words).alias("__w")).select(
+        F.col(id_col), F.lpad(F.bin(F.xxhash64("__w")), 64, "0").alias("__b")
     )
-    zeros = F.array_repeat(F.lit(0), 64)
-    sums = F.aggregate(
-        bit_arrays, zeros, lambda acc, ba: F.zip_with(acc, ba, lambda x, y: x + y)
+    sums = exploded.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(F.substring("__b", 64 - j, 1) == "1", 1).otherwise(-1)
+            ).alias(f"__s{j}")
+            for j in range(64)
+        ]
     )
-    hashed = df.select(F.col(id_col), sums.alias("__sums"))
     signature = F.lit(0).cast("long")
     for j in range(64):
         signature = signature.bitwiseOR(
             F.when(
-                F.element_at(F.col("__sums"), j + 1) > 0,
-                F.shiftleft(F.lit(1).cast("long"), j),
+                F.col(f"__s{j}") > 0, F.shiftleft(F.lit(1).cast("long"), j)
             ).otherwise(F.lit(0).cast("long"))
         )
-    return hashed.select(F.col(id_col), signature.alias("simhash"))
+    return sums.select(F.col(id_col), signature.alias("simhash"))
 
 
 def hamming_distance(a: Column, b: Column) -> Column:

@@ -48,9 +48,24 @@ def test_minhash_lsh_recall(spark, sf_dir, docs):
 def test_minhash_signature_shape(spark, docs):
     sig = minhash_signature(docs.limit(10), num_hashes=32).collect()
     assert all(len(r.signature) == 32 for r in sig)
+    # permutations must be independent (not one value repeated — guards
+    # the transform two-arg-lambda index-shadowing trap)
+    assert all(len(set(r.signature)) > 1 for r in sig)
     # deterministic across evaluations
     sig2 = minhash_signature(docs.limit(10), num_hashes=32).collect()
     assert {r.doc_id: r.signature for r in sig} == {r.doc_id: r.signature for r in sig2}
+
+
+def test_minhash_agreement_tracks_jaccard(spark, sf_dir):
+    """Signature agreement rate ≈ Jaccard (within binomial noise) on the
+    sf0.01 planted near-dups — catches positional/degenerate hashing."""
+    docs01 = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    pairs = ngram_jaccard_pairs(docs01, threshold=0.8).collect()
+    sigs = {r.doc_id: r.signature for r in minhash_signature(docs01, num_hashes=64).collect()}
+    assert pairs
+    for p in pairs:
+        agree = sum(1 for x, y in zip(sigs[p.id_a], sigs[p.id_b]) if x == y) / 64
+        assert abs(agree - p.jaccard) < 0.25, (p.id_a, p.id_b, p.jaccard, agree)
 
 
 def test_simhash_near_dups_close(spark, docs):
