@@ -78,6 +78,7 @@ def _load_all() -> None:
         llm,
         relational,
         setops,
+        tpch,
         udfs,
         windows,
     )

@@ -1,0 +1,79 @@
+"""Physical-plan quality gates: the 100 TB properties (pushdown,
+pruning, broadcast, no cartesian products, top-N without global sort)
+asserted on ``explain`` output so regressions that stay correct but
+break the plan shape still fail CI."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pyspark_pipeline_framework_spark.suite import all_cases
+
+
+def plan(spark, sf_dir, name: str) -> str:
+    df = all_cases()[name].spark_fn(spark, sf_dir)
+    return df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_flagship_pushdown_and_pruning(spark, sf_dir):
+    p = plan(spark, sf_dir, "q_agg_group")
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in p
+    # column pruning: the 11-column table scans only the 7 needed
+    assert "l_partkey" not in p
+    assert "HashAggregate" in p  # partial+final hash agg (map-side combine)
+    assert "AdaptiveSparkPlan" in p  # AQE owns the final physical plan
+
+
+def test_scan_filter_pushdown(spark, sf_dir):
+    p = plan(spark, sf_dir, "q_scan_filter")
+    assert "PushedFilters" in p and "o_orderstatus" in p.split("PushedFilters")[1][:200]
+    assert "ReadSchema" in p
+
+
+def test_broadcast_join_is_broadcast(spark, sf_dir):
+    p = plan(spark, sf_dir, "q_join_broadcast")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_sort_limit_is_top_n(spark, sf_dir):
+    p = plan(spark, sf_dir, "q_sort_limit")
+    assert "TakeOrderedAndProject" in p  # per-partition top-N, no global sort
+
+
+def test_range_join_is_equi_join(spark, sf_dir):
+    p = plan(spark, sf_dir, "q_join_range")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_theta_join_uses_equi_key(spark, sf_dir):
+    p = plan(spark, sf_dir, "q_join_theta")
+    assert "CartesianProduct" not in p
+
+
+def test_asof_join_single_shuffle(spark, sf_dir):
+    # union-merge as-of join: exactly one Exchange for the window
+    # (plus broadcast/AQE reuse) — no N² join operator
+    p = plan(spark, sf_dir, "q_join_asof")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "Window" in p
+
+
+def test_tpch_q5_broadcasts_dims(spark, sf_dir):
+    p = plan(spark, sf_dir, "q_tpch_q5")
+    assert p.count("BroadcastHashJoin") >= 3  # supplier, nation, region
+    assert "CartesianProduct" not in p
+
+
+def test_dedup_exact_text_shuffles_hash_not_text(spark, sf_dir):
+    p = plan(spark, sf_dir, "q_dedup_exact_text")
+    assert "sha2" in p
+
+
+@pytest.mark.parametrize("name", ["q_agg_group", "q_tpch_q3", "q_tpch_q10"])
+def test_no_python_udfs_in_relational_path(spark, sf_dir, name):
+    p = plan(spark, sf_dir, name)
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
