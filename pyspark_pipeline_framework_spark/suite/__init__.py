@@ -77,6 +77,7 @@ def _load_all() -> None:
         joins,
         llm,
         relational,
+        relational2,
         setops,
         tpch,
         udfs,
