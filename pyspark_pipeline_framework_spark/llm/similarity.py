@@ -72,6 +72,43 @@ def cosine_topk_bruteforce(
     )
 
 
+def embedding_dedup_pairs(
+    corpus: DataFrame,
+    threshold: float = 0.95,
+    block_col: str | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: all (a < b) pairs with
+    cosine ≥ ``threshold``.
+
+    ``block_col`` bounds the join (pairs are only formed within a
+    block — a cluster id, LSH bucket, or shard key); without it this is
+    a full self-join and only safe on small corpora. The 100 TB recipe:
+    ``lsh_bucket`` as the block column, then this as the exact verify
+    stage — same candidate/verify split as MinHash + Jaccard."""
+    a = corpus.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("__va"),
+        *( [F.col(block_col).alias("__blk")] if block_col else [] ),
+    )
+    b = corpus.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("__vb"),
+        *( [F.col(block_col).alias("__blk")] if block_col else [] ),
+    )
+    cond = F.col("id_a") < F.col("id_b")
+    joined = a.join(b, ["__blk"]).filter(cond) if block_col else a.join(b, cond)
+    return (
+        joined.select(
+            "id_a",
+            "id_b",
+            cosine_similarity(F.col("__va"), F.col("__vb")).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
 def _hyperplane(dim: int, plane: int) -> Column:
     """Deterministic pseudo-random hyperplane: component j derived from
     xxhash64(j, plane) mapped to [-1, 1]. No stored model, identical on

@@ -1,0 +1,101 @@
+"""Custom stateful streaming operators.
+
+Beyond the reference's source→transform→sink wiring (its ``transform``
+is stateless — SURVEY.md §2.6 'not implemented'), these add the two
+standard stateful patterns:
+
+* :func:`streaming_dedup` — exactly-once-per-key emission with bounded
+  state: ``dropDuplicatesWithinWatermark`` keeps a key's state only
+  until the watermark passes it (at 100 TB: state size is bounded by
+  keys-per-watermark-window, not stream history).
+* :func:`running_counts` / :func:`sessionize` —
+  ``applyInPandasWithState`` operators: per-key state carried across
+  micro-batches with timeout-driven eviction (Arrow-batched; state is
+  a tuple, not a DataFrame — executors hold it in the state store).
+
+Both run identically under availableNow (tests) and continuous
+micro-batch triggers (production).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable, Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+def streaming_dedup(
+    df: DataFrame,
+    keys: list[str],
+    watermark_col: str,
+    watermark_delay: str,
+) -> DataFrame:
+    """Streaming dedup with bounded state: first row per key wins,
+    duplicate suppression state expires with the watermark."""
+    return df.withWatermark(watermark_col, watermark_delay).dropDuplicatesWithinWatermark(keys)
+
+
+RUNNING_COUNT_SCHEMA = "key string, n bigint, total double"
+_RUNNING_STATE_SCHEMA = "n bigint, total double"
+
+
+def _running_count_fn(
+    key: tuple, batches: Iterable[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    n, total = state.get if state.exists else (0, 0.0)
+    for pdf in batches:
+        n += len(pdf)
+        total += float(pdf["value"].sum())
+    state.update((n, total))
+    yield pd.DataFrame({"key": [key[0]], "n": [n], "total": [total]})
+
+
+def running_counts(df: DataFrame, key_col: str, value_col: str) -> DataFrame:
+    """Per-key running count + sum carried across micro-batches —
+    the minimal ``applyInPandasWithState`` operator shape."""
+    keyed = df.selectExpr(f"{key_col} AS key", f"{value_col} AS value")
+    return keyed.groupBy("key").applyInPandasWithState(
+        _running_count_fn,
+        outputStructType=RUNNING_COUNT_SCHEMA,
+        stateStructType=_RUNNING_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+SESSION_SCHEMA = "key string, n_events bigint, session_open boolean"
+_SESSION_STATE_SCHEMA = "n bigint"
+
+
+def _session_fn(
+    key: tuple, batches: Iterable[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    if state.hasTimedOut:
+        (n,) = state.get
+        state.remove()
+        yield pd.DataFrame({"key": [key[0]], "n_events": [n], "session_open": [False]})
+        return
+    n = state.get[0] if state.exists else 0
+    for pdf in batches:
+        n += len(pdf)
+    state.update((n,))
+    state.setTimeoutDuration(30_000)  # close the session after 30s idle
+    yield pd.DataFrame({"key": [key[0]], "n_events": [n], "session_open": [True]})
+
+
+def sessionize(df: DataFrame, key_col: str) -> DataFrame:
+    """Timeout-driven sessionization: emits running session progress per
+    key and a final closed-session row when the key goes idle —
+    processing-time timeout variant (event-time windows are covered by
+    ``operators.windows.event_session_window``)."""
+    keyed = df.selectExpr(f"{key_col} AS key")
+    return keyed.groupBy("key").applyInPandasWithState(
+        _session_fn,
+        outputStructType=SESSION_SCHEMA,
+        stateStructType=_SESSION_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )

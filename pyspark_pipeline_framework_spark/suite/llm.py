@@ -235,6 +235,38 @@ def q_sim_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_COS_AB = """
+             CAST(list_sum(list_transform(range(1, len(a.embedding) + 1),
+                    i -> CAST(CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)
+                              AS DECIMAL(38,14)))) AS DOUBLE)
+             / ( SQRT(CAST(list_sum(list_transform(range(1, len(a.embedding) + 1),
+                    i -> CAST(CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)
+                              AS DECIMAL(38,14)))) AS DOUBLE))
+               * SQRT(CAST(list_sum(list_transform(range(1, len(b.embedding) + 1),
+                    i -> CAST(CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)
+                              AS DECIMAL(38,14)))) AS DOUBLE)) )
+"""
+
+
+@case(
+    "q_dedup_embedding",
+    oracle=f"""
+    SELECT id_a, id_b, cos_sim FROM (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_COS_AB} AS cos_sim
+      FROM embeddings a JOIN embeddings b
+        ON a.label = b.label AND a.vec_id < b.vec_id
+    ) WHERE cos_sim >= 0.4
+    """,
+)
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # label-blocked exact cosine near-dup pairs (block bounds the join;
+    # swap the block for an LSH bucket at scale)
+    from pyspark_pipeline_framework_spark.llm.similarity import embedding_dedup_pairs
+
+    emb = table(spark, sf_dir, "embeddings")
+    return embedding_dedup_pairs(emb, threshold=0.4, block_col="label")
+
+
 @case("q_sim_knn_lsh", oracle=None)  # approximate (recall<1) → rows-only
 def q_sim_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")

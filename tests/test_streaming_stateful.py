@@ -1,0 +1,73 @@
+"""Stateful streaming operators: state carried across micro-batches,
+bounded-state dedup."""
+
+import time
+
+from pyspark_pipeline_framework_spark.streaming import (
+    FileStreamingSource,
+    MemoryStreamingSink,
+    OutputMode,
+    StreamingPipeline,
+    Trigger,
+    TriggerType,
+)
+from pyspark_pipeline_framework_spark.streaming.stateful import (
+    running_counts,
+    streaming_dedup,
+)
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    src_dir, ckpt = str(tmp_path / "in"), str(tmp_path / "ck")
+    rows = [
+        ("2024-01-01 00:00:00", "a"),
+        ("2024-01-01 00:00:10", "a"),   # dup key within watermark → dropped
+        ("2024-01-01 00:00:20", "b"),
+    ]
+    spark.createDataFrame(rows, "ts_str string, k string").coalesce(1).write.json(src_dir)
+
+    def dedup(df):
+        from pyspark.sql import functions as F
+
+        df = df.withColumn("ts", F.to_timestamp("ts_str"))
+        return streaming_dedup(df, ["k"], "ts", "1 minute").select("k")
+
+    StreamingPipeline(
+        source=FileStreamingSource(src_dir, file_format="json", schema="ts_str STRING, k STRING"),
+        sink=MemoryStreamingSink("dedup_out"),
+        trigger=Trigger(TriggerType.AVAILABLE_NOW),
+        checkpoint_location=ckpt,
+        transform_fn=dedup,
+    ).set_spark_session(spark).run(timeout_s=60)
+    out = sorted(r.k for r in spark.table("dedup_out").collect())
+    assert out == ["a", "b"]
+
+
+def test_running_counts_across_batches(spark, tmp_path):
+    """Two micro-batches (maxFilesPerTrigger=1) → state must carry the
+    first batch's counts into the second."""
+    src_dir, ckpt = str(tmp_path / "in"), str(tmp_path / "ck")
+    spark.createDataFrame([("u1", 1.0), ("u1", 2.0)], "k string, v double") \
+        .coalesce(1).write.mode("overwrite").json(src_dir + "/f1")
+    spark.createDataFrame([("u1", 4.0), ("u2", 8.0)], "k string, v double") \
+        .coalesce(1).write.mode("overwrite").json(src_dir + "/f2")
+
+    pipe = StreamingPipeline(
+        source=FileStreamingSource(
+            src_dir, file_format="json", schema="k STRING, v DOUBLE",
+            options={"maxFilesPerTrigger": "1", "recursiveFileLookup": "true"},
+        ),
+        sink=MemoryStreamingSink("running_out"),
+        output_mode=OutputMode.UPDATE,
+        trigger=Trigger(TriggerType.AVAILABLE_NOW),
+        checkpoint_location=ckpt,
+        transform_fn=lambda df: running_counts(df, "k", "v"),
+    )
+    pipe.set_spark_session(spark).run(timeout_s=90)
+    rows = spark.table("running_out").collect()
+    # last emission per key reflects cumulative state
+    final = {}
+    for r in rows:
+        final[r.key] = (r.n, r.total)
+    assert final["u1"] == (3, 7.0)
+    assert final["u2"] == (1, 8.0)

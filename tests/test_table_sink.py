@@ -1,0 +1,46 @@
+"""WriteTable parity: saveAsTable with partitionBy, and bucketBy for
+shuffle-free co-located joins (SinkConfig table path)."""
+
+from pyspark.sql import functions as F
+
+from pyspark_pipeline_framework_spark.io.readers import table
+from pyspark_pipeline_framework_spark.io.writers import SinkConfig, write_sink
+
+
+def test_save_as_table_roundtrip(spark, sf_dir):
+    src = table(spark, sf_dir, "nation")
+    write_sink(src, SinkConfig(format="table", table="t_nation", mode="overwrite",
+                               partition_by=["n_regionkey"]))
+    try:
+        out = spark.table("t_nation")
+        assert out.count() == 25
+        # partition pruning on the partition column
+        pruned = out.filter(F.col("n_regionkey") == 1)
+        assert pruned.count() == 5
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_nation")
+
+
+def test_bucket_by_join_avoids_shuffle(spark, sf_dir):
+    """Two tables bucketed on the join key join without an Exchange."""
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    l = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    write_sink(o, SinkConfig(format="table", table="t_orders_b", mode="overwrite",
+                             bucket_by=(4, ["o_orderkey"]), sort_by=["o_orderkey"]))
+    write_sink(l, SinkConfig(format="table", table="t_lineitem_b", mode="overwrite",
+                             bucket_by=(4, ["l_orderkey"]), sort_by=["l_orderkey"]))
+    try:
+        ob, lb = spark.table("t_orders_b"), spark.table("t_lineitem_b")
+        joined = ob.join(lb, ob.o_orderkey == lb.l_orderkey)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            plan = joined._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+                joined._jdf.queryExecution(), "formatted"
+            )
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64m")
+        assert "Exchange" not in plan, "bucketed join must not shuffle"
+        assert joined.count() > 0
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_orders_b")
+        spark.sql("DROP TABLE IF EXISTS t_lineitem_b")
