@@ -31,6 +31,32 @@ def join(
     return left.join(r, on, how)
 
 
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    how: str = "inner",
+    salt: int = 16,
+) -> DataFrame:
+    """Skew-safe equi-join: the left (skewed) side gets a random-ish but
+    DETERMINISTIC salt (hash of all left columns mod ``salt``), the
+    right side is replicated ``salt`` times, and the join key becomes
+    (key, salt). A single hot key now spreads over ``salt`` reducers.
+
+    Semantics identical to ``left.join(right, on, how)`` for inner /
+    left joins (each left row matches exactly its replica). AQE's
+    skew-join handles moderate skew automatically; salting is for the
+    pathological single-key case AQE can't split further."""
+    if how not in ("inner", "left"):
+        raise ValueError("salted_join supports inner/left joins")
+    l = left.withColumn(
+        "__salt", F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(salt)).cast("int")
+    )
+    r = right.withColumn("__salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1))))
+    out = l.join(r, on + ["__salt"], how)
+    return out.drop("__salt")
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,

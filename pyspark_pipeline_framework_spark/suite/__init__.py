@@ -71,6 +71,7 @@ def _load_all() -> None:
         return
     from pyspark_pipeline_framework_spark.suite import (  # noqa: F401
         aggregates,
+        compose,
         dq,
         functions,
         io_cases,
