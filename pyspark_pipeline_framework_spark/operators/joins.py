@@ -76,8 +76,12 @@ def asof_join(
     on ``key`` — same as any grouped op; no range explosion.
 
     ``right`` must be unique per (key, right_ts) — pre-aggregate if
-    not, or the carried value is nondeterministic.
+    not, or the carried value is nondeterministic. ``right_values``
+    names must not collide with ``left`` columns (rename first).
     """
+    overlap = set(right_values) & set(left.columns)
+    if overlap:
+        raise ValueError(f"right_values collide with left columns: {sorted(overlap)}")
     lcols = left.columns
     rtypes = dict(right.dtypes)
     l = left.select(

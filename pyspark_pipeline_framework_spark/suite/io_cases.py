@@ -85,6 +85,28 @@ def q_sink_roundtrip_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@case("q_scan_json", oracle="SELECT s_suppkey, s_name, s_nationkey FROM supplier")
+def q_scan_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _scratch(sf_dir, "supplier_json")
+    src = table(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_nationkey")
+    write_sink(src, SinkConfig(format="json", path=path, mode="overwrite"))
+    return read_source(
+        spark,
+        SourceConfig(
+            format="json", path=path,
+            schema="s_suppkey long, s_name string, s_nationkey int",
+        ),
+    )
+
+
+@case("q_scan_orc", oracle="SELECT p_partkey, p_name, p_retailprice FROM part")
+def q_scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _scratch(sf_dir, "part_orc")
+    src = table(spark, sf_dir, "part").select("p_partkey", "p_name", "p_retailprice")
+    write_sink(src, SinkConfig(format="orc", path=path, mode="overwrite"))
+    return read_source(spark, SourceConfig(format="orc", path=path))
+
+
 @case("q_sink_roundtrip_csv", oracle="SELECT r_regionkey, r_name FROM region")
 def q_sink_roundtrip_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = _scratch(sf_dir, "region_csv")

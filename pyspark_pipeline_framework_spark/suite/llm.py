@@ -199,20 +199,28 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_KNN_ORACLE = """
+def _o_dot(x: str, y: str) -> str:
+    """Fixed-point dot product oracle fragment — mirrors the engine's
+    ``_dot_decimal`` exactly: floor(p·1e14) as BIGINT, integer sum,
+    one rescale (FLOOR because CAST(double AS BIGINT) truncates in
+    Spark but rounds in DuckDB)."""
+    return (
+        f"CAST(list_sum(list_transform(range(1, len({x}) + 1), "
+        f"i -> CAST(FLOOR(CAST({x}[i] AS DOUBLE) * CAST({y}[i] AS DOUBLE) * 1e14) AS BIGINT)"
+        f")) AS DOUBLE) / 1e14"
+    )
+
+
+def _o_cos(a: str, b: str) -> str:
+    return f"{_o_dot(a, b)} / (SQRT({_o_dot(a, a)}) * SQRT({_o_dot(b, b)}))"
+
+
+_KNN_ORACLE = f"""
     WITH q AS (
       SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 5
     ), scored AS (
       SELECT q.query_id, e.vec_id,
-             CAST(list_sum(list_transform(range(1, len(q.qe) + 1),
-                    i -> CAST(CAST(q.qe[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)
-                              AS DECIMAL(38,14)))) AS DOUBLE)
-             / ( SQRT(CAST(list_sum(list_transform(range(1, len(q.qe) + 1),
-                    i -> CAST(CAST(q.qe[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)
-                              AS DECIMAL(38,14)))) AS DOUBLE))
-               * SQRT(CAST(list_sum(list_transform(range(1, len(e.embedding) + 1),
-                    i -> CAST(CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)
-                              AS DECIMAL(38,14)))) AS DOUBLE)) ) AS cos_sim
+             {_o_cos("q.qe", "e.embedding")} AS cos_sim
       FROM q JOIN embeddings e ON e.vec_id <> q.query_id
     )
     SELECT query_id, vec_id, cos_sim, rank FROM (
@@ -235,17 +243,7 @@ def q_sim_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_COS_AB = """
-             CAST(list_sum(list_transform(range(1, len(a.embedding) + 1),
-                    i -> CAST(CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)
-                              AS DECIMAL(38,14)))) AS DOUBLE)
-             / ( SQRT(CAST(list_sum(list_transform(range(1, len(a.embedding) + 1),
-                    i -> CAST(CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)
-                              AS DECIMAL(38,14)))) AS DOUBLE))
-               * SQRT(CAST(list_sum(list_transform(range(1, len(b.embedding) + 1),
-                    i -> CAST(CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)
-                              AS DECIMAL(38,14)))) AS DOUBLE)) )
-"""
+_COS_AB = _o_cos("a.embedding", "b.embedding")
 
 
 @case(

@@ -1,0 +1,101 @@
+"""Property tests for the custom join operators against pure-Python
+references on randomized small inputs (hypothesis) — the reference's
+§5.3 technique applied to the operators Spark lacks natively."""
+
+from datetime import datetime, timedelta
+
+import pytest
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+from pyspark.sql import functions as F
+
+from pyspark_pipeline_framework_spark.operators.joins import asof_join, range_join, salted_join
+
+BASE = datetime(2024, 1, 1)
+
+events_strategy = st.lists(
+    st.tuples(st.integers(0, 3), st.integers(0, 3600)),  # (key, seconds offset)
+    min_size=0,
+    max_size=25,
+)
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(left=events_strategy, right=events_strategy)
+def test_asof_join_matches_python_reference(spark, left, right):
+    # unique (key, ts) on the right — operator contract
+    right = list({(k, s) for k, s in right})
+    ldf = spark.createDataFrame(
+        [(i, k, BASE + timedelta(seconds=s)) for i, (k, s) in enumerate(left)],
+        "lid long, k int, lts timestamp",
+    )
+    rdf = spark.createDataFrame(
+        [(k, BASE + timedelta(seconds=s), float(s)) for k, s in right],
+        "k int, rts timestamp, rv double",
+    )
+    if not left:
+        return
+    got = {
+        (r.lid, r.rv)
+        for r in asof_join(ldf, rdf, key="k", left_ts="lts", right_ts="rts",
+                           right_values=["rv"], how="inner").collect()
+    }
+    expected = set()
+    for i, (k, s) in enumerate(left):
+        candidates = [rs for rk, rs in right if rk == k and rs <= s]
+        if candidates:
+            expected.add((i, float(max(candidates))))
+    assert got == expected
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(rows=events_strategy)
+def test_range_join_matches_python_reference(spark, rows):
+    df = spark.createDataFrame(
+        [(i, BASE + timedelta(seconds=s)) for i, (_, s) in enumerate(rows)],
+        "id long, ts timestamp",
+    )
+    if not rows:
+        return
+    left = df.select("id", "ts")
+    right = df.select(F.col("id").alias("rid"), F.col("ts").alias("rts"))
+    got = {
+        (r.id, r.rid)
+        for r in range_join(left, right, left_ts="ts", right_ts="rts",
+                            lower="0 SECOND", upper="10 MINUTE",
+                            bucket_seconds=60).collect()
+    }
+    secs = [s for _, s in rows]
+    expected = {
+        (i, j)
+        for i, si in enumerate(secs)
+        for j, sj in enumerate(secs)
+        if si < sj <= si + 600
+    }
+    assert got == expected
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    left=st.lists(st.integers(0, 5), min_size=0, max_size=30),
+    right=st.lists(st.tuples(st.integers(0, 5), st.integers(0, 100)), min_size=0, max_size=10),
+)
+def test_salted_join_equals_plain_join(spark, left, right):
+    ldf = spark.createDataFrame([(i, k) for i, k in enumerate(left)], "lid long, k long")
+    rdf = spark.createDataFrame(right, "k long, v long") if right else (
+        spark.createDataFrame([], "k long, v long")
+    )
+    plain = {(r.lid, r.v) for r in ldf.join(rdf, "k").collect()}
+    salted = {(r.lid, r.v) for r in salted_join(ldf, rdf, on=["k"], salt=4).collect()}
+    assert plain == salted
+
+
+def test_operators_on_empty_frames(spark):
+    eleft = spark.createDataFrame([], "k int, ts timestamp")
+    eright = spark.createDataFrame([], "k int, rts timestamp, rv double")
+    assert asof_join(eleft, eright, "k", "ts", "rts", ["rv"]).count() == 0
+    assert range_join(
+        eleft.select("ts"), eright.select("rts"),
+        "ts", "rts", "0 SECOND", "1 MINUTE", 60,
+    ).count() == 0
+    assert salted_join(eleft, eright.select("k", "rv"), on=["k"]).count() == 0
