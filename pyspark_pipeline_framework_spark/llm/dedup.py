@@ -180,19 +180,19 @@ def simhash(
     small Hamming distance. Pure array expressions — map-only."""
     if bits != 64:
         raise ValueError("simhash is fixed at 64 bits (xxhash64 output width)")
-    # explode words → 64 sum-aggregates of ±1 per bit position (from the
-    # lpad'ed binary string of the word hash; shiftright only accepts
-    # literal shift amounts so positions are Python-loop static), then
+    # explode words → 64 sum-aggregates of ±1 per bit position, read
+    # straight off the word-hash long with literal shifts (shiftright
+    # only accepts static shift amounts — fine in a Python loop), then
     # pack signs into a long. Flat columns + partial agg beat nested
     # array folds both in codegen and in shuffle volume.
     words = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
     exploded = df.select(F.col(id_col), F.explode(words).alias("__w")).select(
-        F.col(id_col), F.lpad(F.bin(F.xxhash64("__w")), 64, "0").alias("__b")
+        F.col(id_col), F.xxhash64("__w").alias("__h")
     )
     sums = exploded.groupBy(id_col).agg(
         *[
             F.sum(
-                F.when(F.substring("__b", 64 - j, 1) == "1", 1).otherwise(-1)
+                F.shiftright(F.col("__h"), j).bitwiseAND(F.lit(1)) * 2 - 1
             ).alias(f"__s{j}")
             for j in range(64)
         ]
