@@ -86,3 +86,24 @@ def build_session(config: SparkConfig | None = None) -> SparkSession:
 
 def stop_session(spark: SparkSession) -> None:
     spark.stop()
+
+
+class SessionScope:
+    """Context-manager session lifecycle (reference wrapper parity,
+    runtime/session/wrapper.py context manager): builds on enter, stops
+    on exit unless the session was injected (Databricks/EMR pattern —
+    never stop a session you don't own)."""
+
+    def __init__(self, config: SparkConfig | None = None, spark: SparkSession | None = None):
+        self._config = config
+        self._injected = spark
+        self.spark: SparkSession | None = spark
+
+    def __enter__(self) -> SparkSession:
+        if self.spark is None:
+            self.spark = build_session(self._config)
+        return self.spark
+
+    def __exit__(self, *exc) -> None:
+        if self._injected is None and self.spark is not None:
+            self.spark.stop()

@@ -107,6 +107,28 @@ def q_scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_source(spark, SourceConfig(format="orc", path=path))
 
 
+@case("q_sink_roundtrip_table", oracle="SELECT s_suppkey, s_name, s_acctbal FROM supplier")
+def q_sink_roundtrip_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WriteTable parity: saveAsTable → spark.table re-read. Table name
+    is sf-suffixed to avoid clashes across scale factors; mode=overwrite
+    makes the case idempotent."""
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    name = f"rt_supplier_{tag}"
+    # a previous session may have left the managed location on disk
+    # without a catalog entry — clear both or CREATE fails with
+    # LOCATION_ALREADY_EXISTS
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    loc = os.path.join(warehouse.removeprefix("file:"), name)
+    if os.path.isdir(loc):
+        import shutil
+
+        shutil.rmtree(loc, ignore_errors=True)
+    src = table(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_acctbal")
+    write_sink(src, SinkConfig(format="table", table=name, mode="overwrite"))
+    return spark.table(name)
+
+
 @case("q_sink_roundtrip_csv", oracle="SELECT r_regionkey, r_name FROM region")
 def q_sink_roundtrip_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = _scratch(sf_dir, "region_csv")
