@@ -79,6 +79,7 @@ def _load_all() -> None:
         llm,
         relational,
         relational2,
+        relational3,
         setops,
         tpch,
         udfs,

@@ -1,0 +1,110 @@
+"""Third relational pack: map-typed columns, algebraic statistics,
+value-range window frames, outer explode."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from pyspark_pipeline_framework_spark.io.readers import table
+from pyspark_pipeline_framework_spark.suite import case
+from pyspark_pipeline_framework_spark.suite._util import dsum, o_dsum
+
+
+@case(
+    "q_fn_map",
+    oracle="""
+    SELECT r_regionkey,
+           MAP(['key', 'name'], [CAST(r_regionkey AS VARCHAR), r_name])['name'][1] AS from_map,
+           CAST(cardinality(MAP(['key', 'name'], [CAST(r_regionkey AS VARCHAR), r_name])) AS INT) AS map_size
+    FROM region
+    """,
+)
+def q_fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = table(spark, sf_dir, "region")
+    m = F.map_from_arrays(
+        F.array(F.lit("key"), F.lit("name")),
+        F.array(F.col("r_regionkey").cast("string"), F.col("r_name")),
+    )
+    return r.select(
+        "r_regionkey",
+        F.element_at(m, "name").alias("from_map"),
+        F.size(m).alias("map_size"),
+    )
+
+
+@case(
+    "q_agg_stats",
+    oracle=f"""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           {o_dsum('l_quantity')} AS s1,
+           {o_dsum('l_quantity * l_quantity')} AS s2,
+           ({o_dsum('l_quantity * l_quantity')} - {o_dsum('l_quantity')} * {o_dsum('l_quantity')} / COUNT(*))
+             / (COUNT(*) - 1) AS var_samp_alg,
+           SQRT(({o_dsum('l_quantity * l_quantity')} - {o_dsum('l_quantity')} * {o_dsum('l_quantity')} / COUNT(*))
+             / (COUNT(*) - 1)) AS stddev_alg
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variance/stddev via the algebraic sum-of-squares identity over
+    EXACT decimal sums — deterministic and cross-engine identical,
+    unlike the built-in streaming (Welford) implementations whose
+    float accumulation differs between engines."""
+    li = table(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity")
+    n = F.count(F.lit(1))
+    s1 = dsum(q)
+    s2 = dsum(q * q)
+    var = (s2 - s1 * s1 / n) / (n - 1)
+    return li.groupBy("l_returnflag").agg(
+        n.alias("n"),
+        s1.alias("s1"),
+        s2.alias("s2"),
+        var.alias("var_samp_alg"),
+        F.sqrt(var).alias("stddev_alg"),
+    )
+
+
+@case(
+    "q_win_range_frame",
+    oracle="""
+    SELECT o_orderkey, o_totalprice,
+           CAST(COUNT(*) OVER (ORDER BY o_totalprice
+                               RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS n_within_1k
+    FROM orders
+    """,
+)
+def q_win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # value-range frame: peers defined by o_totalprice distance, so the
+    # result is deterministic without a unique tiebreaker
+    w = Window.orderBy("o_totalprice").rangeBetween(-1000, 0)
+    return table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_totalprice",
+        F.count(F.lit(1)).over(w).alias("n_within_1k"),
+    )
+
+
+@case(
+    "q_explode_outer",
+    oracle="""
+    SELECT c_custkey, word
+    FROM (
+      SELECT c_custkey,
+             CASE WHEN c_mktsegment = 'BUILDING' THEN NULL
+                  ELSE string_split(c_mktsegment, 'A') END AS parts
+      FROM customer
+    ) LEFT JOIN LATERAL unnest(COALESCE(parts, [NULL])) AS t(word) ON TRUE
+    """,
+)
+def q_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # explode_outer keeps rows whose array is NULL (emitting NULL) —
+    # the LEFT JOIN LATERAL unnest(COALESCE(..., [NULL])) oracle mirrors it
+    c = table(spark, sf_dir, "customer")
+    parts = F.when(F.col("c_mktsegment") == "BUILDING", F.lit(None)).otherwise(
+        F.split("c_mktsegment", "A")
+    )
+    return c.select("c_custkey", F.explode_outer(parts).alias("word"))

@@ -43,6 +43,52 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
     assert out == ["a", "b"]
 
 
+def test_stream_stream_join_with_time_bound(spark, tmp_path):
+    """Watermarked stream-stream inner join with an event-time range
+    condition — the state-bounded join pattern (SURVEY §2.6 gap)."""
+    from pyspark.sql import functions as F
+
+    imp_dir, clk_dir, ckpt = str(tmp_path / "imp"), str(tmp_path / "clk"), str(tmp_path / "ck")
+    spark.createDataFrame(
+        [("ad1", "2024-01-01 00:00:00"), ("ad2", "2024-01-01 00:10:00")],
+        "ad string, ts_str string",
+    ).coalesce(1).write.json(imp_dir)
+    spark.createDataFrame(
+        [("ad1", "2024-01-01 00:02:00"),   # within 5 min of impression → joins
+         ("ad2", "2024-01-01 00:30:00")],  # 20 min later → dropped
+        "ad string, ts_str string",
+    ).coalesce(1).write.json(clk_dir)
+
+    schema = "ad STRING, ts_str STRING"
+    imp = (
+        spark.readStream.format("json").schema(schema).load(imp_dir)
+        .select("ad", F.to_timestamp("ts_str").alias("imp_ts"))
+        .withWatermark("imp_ts", "1 hour")
+    )
+    clk = (
+        spark.readStream.format("json").schema(schema).load(clk_dir)
+        .select(F.col("ad").alias("c_ad"), F.to_timestamp("ts_str").alias("clk_ts"))
+        .withWatermark("clk_ts", "1 hour")
+    )
+    joined = imp.join(
+        clk,
+        (F.col("ad") == F.col("c_ad"))
+        & (F.col("clk_ts") >= F.col("imp_ts"))
+        & (F.col("clk_ts") <= F.col("imp_ts") + F.expr("INTERVAL 5 MINUTES")),
+        "inner",
+    ).select("ad", "imp_ts", "clk_ts")
+
+    query = (
+        joined.writeStream.format("memory").queryName("ss_join")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination(60)
+    rows = spark.table("ss_join").collect()
+    assert [r.ad for r in rows] == ["ad1"]
+
+
 def test_running_counts_across_batches(spark, tmp_path):
     """Two micro-batches (maxFilesPerTrigger=1) → state must carry the
     first batch's counts into the second."""
