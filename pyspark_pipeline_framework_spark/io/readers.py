@@ -83,6 +83,10 @@ _NANOS_TS_COLS = {"events": ["ts"]}
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """One driver-testdata table (lazy parquet scan)."""
+    # naive parquet timestamps must be interpreted in UTC or values
+    # shift against the (timezone-less) DuckDB oracle — pin it even on
+    # externally-built sessions
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     nanos_cols = _NANOS_TS_COLS.get(name, ())
     if nanos_cols:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
