@@ -28,7 +28,9 @@ from pyspark_pipeline_framework_spark.llm.dedup import (
 from pyspark_pipeline_framework_spark.llm.similarity import (
     cosine_topk_bruteforce,
     cosine_topk_lsh,
+    embedding_dedup_pairs,
 )
+from pyspark_pipeline_framework_spark.llm.packing import pack_sequences, split_by_hash
 
 __all__ = [
     "language_id",
@@ -45,4 +47,7 @@ __all__ = [
     "simhash",
     "cosine_topk_bruteforce",
     "cosine_topk_lsh",
+    "embedding_dedup_pairs",
+    "pack_sequences",
+    "split_by_hash",
 ]

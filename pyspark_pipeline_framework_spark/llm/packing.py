@@ -1,0 +1,90 @@
+"""Training-batch assembly operators: deterministic dataset splits and
+token-budget sequence packing.
+
+Packing is the step after filtering/dedup in an LLM data pipeline:
+fill fixed-size context windows with documents so little budget is
+wasted. The distributed formulation shards the corpus (map-side hash),
+then packs each shard independently with a sequential greedy pass in
+Arrow-batched pandas — shard-local state, no global coordination, so
+it scales linearly with executors while remaining deterministic."""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def split_by_hash(
+    df: DataFrame,
+    id_col: str,
+    fractions: dict[str, float],
+    salt: str = "split",
+    out_col: str = "split",
+) -> DataFrame:
+    """Deterministic train/valid/test split: bucket = xxhash64(id, salt)
+    mod 10_000 mapped onto cumulative fraction ranges. Stable across
+    runs, sessions, and cluster sizes — no RNG, no sampling drift."""
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1, got {total}")
+    bucket = F.pmod(F.xxhash64(F.col(id_col), F.lit(salt)), F.lit(10_000))
+    expr = None
+    acc = 0.0
+    for name, frac in fractions.items():
+        acc += frac
+        cond = bucket < int(round(acc * 10_000))
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    return df.withColumn(out_col, expr.otherwise(list(fractions)[-1]))
+
+
+PACKED_SCHEMA = "doc_id long, shard int, pack_id long, n_tokens int"
+
+
+def pack_sequences(
+    df: DataFrame,
+    max_tokens: int,
+    id_col: str = "doc_id",
+    tokens_col: str = "n_tokens",
+    num_shards: int = 64,
+) -> DataFrame:
+    """Greedy sequential packing: within each shard (deterministic hash
+    of the id), docs are visited in id order and appended to the
+    current pack until the budget would overflow, then a new pack
+    starts. Documents longer than ``max_tokens`` get a pack of their
+    own. Output: (doc_id, shard, pack_id, n_tokens); pack identity is
+    (shard, pack_id).
+
+    Packing quality vs parallelism is the ``num_shards`` knob: shards
+    pack independently (at most one under-filled trailing pack per
+    shard) — at 100 TB, shards ≈ executor-cores × 4."""
+
+    # applyInPandas (not mapInPandas): the whole shard arrives as ONE
+    # frame, so the greedy cursor never resets mid-shard on an Arrow
+    # batch boundary
+    def pack_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id")
+        shard = int(pdf["shard"].iloc[0])
+        out_rows = []
+        pack_id, used = 0, 0
+        for did, nt in zip(pdf["doc_id"], pdf["n_tokens"]):
+            nt = int(nt)
+            if used > 0 and used + nt > max_tokens:
+                pack_id += 1
+                used = 0
+            out_rows.append((int(did), shard, pack_id, nt))
+            used += nt
+            if used >= max_tokens:
+                pack_id += 1
+                used = 0
+        return pd.DataFrame(out_rows, columns=["doc_id", "shard", "pack_id", "n_tokens"])
+
+    sharded = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(num_shards)).cast("int").alias("shard"),
+        F.col(tokens_col).cast("int").alias("n_tokens"),
+    )
+    return sharded.groupBy("shard").applyInPandas(pack_shard, schema=PACKED_SCHEMA)

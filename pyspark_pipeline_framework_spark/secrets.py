@@ -9,6 +9,7 @@ or audited (only key names)."""
 from __future__ import annotations
 
 import os
+import threading
 import time
 from dataclasses import dataclass
 from typing import Any, Callable, Protocol
@@ -91,6 +92,7 @@ class SecretsResolver:
         self._providers = {p.name: p for p in (providers or [EnvSecretsProvider()])}
         self._ttl = ttl_s
         self._clock = clock
+        self._lock = threading.Lock()
         self._cache: dict[str, _Cached] = {}
         self.access_log: list[tuple[str, str]] = []  # (provider, key)
 
@@ -104,12 +106,14 @@ class SecretsResolver:
         if provider_name not in self._providers:
             raise SecretNotFoundError(f"unknown secrets provider {provider_name!r}")
         cache_key = f"{provider_name}/{key}"
-        hit = self._cache.get(cache_key)
-        if hit and hit.expires_at > self._clock():
-            return hit.value
+        with self._lock:
+            hit = self._cache.get(cache_key)
+            if hit and hit.expires_at > self._clock():
+                return hit.value
         value = self._providers[provider_name].get_secret(key)
-        self._cache[cache_key] = _Cached(value, self._clock() + self._ttl)
-        self.access_log.append((provider_name, key))
+        with self._lock:
+            self._cache[cache_key] = _Cached(value, self._clock() + self._ttl)
+            self.access_log.append((provider_name, key))
         return value
 
     def interpolate(self, config: Any) -> Any:

@@ -277,6 +277,79 @@ def q_sim_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @case(
+    "q_llm_pipeline",
+    oracle=r"""
+    WITH feats AS (
+      SELECT doc_id, lang, text, LENGTH(text) AS nc,
+             len(regexp_split_to_array(trim(text), '\s+')) AS nt,
+             CAST(LENGTH(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS DOUBLE)
+               / LENGTH(text) AS symbol_ratio,
+             CAST(len(list_distinct(regexp_split_to_array(trim(text), '\s+'))) AS DOUBLE)
+               / len(regexp_split_to_array(trim(text), '\s+')) AS uniq_ratio
+      FROM documents
+    ), passed AS (
+      SELECT doc_id, lang, text FROM feats
+      WHERE nc >= 50 AND nc <= 100000 AND nt >= 10
+        AND symbol_ratio <= 0.3 AND uniq_ratio >= 0.1
+    ), deduped AS (
+      SELECT doc_id, lang, text FROM (
+        SELECT doc_id, lang, text,
+               ROW_NUMBER() OVER (
+                 PARTITION BY sha256(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))
+                 ORDER BY doc_id) AS rn
+        FROM passed
+      ) WHERE rn = 1
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DECIMAL(38,6))) AS DOUBLE)
+             AS total_tokens
+    FROM deduped GROUP BY lang
+    """,
+)
+def q_llm_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end training-data shape: quality filter → exact dedup
+    → per-language token accounting, composed from the llm operators —
+    all lazy, one Catalyst plan."""
+    from pyspark.sql import Window
+
+    d = table(spark, sf_dir, "documents")
+    passed = quality_filter(d).select("doc_id", "lang", "text")
+    deduped = exact_text_dedup(passed)
+    return (
+        deduped.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(token_count_ws("text").cast("decimal(38,6)"))
+            .cast("double")
+            .alias("total_tokens"),
+        )
+    )
+
+
+@case("q_llm_pack", oracle=None)  # xxhash sharding has no DuckDB twin → rows-only
+def q_llm_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark_pipeline_framework_spark.llm.packing import pack_sequences
+
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", token_count_ws("text").alias("n_tokens")
+    )
+    return pack_sequences(d, max_tokens=256, num_shards=8)
+
+
+@case("q_llm_split", oracle=None)  # rows-only (hash-based)
+def q_llm_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark_pipeline_framework_spark.llm.packing import split_by_hash
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "lang")
+    return (
+        split_by_hash(d, "doc_id", {"train": 0.8, "valid": 0.1, "test": 0.1})
+        .groupBy("split", "lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@case(
     "q_mm_features",
     oracle="""
     SELECT doc_id,

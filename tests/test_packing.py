@@ -1,0 +1,60 @@
+"""Sequence packing + deterministic split behavior."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pyspark_pipeline_framework_spark.io.readers import table
+from pyspark_pipeline_framework_spark.llm.packing import pack_sequences, split_by_hash
+from pyspark_pipeline_framework_spark.llm.text import token_count_ws
+
+
+@pytest.fixture(scope="module")
+def docs_tokens(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    return d.select("doc_id", token_count_ws("text").alias("n_tokens"))
+
+
+def test_packing_respects_budget(spark, docs_tokens):
+    packed = pack_sequences(docs_tokens, max_tokens=128, num_shards=8)
+    sums = (
+        packed.groupBy("shard", "pack_id")
+        .agg(F.sum("n_tokens").alias("tot"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    for r in sums:
+        assert r.tot <= 128 or r.n == 1  # only oversized singletons may exceed
+    # every doc packed exactly once
+    assert packed.count() == docs_tokens.count()
+    assert packed.select("doc_id").distinct().count() == docs_tokens.count()
+
+
+def test_packing_is_deterministic(spark, docs_tokens):
+    a = {(r.doc_id): (r.shard, r.pack_id) for r in pack_sequences(docs_tokens, 128).collect()}
+    b = {(r.doc_id): (r.shard, r.pack_id) for r in pack_sequences(docs_tokens, 128).collect()}
+    assert a == b
+
+
+def test_packing_fills_reasonably(spark, docs_tokens):
+    """Greedy packing should waste < half the budget on average for
+    docs much smaller than the budget."""
+    stats = docs_tokens.agg(F.max("n_tokens"), F.sum("n_tokens")).first()
+    max_doc, total = stats[0], stats[1]
+    budget = max(256, max_doc + 1)
+    packed = pack_sequences(docs_tokens, max_tokens=budget, num_shards=4)
+    n_packs = packed.select("shard", "pack_id").distinct().count()
+    assert n_packs <= 2 * (total // budget + 4 + 1)  # ≥50% fill + shard slack
+
+
+def test_split_by_hash(spark, docs_tokens):
+    split = split_by_hash(docs_tokens, "doc_id", {"train": 0.8, "valid": 0.1, "test": 0.1})
+    counts = {r.split: r["count"] for r in split.groupBy("split").count().collect()}
+    n = docs_tokens.count()
+    assert set(counts) <= {"train", "valid", "test"}
+    assert counts["train"] > 0.6 * n
+    # deterministic
+    again = split_by_hash(docs_tokens, "doc_id", {"train": 0.8, "valid": 0.1, "test": 0.1})
+    assert {r.doc_id: r.split for r in split.collect()} == {
+        r.doc_id: r.split for r in again.collect()
+    }
+    with pytest.raises(ValueError):
+        split_by_hash(docs_tokens, "doc_id", {"a": 0.5})
