@@ -10,8 +10,6 @@ it scales linearly with executors while remaining deterministic."""
 
 from __future__ import annotations
 
-from collections.abc import Iterator
-
 import pandas as pd
 
 from pyspark.sql import DataFrame

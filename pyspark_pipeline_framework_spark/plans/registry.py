@@ -6,7 +6,7 @@ loading (runtime/loader.py:15-137) as the primary lookup; the dotted
 from __future__ import annotations
 
 import importlib
-from typing import Any, Callable, Protocol
+from typing import Any, Callable
 
 from pyspark.sql import DataFrame, SparkSession
 

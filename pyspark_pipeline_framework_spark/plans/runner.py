@@ -162,8 +162,6 @@ class PipelineRunner:
             out = fn(self.spark, self.catalog, **kwargs)
             if out is not None and comp.output:
                 self.catalog.put(comp.output, out)
-            if self.quality_gate:
-                self.quality_gate.run(CheckTiming.AFTER_COMPONENT, self._datasets())
             return out
 
         try:
@@ -171,6 +169,10 @@ class PipelineRunner:
                 self._breaker.call(executor.execute, invoke)
             else:
                 executor.execute(invoke)
+            # quality checks run once, OUTSIDE the retry loop — a failed
+            # check is a data fact, not a transient error to retry
+            if self.quality_gate:
+                self.quality_gate.run(CheckTiming.AFTER_COMPONENT, self._datasets())
             dur = self._clock() - t0
             self.hooks.on_component_end(self.config.name, comp.name, "success", dur)
             return ComponentResult(comp.name, ComponentStatus.SUCCESS, dur, executor.attempts)

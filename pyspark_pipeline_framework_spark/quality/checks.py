@@ -15,7 +15,7 @@ rather than ``distinct().count()`` + ``count()`` double-scan.
 from __future__ import annotations
 
 import enum
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession

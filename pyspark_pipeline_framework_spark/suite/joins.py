@@ -14,7 +14,6 @@ from pyspark.sql import functions as F
 from pyspark_pipeline_framework_spark.io.readers import table
 from pyspark_pipeline_framework_spark.operators.joins import asof_join, range_join
 from pyspark_pipeline_framework_spark.suite import case
-from pyspark_pipeline_framework_spark.suite._util import dsum
 
 
 @case(

@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 
 from pyspark_pipeline_framework_spark.io.readers import table
 from pyspark_pipeline_framework_spark.suite import case
-from pyspark_pipeline_framework_spark.suite._util import dsum, o_dsum
+from pyspark_pipeline_framework_spark.suite._util import dsum
 
 
 # --------------------------------------------------------------------------

@@ -190,6 +190,25 @@ def test_runner_retries_component(spark):
     assert result.components[0].attempts == 2
 
 
+def test_runner_quality_gate_fails_component_without_retry(spark):
+    from pyspark_pipeline_framework_spark.quality.checks import row_count_check
+    from pyspark_pipeline_framework_spark.quality.gate import QualityGate
+    from pyspark_pipeline_framework_spark.resilience.presets import ResiliencePolicy
+    from pyspark_pipeline_framework_spark.resilience.retry import RetryPolicy
+
+    cfg = PipelineConfig(
+        "qg",
+        [comp("make", op="sql", params={"sql": "SELECT 1 AS one WHERE 1 = 0"}, output="empty_ds")],
+    )
+    gate = QualityGate([row_count_check("empty_ds", min_rows=1)])
+    pol = ResiliencePolicy(retry=RetryPolicy(max_attempts=3, initial_delay_s=0, jitter=0))
+    runner = PipelineRunner(cfg, spark, quality_gate=gate, resilience=pol, sleep=lambda s: None)
+    result = runner.run()
+    assert result.status == PipelineStatus.FAILURE
+    assert "quality check" in result.components[0].error
+    assert result.components[0].attempts == 1  # data facts are not retried
+
+
 # ---------------------------------------------------------------- checkpoint
 
 def test_checkpoint_roundtrip_and_resume(tmp_path):
