@@ -95,3 +95,51 @@ def op_transform(
 def op_write(spark: SparkSession, catalog: Catalog, *, input: str, **params) -> None:
     write_sink(catalog.get(input), SinkConfig(**params))
     return None
+
+
+# -- config-declarable LLM-data operators (SURVEY §2.8) ---------------------
+
+
+@default_registry.register("quality_filter")
+def op_quality_filter(
+    spark: SparkSession, catalog: Catalog, *, output: str, input: str, **params
+) -> DataFrame:
+    from pyspark_pipeline_framework_spark.llm.text import quality_filter
+
+    return catalog.put(output, quality_filter(catalog.get(input), **params))
+
+
+@default_registry.register("dedup_exact")
+def op_dedup_exact(
+    spark: SparkSession, catalog: Catalog, *, output: str, input: str, **params
+) -> DataFrame:
+    from pyspark_pipeline_framework_spark.llm.dedup import exact_text_dedup
+
+    return catalog.put(output, exact_text_dedup(catalog.get(input), **params))
+
+
+@default_registry.register("dedup_minhash_pairs")
+def op_dedup_minhash_pairs(
+    spark: SparkSession, catalog: Catalog, *, output: str, input: str, **params
+) -> DataFrame:
+    from pyspark_pipeline_framework_spark.llm.dedup import minhash_candidate_pairs
+
+    return catalog.put(output, minhash_candidate_pairs(catalog.get(input), **params))
+
+
+@default_registry.register("language_id")
+def op_language_id(
+    spark: SparkSession, catalog: Catalog, *, output: str, input: str, **params
+) -> DataFrame:
+    from pyspark_pipeline_framework_spark.llm.text import language_id
+
+    return catalog.put(output, language_id(catalog.get(input), **params))
+
+
+@default_registry.register("split_by_hash")
+def op_split_by_hash(
+    spark: SparkSession, catalog: Catalog, *, output: str, input: str, **params
+) -> DataFrame:
+    from pyspark_pipeline_framework_spark.llm.packing import split_by_hash
+
+    return catalog.put(output, split_by_hash(catalog.get(input), **params))

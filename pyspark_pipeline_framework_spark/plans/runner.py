@@ -157,7 +157,15 @@ class PipelineRunner:
         def invoke():
             fn = self._resolve(comp)
             kwargs = dict(comp.params)
-            if comp.op in ("read", "sql", "transform"):
+            # inject the component's output dataset name when the
+            # operator declares an `output` parameter
+            import inspect
+
+            try:
+                accepts_output = "output" in inspect.signature(fn).parameters
+            except (TypeError, ValueError):
+                accepts_output = False
+            if accepts_output:
                 kwargs.setdefault("output", comp.output)
             out = fn(self.spark, self.catalog, **kwargs)
             if out is not None and comp.output:

@@ -1,0 +1,20 @@
+"""The shipped example configs must run end-to-end through the CLI."""
+
+import os
+
+from pyspark_pipeline_framework_spark.cli import main
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_batch_etl_example(spark):
+    assert main([os.path.join(REPO, "examples", "batch_etl.json")]) == 0
+    out = spark.read.option("header", "true").csv(os.path.join(REPO, ".scratch/examples/seg_stats"))
+    assert out.count() == 5
+
+
+def test_llm_dedup_example(spark):
+    assert main([os.path.join(REPO, "examples", "llm_dedup_pipeline.json")]) == 0
+    out = spark.read.parquet(os.path.join(REPO, ".scratch/examples/docs_curated"))
+    assert out.count() > 0
+    assert set(r.split for r in out.select("split").distinct().collect()) <= {"train", "valid", "test"}
