@@ -25,6 +25,7 @@ from pyspark_pipeline_framework_spark.llm.multimodal import (
 )
 from pyspark_pipeline_framework_spark.llm.similarity import (
     cosine_topk_bruteforce,
+    cosine_topk_ivf,
     cosine_topk_lsh,
 )
 from pyspark_pipeline_framework_spark.llm.text import (
@@ -272,6 +273,20 @@ def q_sim_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return cosine_topk_lsh(emb, queries, dim=64, k=5, n_planes=4, n_tables=8).select(
+        "query_id", "vec_id", "cos_sim", "rank"
+    )
+
+
+@case("q_sim_knn_ivf", oracle=None)  # approximate (recall<1) -> rows-only
+def q_sim_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-Flat ANN: trained coarse quantizer (deterministic seed + 2
+    decimal-exact Lloyd steps), nprobe-cell probing. Rows-only check:
+    the returned neighbor set depends on the trained cells."""
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return cosine_topk_ivf(emb, queries, dim=64, k=5, nlist=8, nprobe=3).select(
         "query_id", "vec_id", "cos_sim", "rank"
     )
 

@@ -104,6 +104,38 @@ def test_lsh_knn_recall_vs_bruteforce(spark, sf_dir):
         assert abs(ce[k2] - ca[k2]) < 1e-12
 
 
+def test_ivf_knn_recall_vs_bruteforce(spark, sf_dir):
+    from pyspark_pipeline_framework_spark.llm.similarity import cosine_topk_ivf
+
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = cosine_topk_bruteforce(emb, queries, k=3)
+    approx = cosine_topk_ivf(emb, queries, dim=64, k=3, nlist=8, nprobe=3)
+    e = {(r.query_id, r.vec_id) for r in exact.collect()}
+    a = {(r.query_id, r.vec_id) for r in approx.collect()}
+    # nprobe=3 of nlist=8 cells -> expect decent (not perfect) recall
+    assert len(a & e) / len(e) >= 0.5
+    # every approx hit carries the exact decimal cosine
+    ce = {(r.query_id, r.vec_id): r.cos_sim for r in exact.collect()}
+    ca = {(r.query_id, r.vec_id): r.cos_sim for r in approx.collect()}
+    for k2 in a & e:
+        assert abs(ce[k2] - ca[k2]) < 1e-12
+
+
+def test_ivf_training_deterministic(spark, sf_dir):
+    from pyspark_pipeline_framework_spark.llm.similarity import ivf_train_centroids
+
+    emb = table(spark, sf_dir, "embeddings")
+    c1 = ivf_train_centroids(emb, dim=64, nlist=8, train_iters=2)
+    c2 = ivf_train_centroids(emb.repartition(7), dim=64, nlist=8, train_iters=2)
+    import numpy as np
+
+    # decimal-exact Lloyd sums -> bit-identical model across partitionings
+    assert np.array_equal(c1, c2)
+
+
 def test_multimodal_plumbing(spark, docs):
     payloads = attach_binary_payload(docs.limit(20))
     feats = extract_features(payloads).collect()
