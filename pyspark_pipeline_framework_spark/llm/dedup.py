@@ -13,6 +13,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from pyspark_pipeline_framework_spark.llm.text import normalize_text
+from pyspark_pipeline_framework_spark.operators.partitioning import ensure_parallelism
 
 
 def exact_text_dedup(
@@ -55,7 +56,7 @@ def minhash_signature(
     # explode → 64 min-aggregates: flat long columns keep whole-stage
     # codegen tight (64 nested array transforms per row do not), and the
     # partial agg collapses shingle rows before the doc_id shuffle
-    exploded = df.select(
+    exploded = ensure_parallelism(df).select(
         F.col(id_col),
         F.explode(_shingles(text_col, shingle_k)).alias("__s"),
     ).select(F.col(id_col), F.xxhash64("__s").alias("__h"))
@@ -130,7 +131,7 @@ def ngram_jaccard_pairs(
     quadratic in posting-list length: at 100 TB run
     :func:`minhash_candidate_pairs` first and use this as the verify
     stage on candidates only — or bound hot shingles upstream."""
-    sh = df.select(
+    sh = ensure_parallelism(df).select(
         F.col(id_col).alias("id"),
         F.explode(_shingles(text_col, shingle_k)).alias("shingle"),
     ).select("id", F.xxhash64("shingle").alias("sh"))
@@ -186,7 +187,7 @@ def simhash(
     # pack signs into a long. Flat columns + partial agg beat nested
     # array folds both in codegen and in shuffle volume.
     words = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
-    exploded = df.select(F.col(id_col), F.explode(words).alias("__w")).select(
+    exploded = ensure_parallelism(df).select(F.col(id_col), F.explode(words).alias("__w")).select(
         F.col(id_col), F.xxhash64("__w").alias("__h")
     )
     sums = exploded.groupBy(id_col).agg(

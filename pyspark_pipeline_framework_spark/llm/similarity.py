@@ -18,6 +18,8 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from pyspark_pipeline_framework_spark.operators.partitioning import ensure_parallelism
+
 
 #: fixed-point scale for exact dot products: products are quantized to
 #: 14 decimals as longs, so sums are exact integer arithmetic in any
@@ -69,7 +71,7 @@ def cosine_topk_bruteforce(
         F.col(vec_col).alias("__qvec"),
         _norm(F.col(vec_col)).alias("__qn"),
     )
-    c = corpus.select(
+    c = ensure_parallelism(corpus).select(
         F.col(id_col), F.col(vec_col).alias("__cvec"), _norm(F.col(vec_col)).alias("__cn")
     )
     scored = c.join(F.broadcast(q), F.col(query_id_col) != F.col(id_col)).select(
@@ -105,7 +107,7 @@ def embedding_dedup_pairs(
     stage — same candidate/verify split as MinHash + Jaccard."""
     # norms are computed ONCE per vector before the pair join — per-pair
     # cosine is then a single dot-product fold (3× fewer decimal folds)
-    normed = corpus.select(
+    normed = ensure_parallelism(corpus).select(
         F.col(id_col).alias("__id"),
         F.col(vec_col).alias("__v"),
         _norm(F.col(vec_col)).alias("__n"),
@@ -194,7 +196,7 @@ def cosine_topk_lsh(
             F.posexplode(bucketer(F.col(vec_col))).alias("__t", "__b"),
         )
 
-    cb = with_buckets(corpus, id_col, "__cvec", "__cn")
+    cb = with_buckets(ensure_parallelism(corpus), id_col, "__cvec", "__cn")
     qb = with_buckets(queries, query_id_col, "__qvec", "__qn")
     candidates = (
         cb.join(F.broadcast(qb), ["__t", "__b"])
@@ -268,6 +270,7 @@ def ivf_train_centroids(
     C = np.stack([np.asarray(r["__v"], dtype="float64") for r in init])
     C /= np.linalg.norm(C, axis=1, keepdims=True) + 1e-12
 
+    corpus = ensure_parallelism(corpus)
     for _ in range(train_iters):
         cells = ivf_cells_udf(C, 1)
         means = (
@@ -318,7 +321,7 @@ def cosine_topk_ivf(
     assign1 = ivf_cells_udf(C, 1)
     probe = ivf_cells_udf(C, nprobe)
 
-    cb = corpus.select(
+    cb = ensure_parallelism(corpus).select(
         F.col(id_col),
         F.col(vec_col).alias("__cvec"),
         _norm(F.col(vec_col)).alias("__cn"),
