@@ -211,3 +211,46 @@ def simhash(
 def hamming_distance(a: Column, b: Column) -> Column:
     """Hamming distance between two 64-bit signatures (bit_count of XOR)."""
     return F.bit_count(a.bitwiseXOR(b))
+
+def decontaminate(
+    train: DataFrame,
+    eval_set: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Benchmark decontamination: flag training documents whose k-gram
+    shingle set overlaps ANY document of the (small) evaluation set by
+    at least ``threshold`` of the training doc's shingles.
+
+    Shape: the eval set's distinct shingle hashes are a bounded side —
+    broadcast them, count per-train-doc matches map-side-ish, and the
+    only wide op is the per-doc match aggregation. The 100 TB contract:
+    training text is scanned once, shuffled only as (doc_id, counts),
+    never as payload; eval shingles (benchmarks are ~MBs) broadcast.
+
+    Returns (id, n_shingles, n_matched, overlap_ratio, contaminated).
+    """
+    tr = ensure_parallelism(train).select(
+        F.col(id_col).alias("id"),
+        F.explode(_shingles(text_col, shingle_k)).alias("__s"),
+    ).select("id", F.xxhash64("__s").alias("sh"))
+    ev = (
+        eval_set.select(F.explode(_shingles(text_col, shingle_k)).alias("__s"))
+        .select(F.xxhash64("__s").alias("sh"))
+        .distinct()
+    )
+    matched = tr.join(F.broadcast(ev), "sh", "left_semi")
+    n_match = matched.groupBy("id").agg(F.count(F.lit(1)).alias("n_matched"))
+    n_total = tr.groupBy("id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    return (
+        n_total.join(n_match, "id", "left")
+        .select(
+            "id",
+            "n_shingles",
+            F.coalesce("n_matched", F.lit(0)).alias("n_matched"),
+            (F.coalesce("n_matched", F.lit(0)) / F.col("n_shingles")).alias("overlap_ratio"),
+        )
+        .withColumn("contaminated", F.col("overlap_ratio") >= threshold)
+    )

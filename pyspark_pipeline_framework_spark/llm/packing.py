@@ -86,3 +86,29 @@ def pack_sequences(
         F.col(tokens_col).cast("int").alias("n_tokens"),
     )
     return sharded.groupBy("shard").applyInPandas(pack_shard, schema=PACKED_SCHEMA)
+
+def stratified_sample(
+    df: DataFrame,
+    rate: float,
+    id_col: str,
+    strata_col: str | None = None,
+    salt: str = "sample",
+) -> DataFrame:
+    """Deterministic hash-based sampling: keep a row iff a uniform
+    value derived from ``md5(id || salt)`` falls below ``rate``.
+    ``strata_col`` is documentation of intent (the per-stratum keep
+    rate equals ``rate`` because the hash is independent of the
+    stratum) — no RNG, no seed plumbing, reproducible on any cluster
+    and engine (md5 is everywhere, so an external system can recompute
+    exactly which rows were kept).
+
+    Scale: pure map-side filter — no shuffle, no state; at 100 TB this
+    is the only sampling shape that composes with resumable pipelines.
+    """
+    if not (0.0 < rate <= 1.0):
+        raise ValueError(f"rate must be in (0, 1], got {rate}")
+    # first 8 md5 hex chars -> uniform 32-bit int; compare against the
+    # rate scaled to 2^32 (exact integer threshold, no float rounding)
+    h = F.conv(F.substring(F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt))), 1, 8), 16, 10)
+    threshold = int(rate * (1 << 32))
+    return df.filter(h.cast("bigint") < F.lit(threshold))

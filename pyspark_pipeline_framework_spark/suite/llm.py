@@ -378,3 +378,63 @@ def q_mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
     payloads = attach_binary_payload(d)
     return extract_features(payloads).select("doc_id", "n_bytes", "head_checksum")
+
+
+@case(
+    "q_sample_stratified",
+    oracle="""
+    SELECT doc_id, lang FROM documents
+    WHERE ('0x' || substr(md5(doc_id::VARCHAR || 'sample'), 1, 8))::BIGINT < 1288490188
+    """,
+)
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic md5-keyed 30% sample — bit-reproducible on any
+    engine (the oracle recomputes the identical keep-set in DuckDB)."""
+    from pyspark_pipeline_framework_spark.llm.packing import stratified_sample
+
+    d = table(spark, sf_dir, "documents")
+    return stratified_sample(d, rate=0.3, id_col="doc_id", strata_col="lang").select(
+        "doc_id", "lang"
+    )
+
+
+@case(
+    "q_decontaminate",
+    oracle=r"""
+    WITH tr AS (
+      SELECT doc_id AS id, unnest(list_distinct(list_transform(
+               range(1, greatest(len(w) - 2, 1) + 1),
+               i -> array_to_string(list_slice(w, i, i + 2), ' ')))) AS s
+      FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS w
+            FROM documents WHERE source <> 'src0')
+    ), ev AS (
+      SELECT DISTINCT unnest(list_distinct(list_transform(
+               range(1, greatest(len(w) - 2, 1) + 1),
+               i -> array_to_string(list_slice(w, i, i + 2), ' ')))) AS s
+      FROM (SELECT regexp_split_to_array(trim(lower(text)), '\s+') AS w
+            FROM documents WHERE source = 'src0')
+    ), m AS (
+      SELECT id, CAST(COUNT(*) AS BIGINT) AS n_matched
+      FROM tr WHERE s IN (SELECT s FROM ev) GROUP BY id
+    ), t AS (
+      SELECT id, CAST(COUNT(*) AS BIGINT) AS n_shingles FROM tr GROUP BY id
+    )
+    SELECT t.id, t.n_shingles,
+           CAST(COALESCE(m.n_matched, 0) AS BIGINT) AS n_matched,
+           CAST(COALESCE(m.n_matched, 0) AS DOUBLE) / t.n_shingles AS overlap_ratio,
+           (CAST(COALESCE(m.n_matched, 0) AS DOUBLE) / t.n_shingles) >= 0.5 AS contaminated
+    FROM t LEFT JOIN m ON m.id = t.id
+    """,
+)
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: training docs (source != src0) flagged
+    by 3-gram overlap against the broadcast eval set (source == src0)."""
+    from pyspark_pipeline_framework_spark.llm.dedup import decontaminate
+
+    d = table(spark, sf_dir, "documents")
+    return decontaminate(
+        d.filter(F.col("source") != "src0"),
+        d.filter(F.col("source") == "src0"),
+        shingle_k=3,
+        threshold=0.5,
+    )

@@ -108,3 +108,28 @@ def q_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.split("c_mktsegment", "A")
     )
     return c.select("c_custkey", F.explode_outer(parts).alias("word"))
+
+
+@case(
+    "q_unpivot",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric, l_quantity AS value FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
+    """,
+)
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long melt: `DataFrame.unpivot` is a zero-shuffle generator
+    (each input row emits one row per measure map-side)."""
+    return (
+        table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_discount")
+        .unpivot(
+            ids=["l_orderkey", "l_linenumber"],
+            values=["l_quantity", "l_extendedprice", "l_discount"],
+            variableColumnName="metric",
+            valueColumnName="value",
+        )
+    )

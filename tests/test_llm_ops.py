@@ -162,3 +162,21 @@ def test_frame_sample_plan(spark, docs):
     frames = frame_sample_plan(media, every_ms=1000)
     per_doc = frames.groupBy("doc_id").count().collect()
     assert all(r["count"] == 4 for r in per_doc)  # ts 0,1000,2000,3000
+
+
+def test_decontaminate_flags_verbatim_copy(spark):
+    from pyspark_pipeline_framework_spark.llm.dedup import decontaminate
+
+    train = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog today"),
+            (2, "completely unrelated text about spark partition shuffles"),
+        ],
+        ["doc_id", "text"],
+    )
+    eval_set = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog today")], ["doc_id", "text"]
+    )
+    rows = {r.id: r for r in decontaminate(train, eval_set, threshold=0.5).collect()}
+    assert rows[1].contaminated and rows[1].overlap_ratio == 1.0
+    assert not rows[2].contaminated and rows[2].n_matched == 0

@@ -58,3 +58,19 @@ def test_split_by_hash(spark, docs_tokens):
     }
     with pytest.raises(ValueError):
         split_by_hash(docs_tokens, "doc_id", {"a": 0.5})
+
+def test_stratified_sample_rate_and_determinism(spark, docs_tokens):
+    from pyspark_pipeline_framework_spark.llm.packing import stratified_sample
+
+    n = docs_tokens.count()
+    s1 = stratified_sample(docs_tokens, rate=0.5, id_col="doc_id")
+    k = s1.count()
+    assert 0.3 * n < k < 0.7 * n  # binomial(n, 0.5) well within ±0.2n
+    # deterministic: identical keep-set on every call
+    s2 = stratified_sample(docs_tokens, rate=0.5, id_col="doc_id")
+    assert {r.doc_id for r in s1.collect()} == {r.doc_id for r in s2.collect()}
+    # monotone: a smaller rate keeps a subset of a larger rate's rows
+    s3 = stratified_sample(docs_tokens, rate=0.2, id_col="doc_id")
+    assert {r.doc_id for r in s3.collect()} <= {r.doc_id for r in s1.collect()}
+    with pytest.raises(ValueError):
+        stratified_sample(docs_tokens, rate=0.0, id_col="doc_id")
