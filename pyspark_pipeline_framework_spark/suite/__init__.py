@@ -82,6 +82,7 @@ def _load_all() -> None:
         relational3,
         setops,
         tpch,
+        tpch2,
         udfs,
         windows,
     )
