@@ -246,49 +246,48 @@ def ivf_train_centroids(
     train_iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    train_sample: int | None = None,
 ) -> np.ndarray:
-    """Train an IVF coarse quantizer with ``train_iters`` Lloyd steps.
+    """Train an IVF coarse quantizer with ``train_iters`` Lloyd steps
+    over a bounded, deterministically-sampled training set.
 
-    Deterministic seeding: the ``nlist`` corpus vectors with the
-    smallest ``xxhash64(id)`` (a seeded uniform sample needing no stored
-    state). Each Lloyd step is one distributed pass — assign every
-    vector to its best cell (Arrow matmul), then recompute means with a
-    decimal-exact per-dimension sum (order-independent, so retrained
-    centroids are bit-identical across partitionings). Only the model
-    (``nlist × dim`` floats — the thing that must be broadcast anyway)
-    ever reaches the driver; at 100 TB corpus size is irrelevant to
-    this function's memory profile."""
-    init = (
+    The FAISS-style scale contract: k-means never sees the full corpus.
+    The training set is the ``train_sample`` (default
+    ``max(64·nlist, 1024)``) corpus vectors with the smallest
+    ``xxhash64(id, seed)`` — a seeded uniform sample that is a pure
+    function of the ids, so it is independent of partitioning, needs no
+    stored state, and flows through ``TakeOrderedAndProject`` (per-
+    partition top-N, no full shuffle; at 100 TB the driver receives the
+    sample, never the corpus). Lloyd then runs on the driver in numpy:
+    single-threaded fixed-order reductions, so the model — the
+    ``nlist × dim`` array that must be broadcast anyway — is
+    bit-identical across runs and partitionings. One Spark job total,
+    versus one distributed assign+mean pass per iteration.
+
+    Seeding matches the sample order: the first ``nlist`` sampled
+    vectors (smallest hashes) are the initial centroids. Empty cells
+    keep their previous centroid."""
+    n_train = train_sample or max(64 * nlist, 1024)
+    rows = (
         corpus.select(
             F.col(vec_col).alias("__v"),
             F.xxhash64(F.col(id_col).cast("string"), F.lit(_IVF_SEED)).alias("__h"),
+            F.col(id_col).alias("__id"),
         )
-        .orderBy("__h")
-        .limit(nlist)
+        .orderBy("__h", "__id")
+        .limit(n_train)
         .collect()
     )
-    C = np.stack([np.asarray(r["__v"], dtype="float64") for r in init])
+    X = np.stack([np.asarray(r["__v"], dtype="float64") for r in rows])
+    C = X[:nlist].copy()
     C /= np.linalg.norm(C, axis=1, keepdims=True) + 1e-12
 
-    corpus = ensure_parallelism(corpus)
     for _ in range(train_iters):
-        cells = ivf_cells_udf(C, 1)
-        means = (
-            corpus.select(
-                cells(F.col(vec_col)).getItem(0).alias("__cell"),
-                F.posexplode(F.col(vec_col)).alias("__p", "__x"),
-            )
-            .groupBy("__cell", "__p")
-            .agg(
-                (
-                    F.sum(F.col("__x").cast("decimal(30,14)")).cast("double")
-                    / F.count(F.lit(1))
-                ).alias("__m")
-            )
-            .collect()
-        )
-        for r in means:
-            C[r["__cell"], r["__p"]] = r["__m"]
+        assign = np.argmax(X @ C.T, axis=1)
+        for j in range(nlist):
+            members = X[assign == j]
+            if len(members):
+                C[j] = members.mean(axis=0)
         C /= np.linalg.norm(C, axis=1, keepdims=True) + 1e-12
     return C
 
