@@ -183,19 +183,30 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
     sigs = simhash(d)
-    a = sigs.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("h_a"))
-    b = sigs.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("h_b"))
-    # 4-bit-block LSH on the signature bounds the self-join (no N²)
+    # positional 16-bit-block LSH bounds the self-join (no N²): a pair
+    # within Hamming 3 must agree on at least one of the 4 blocks. Both
+    # join sides are the SAME banded plan, so the signature aggregation
+    # and its exchange are computed once and reused (ReusedExchange),
+    # not recomputed per side.
     def blocks(h, n=4):
         return F.array(*[F.shiftright(h, 16 * i).bitwiseAND(F.lit(0xFFFF)) for i in range(n)])
-    ab = a.withColumn("blk", F.explode(blocks(F.col("h_a"))))
-    bb = b.withColumn("blk", F.explode(blocks(F.col("h_b"))))
+    banded = sigs.select(
+        "doc_id", "simhash", F.posexplode(blocks(F.col("simhash"))).alias("blk_i", "blk")
+    )
+    a, b = banded.alias("a"), banded.alias("b")
     return (
-        ab.join(bb, ["blk"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("hamming", F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))))
+        a.join(
+            b,
+            (F.col("a.blk_i") == F.col("b.blk_i"))
+            & (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"),
+        )
         .filter(F.col("hamming") <= 6)
-        .select("id_a", "id_b", "hamming")
         .distinct()
     )
 

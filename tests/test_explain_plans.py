@@ -77,3 +77,40 @@ def test_dedup_exact_text_shuffles_hash_not_text(spark, sf_dir):
 def test_no_python_udfs_in_relational_path(spark, sf_dir, name):
     p = plan(spark, sf_dir, name)
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_tpch_q4_semi_join_prunes_columns(spark, sf_dir):
+    p = plan(spark, sf_dir, "q_tpch_q4")
+    assert "LeftSemi" in p
+    # lineitem enters the semi join as (l_orderkey, l_shipdate) only
+    assert "struct<l_orderkey:bigint,l_shipdate:timestamp" in p
+    assert "PushedFilters: [IsNotNull(o_orderdate), GreaterThanOrEqual(o_orderdate" in p
+
+
+def test_tpch_q8_broadcasts_all_dims(spark, sf_dir):
+    p = plan(spark, sf_dir, "q_tpch_q8")
+    # part, both nation sides, region, supplier are broadcast dims
+    assert p.count("BroadcastHashJoin") >= 5
+    assert "CartesianProduct" not in p
+
+
+def test_tpch_q17_decorrelated_avg_no_cartesian(spark, sf_dir):
+    p = plan(spark, sf_dir, "q_tpch_q17")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "HashAggregate" in p  # per-part avg as an aggregate, not a loop
+
+
+def test_tpch_q21_semi_anti_chain(spark, sf_dir):
+    p = plan(spark, sf_dir, "q_tpch_q21")
+    assert "LeftSemi" in p and "LeftAnti" in p
+    assert "CartesianProduct" not in p
+    assert "TakeOrderedAndProject" in p  # top-20 without a global sort
+
+
+def test_tpch_q22_scalar_subquery_is_single_row_broadcast(spark, sf_dir):
+    p = plan(spark, sf_dir, "q_tpch_q22")
+    # the avg-balance comparison joins a 1-row relation: BNLJ is the
+    # CORRECT shape here (broadcasting one row), anti join stays hashed
+    assert "BroadcastNestedLoopJoin" in p
+    assert "LeftAnti" in p
