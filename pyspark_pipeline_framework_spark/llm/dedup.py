@@ -269,3 +269,84 @@ def decontaminate(
         )
         .withColumn("contaminated", F.col("overlap_ratio") >= threshold)
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    max_iters: int = 25,
+) -> DataFrame:
+    """Connected components over a candidate-pair edge list by min-label
+    propagation: every node starts labeled with its own id; each round
+    takes the min of its label and its neighbors' labels; fixpoint =
+    components labeled by their smallest member id.
+
+    Scale notes (the dedup use case): near-dup components are
+    near-cliques, so the diameter — and the round count — is tiny
+    (2-4); each round is one shuffle of (node, label) longs, never
+    payloads. Convergence is detected from the monotone global label
+    sum (labels only ever decrease), a one-row aggregate per round
+    instead of a change-count join. For adversarial long-chain graphs
+    prefer large-star/small-star (Kiveris et al.) — O(log²) rounds;
+    not needed for dedup graphs. Per-round ``localCheckpoint``
+    truncates the lineage so the plan doesn't grow with iterations.
+
+    Returns (id, cluster_id) for every node that appears in ``pairs``.
+    Reference parity: the reference has no graph operators at all —
+    this is [beyond-ref] plumbing required by LLM dedup (SURVEY §2.8).
+    """
+    e1 = pairs.select(F.col(src_col).cast("long").alias("u"), F.col(dst_col).cast("long").alias("v"))
+    edges = (
+        e1.union(e1.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    labels = edges.select("u").distinct().select(
+        F.col("u").alias("id"), F.col("u").alias("label")
+    )
+    prev_sum = None
+    for _ in range(max_iters):
+        nbr_min = (
+            edges.join(labels, edges.v == labels.id)
+            .groupBy("u")
+            .agg(F.min("label").alias("nbr_min"))
+        )
+        labels = (
+            labels.join(nbr_min, labels.id == nbr_min.u, "left")
+            .select(
+                "id",
+                F.least(F.col("label"), F.coalesce("nbr_min", F.col("label"))).alias("label"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        cur_sum = labels.agg(F.sum(F.col("label").cast("decimal(38,0)"))).first()[0]
+        if prev_sum is not None and cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels.select("id", F.col("label").alias("cluster_id"))
+
+
+def dedup_clusters(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Canonicalize near-dup candidate pairs into keep/drop decisions:
+    every document maps to the smallest id in its connected component
+    (itself if unpaired), ``is_duplicate`` marks the non-canonical
+    members — the rows an LLM-data pipeline drops.
+
+    One left join of the corpus against the (tiny relative to corpus)
+    component labels; the corpus itself is never shuffled on anything
+    but the join key."""
+    cc = connected_components(pairs)
+    return (
+        df.select(F.col(id_col))
+        .join(cc, F.col(id_col) == cc.id, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("cluster_id", F.col(id_col)).alias("cluster_id"),
+            (F.coalesce("cluster_id", F.col(id_col)) != F.col(id_col)).alias("is_duplicate"),
+        )
+    )

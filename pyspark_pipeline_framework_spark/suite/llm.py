@@ -449,3 +449,55 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         shingle_k=3,
         threshold=0.5,
     )
+
+
+@case(
+    "q_dedup_cluster",
+    oracle=r"""
+    WITH RECURSIVE words AS (
+      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS w FROM documents
+    ), sh AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+               range(1, greatest(len(w) - 2, 1) + 1),
+               i -> array_to_string(list_slice(w, i, i + 2), ' ')))) AS shingle
+      FROM words
+    ), sizes AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz FROM sh GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS BIGINT) AS n_common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), pairs AS (
+      SELECT id_a, id_b FROM inter
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE CAST(n_common AS DOUBLE) / (sa.sz + sb.sz - n_common) >= 0.8
+    ), edges AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs
+    ), reach(u, v) AS (
+      SELECT u, v FROM edges
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+    )
+    SELECT d.doc_id,
+           COALESCE(LEAST(d.doc_id, MIN(r.v)), d.doc_id) AS cluster_id,
+           COALESCE(LEAST(d.doc_id, MIN(r.v)), d.doc_id) <> d.doc_id AS is_duplicate
+    FROM documents d
+    LEFT JOIN reach r ON r.u = d.doc_id
+    GROUP BY d.doc_id
+    """,
+)
+def q_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup canonicalization end-to-end: exact 3-gram Jaccard
+    pairs (>= 0.8) -> connected components (min-label propagation) ->
+    every doc mapped to its component's smallest id. The oracle walks
+    the same edges with a recursive CTE — transitive-closure semantics,
+    so the iterative Spark labeling is checked against an independent
+    fixpoint formulation."""
+    from pyspark_pipeline_framework_spark.llm.dedup import dedup_clusters, ngram_jaccard_pairs
+
+    d = table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(d, shingle_k=3, threshold=0.8)
+    return dedup_clusters(d, pairs)

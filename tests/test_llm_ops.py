@@ -180,3 +180,17 @@ def test_decontaminate_flags_verbatim_copy(spark):
     rows = {r.id: r for r in decontaminate(train, eval_set, threshold=0.5).collect()}
     assert rows[1].contaminated and rows[1].overlap_ratio == 1.0
     assert not rows[2].contaminated and rows[2].n_matched == 0
+
+
+def test_connected_components_chain_and_singleton(spark):
+    from pyspark_pipeline_framework_spark.llm.dedup import connected_components, dedup_clusters
+
+    pairs = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 9), (5, 6)], ["id_a", "id_b"]
+    )
+    cc = {r.id: r.cluster_id for r in connected_components(pairs).collect()}
+    assert cc == {1: 1, 2: 1, 3: 1, 9: 1, 5: 5, 6: 5}  # chain 1-2-3-9 plus 5-6
+    docs = spark.createDataFrame([(i, "x") for i in [1, 2, 3, 5, 6, 9, 42]], ["doc_id", "t"])
+    out = {r.doc_id: (r.cluster_id, r.is_duplicate) for r in dedup_clusters(docs, pairs).collect()}
+    assert out[42] == (42, False)  # singleton: own cluster, kept
+    assert out[9] == (1, True) and out[1] == (1, False)
