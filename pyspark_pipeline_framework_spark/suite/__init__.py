@@ -73,6 +73,7 @@ def _load_all() -> None:
         aggregates,
         compose,
         dq,
+        events,
         functions,
         io_cases,
         joins,

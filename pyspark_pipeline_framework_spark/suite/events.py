@@ -1,0 +1,117 @@
+"""Event-analytics cases over the ``events`` stream table: ordered
+funnels and cohort retention — the query shapes a product-analytics
+user of the reference would write as SqlTransform SQL
+(examples/batch.py:238-293), here as first-class operators.
+
+Both are single-logical-pass shapes: the funnel chains three
+min-over-user windows on ONE user_id partitioning (one shuffle, three
+sort-free full-partition windows); retention is two aggregations
+joined on user_id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from pyspark_pipeline_framework_spark.io.readers import table
+from pyspark_pipeline_framework_spark.suite import case
+
+
+@case(
+    "q_events_funnel",
+    oracle="""
+    WITH u AS (
+      SELECT user_id, MIN(CASE WHEN event_type = 'signup' THEN ts END) AS t1
+      FROM events GROUP BY user_id
+    ), v AS (
+      SELECT e.user_id, MIN(e.ts) AS t2
+      FROM events e JOIN u USING (user_id)
+      WHERE e.event_type = 'view' AND u.t1 IS NOT NULL AND e.ts > u.t1
+      GROUP BY e.user_id
+    ), p AS (
+      SELECT e.user_id, MIN(e.ts) AS t3
+      FROM events e JOIN v USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts > v.t2
+      GROUP BY e.user_id
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM u WHERE t1 IS NOT NULL) AS n_signup,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM v) AS n_signup_view,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM p) AS n_full_funnel
+    """,
+)
+def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered 3-stage funnel (signup -> later view -> later purchase):
+    each stage's timestamp is a conditional MIN over the user's
+    partition referencing the previous stage — three chained window
+    selects over the SAME unordered user_id partitioning, which
+    Catalyst plans as one Exchange + one Window operator stack (no
+    re-shuffle between stages). The final count is a 1-row global agg."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    staged = (
+        ev.withColumn("t1", F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).over(w))
+        .withColumn(
+            "t2",
+            F.min(
+                F.when((F.col("event_type") == "view") & (F.col("ts") > F.col("t1")), F.col("ts"))
+            ).over(w),
+        )
+        .withColumn(
+            "t3",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase") & (F.col("ts") > F.col("t2")), F.col("ts")
+                )
+            ).over(w),
+        )
+    )
+    per_user = staged.groupBy("user_id").agg(
+        F.max("t1").alias("t1"), F.max("t2").alias("t2"), F.max("t3").alias("t3")
+    )
+    return per_user.agg(
+        F.count("t1").alias("n_signup"),
+        F.count("t2").alias("n_signup_view"),
+        F.count("t3").alias("n_full_funnel"),
+    )
+
+
+@case(
+    "q_events_retention",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, date_trunc('week', MIN(ts)) AS cohort
+      FROM events GROUP BY user_id
+    )
+    SELECT CAST(f.cohort AS TIMESTAMP) AS cohort_week,
+           CAST((epoch(date_trunc('week', e.ts)) - epoch(f.cohort)) / 604800 AS INT)
+             AS week_offset,
+           CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_active
+    FROM events e JOIN firsts f USING (user_id)
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: cohort = week of the user's first
+    event; each (cohort, week_offset) counts distinct active users.
+    Week offsets are exact integer arithmetic on epoch seconds of
+    week-truncated timestamps (identical in both engines; no interval
+    division). Two shuffles: first-event agg on user_id, then the
+    cohort/offset distinct-count — the user_id join reuses the first
+    agg's partitioning."""
+    ev = table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(F.date_trunc("week", F.min("ts")).alias("cohort_week"))
+    offset = (
+        (
+            F.unix_timestamp(F.date_trunc("week", F.col("ts")))
+            - F.unix_timestamp(F.col("cohort_week"))
+        )
+        / 604800
+    ).cast("int")
+    return (
+        ev.join(firsts, "user_id")
+        .groupBy("cohort_week", offset.alias("week_offset"))
+        .agg(F.count_distinct("user_id").alias("n_active"))
+        .orderBy("cohort_week", "week_offset")
+    )
