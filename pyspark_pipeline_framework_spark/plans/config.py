@@ -130,6 +130,13 @@ class PipelineConfig:
 
     @classmethod
     def from_file(cls, path: str) -> "PipelineConfig":
+        """Load from JSON or, for ``.conf``/``.hocon`` files, the
+        bundled HOCON-subset parser (the reference's config format —
+        core/config/loader.py:14-27 — without the dataconf dependency)."""
+        if path.endswith((".conf", ".hocon")):
+            from pyspark_pipeline_framework_spark.plans import hocon
+
+            return cls.from_dict(hocon.load(path))
         import json
 
         with open(path) as f:
