@@ -47,9 +47,16 @@ class SourceConfig:
     filter_condition: str | None = None  # SQL predicate, pushed down by Catalyst
     select: list[str] | None = None   # column pruning at the scan
     options: dict[str, str] = field(default_factory=dict)
+    #: parquet TIMESTAMP(NANOS) columns — Spark's vectorized reader
+    #: rejects them ([PARQUET_TYPE_ILLEGAL]); named columns are read as
+    #: long (legacy conf) and truncated to microseconds, matching how
+    #: DuckDB and Arrow coerce ns → us
+    nanos_ts_cols: list[str] | None = None
 
 
 def read_source(spark: SparkSession, config: SourceConfig) -> DataFrame:
+    if config.nanos_ts_cols:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     if config.format == "table":
         if not config.table:
             raise ValueError("format='table' requires table name")
@@ -67,6 +74,9 @@ def read_source(spark: SparkSession, config: SourceConfig) -> DataFrame:
         if not config.path:
             raise ValueError(f"format={config.format!r} requires path")
         df = reader.load(config.path)
+    for c in config.nanos_ts_cols or ():
+        if dict(df.dtypes).get(c) == "bigint":
+            df = df.withColumn(c, F.expr(f"timestamp_micros({c} DIV 1000)"))
     if config.filter_condition:
         df = df.filter(config.filter_condition)
     if config.select:

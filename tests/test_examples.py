@@ -18,3 +18,10 @@ def test_llm_dedup_example(spark):
     out = spark.read.parquet(os.path.join(REPO, ".scratch/examples/docs_curated"))
     assert out.count() > 0
     assert set(r.split for r in out.select("split").distinct().collect()) <= {"train", "valid", "test"}
+
+
+def test_events_daily_hocon_example(spark):
+    assert main([os.path.join(REPO, "examples", "events_daily.conf")]) == 0
+    out = spark.read.parquet(os.path.join(REPO, ".scratch/examples/events_daily"))
+    assert out.count() > 0
+    assert "event_type" in out.columns  # partition column survives the roundtrip
