@@ -48,17 +48,43 @@ def main() -> None:
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "suite_total_sec",
-                "value": round(sum(timings.values()), 4),
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+
+    # Full per-query detail goes to a repo file (committed per round, so
+    # rounds can be diffed query-by-query); the stdout line must stay
+    # under the driver's 2000-byte tail buffer or it records parsed=null,
+    # so it carries only the slowest queries.
+    full = {
+        "metric": "suite_total_sec",
+        "value": round(sum(timings.values()), 4),
+        "unit": "sec",
+        "n_queries": len(timings),
+        "sf": sf_val,
+        "queries": timings,
+    }
+    try:
+        with open(os.path.join(REPO, "BENCH_FULL.json"), "w") as f:
+            json.dump(full, f, indent=1, sort_keys=True)
+            f.write("\n")
+    except OSError as e:  # read-only checkout: the stdout line still lands
+        print(f"# BENCH_FULL.json not written: {e}", file=sys.stderr)
+
+    line_obj = {
+        "metric": "suite_total_sec",
+        "value": round(sum(timings.values()), 4),
+        "unit": "sec",
+        "n_queries": len(timings),
+        "sf": sf_val,
+        "queries_full": "BENCH_FULL.json",
+        "queries": {},
+    }
+    budget = 1900  # driver tail keeps the last 2000 bytes
+    for name, t in sorted(timings.items(), key=lambda kv: -kv[1]):
+        line_obj["queries"][name] = t
+        if len(json.dumps(line_obj, separators=(",", ":"))) > budget:
+            del line_obj["queries"][name]
+            break
+    print(json.dumps(line_obj, separators=(",", ":")))
 
 
 if __name__ == "__main__":

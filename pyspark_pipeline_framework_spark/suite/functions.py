@@ -175,19 +175,22 @@ def q_fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
 @case(
     "q_agg_collect",
     oracle="""
-    SELECT lang, list_sort(list(DISTINCT source)) AS srcs,
+    SELECT lang,
+           array_to_string(list_sort(list(DISTINCT source)), ',') AS srcs,
            CAST(COUNT(*) AS BIGINT) AS n_docs
     FROM documents GROUP BY lang
     """,
 )
 def q_agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
     # collect_set + sort_array: deterministic array agg (plain
-    # collect_list order is partition-dependent — never hash-gate it)
+    # collect_list order is partition-dependent — never hash-gate it).
+    # The array is emitted as a canonical comma-joined STRING on both
+    # sides: raw list cells are unhashable in pandas-based comparators.
     return (
         table(spark, sf_dir, "documents")
         .groupBy("lang")
         .agg(
-            F.sort_array(F.collect_set("source")).alias("srcs"),
+            F.array_join(F.sort_array(F.collect_set("source")), ",").alias("srcs"),
             F.count(F.lit(1)).alias("n_docs"),
         )
     )
