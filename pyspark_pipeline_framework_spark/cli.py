@@ -11,9 +11,14 @@ import argparse
 import logging
 import sys
 
+from pyspark_pipeline_framework_spark.plans.checkpoint import (
+    CheckpointHooks,
+    LocalCheckpointStore,
+    PipelineConfigChangedError,
+)
 from pyspark_pipeline_framework_spark.plans.config import PipelineConfig, PipelineValidationError
 from pyspark_pipeline_framework_spark.plans.runner import PipelineRunner
-from pyspark_pipeline_framework_spark.observability.hooks import LoggingHooks
+from pyspark_pipeline_framework_spark.observability.hooks import CompositeHooks, LoggingHooks
 from pyspark_pipeline_framework_spark.session import SparkConfig, build_session
 
 
@@ -23,6 +28,15 @@ def main(argv: list[str] | None = None) -> int:
     parser.add_argument("--dry-run", action="store_true", help="validate without executing")
     parser.add_argument("--no-fail-fast", action="store_true", help="continue past failures")
     parser.add_argument("--log-level", default="INFO")
+    parser.add_argument(
+        "--checkpoint-dir",
+        help="persist progress here after every component (enables crash resume)",
+    )
+    parser.add_argument(
+        "--resume",
+        action="store_true",
+        help="skip components completed by a previous run (requires --checkpoint-dir)",
+    )
     args = parser.parse_args(argv)
 
     logging.basicConfig(level=args.log_level.upper(), format="%(levelname)s %(name)s: %(message)s")
@@ -33,9 +47,27 @@ def main(argv: list[str] | None = None) -> int:
         print(f"config error: {exc}", file=sys.stderr)
         return 1
 
+    if args.resume and not args.checkpoint_dir:
+        print("--resume requires --checkpoint-dir", file=sys.stderr)
+        return 1
+
+    completed: list[str] = []
+    hooks = LoggingHooks()
+    if args.checkpoint_dir:
+        store = LocalCheckpointStore(args.checkpoint_dir)
+        if args.resume:
+            try:
+                completed = store.load_for_resume(config)
+            except PipelineConfigChangedError as exc:
+                print(f"resume error: {exc}", file=sys.stderr)
+                return 1
+        hooks = CompositeHooks(
+            LoggingHooks(), CheckpointHooks(store, config, completed=completed)
+        )
+
     spark = build_session(SparkConfig(app_name=f"ppfs:{config.name}"))
     runner = PipelineRunner(
-        config, spark, hooks=LoggingHooks(), fail_fast=not args.no_fail_fast
+        config, spark, hooks=hooks, fail_fast=not args.no_fail_fast
     )
     if args.dry_run:
         problems = runner.validate()
@@ -43,7 +75,7 @@ def main(argv: list[str] | None = None) -> int:
             print(f"validation: {p}", file=sys.stderr)
         return 1 if problems else 0
 
-    result = runner.run()
+    result = runner.run(completed_components=completed)
     for c in result.components:
         print(f"{c.name}: {c.status.value} ({c.duration_s:.2f}s, attempts={c.attempts})"
               + (f" error={c.error}" if c.error else ""))

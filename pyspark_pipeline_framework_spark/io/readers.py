@@ -15,10 +15,28 @@ never materializes an unfiltered table.
 
 from __future__ import annotations
 
+from contextlib import contextmanager
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+
+@contextmanager
+def _scoped_conf(spark: SparkSession, key: str, value: str):
+    """Set a session conf only for the duration of the block. Safe for
+    lazy reads: parquet schema resolution happens eagerly at load(), so
+    restoring afterwards doesn't break later actions on the DataFrame —
+    and unrelated reads in the same session never see the override."""
+    old = spark.conf.get(key, None)
+    spark.conf.set(key, value)
+    try:
+        yield
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)
 
 #: driver testdata star schema (TESTDATA.md)
 STAR_TABLES = (
@@ -54,26 +72,34 @@ class SourceConfig:
     nanos_ts_cols: list[str] | None = None
 
 
-def read_source(spark: SparkSession, config: SourceConfig) -> DataFrame:
-    if config.nanos_ts_cols:
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+def _read_source_df(spark: SparkSession, config: SourceConfig) -> DataFrame:
     if config.format == "table":
         if not config.table:
             raise ValueError("format='table' requires table name")
-        df = spark.table(config.table)
+        return spark.table(config.table)
+    reader = spark.read.format(config.format)
+    if config.schema:
+        reader = reader.schema(config.schema)
+    elif config.format == "csv":
+        reader = reader.option("inferSchema", "true")
+    if config.format == "csv":
+        reader = reader.option("header", config.options.get("header", "true"))
+    for k, v in config.options.items():
+        reader = reader.option(k, v)
+    if not config.path:
+        raise ValueError(f"format={config.format!r} requires path")
+    return reader.load(config.path)
+
+
+def read_source(spark: SparkSession, config: SourceConfig) -> DataFrame:
+    if config.nanos_ts_cols:
+        # scoped, not session-global: only THIS source's schema
+        # resolution sees nanosAsLong — unrelated parquet reads in the
+        # same session keep normal timestamp handling
+        with _scoped_conf(spark, "spark.sql.legacy.parquet.nanosAsLong", "true"):
+            df = _read_source_df(spark, config)
     else:
-        reader = spark.read.format(config.format)
-        if config.schema:
-            reader = reader.schema(config.schema)
-        elif config.format == "csv":
-            reader = reader.option("inferSchema", "true")
-        if config.format == "csv":
-            reader = reader.option("header", config.options.get("header", "true"))
-        for k, v in config.options.items():
-            reader = reader.option(k, v)
-        if not config.path:
-            raise ValueError(f"format={config.format!r} requires path")
-        df = reader.load(config.path)
+        df = _read_source_df(spark, config)
     for c in config.nanos_ts_cols or ():
         if dict(df.dtypes).get(c) == "bigint":
             df = df.withColumn(c, F.expr(f"timestamp_micros({c} DIV 1000)"))
@@ -99,8 +125,10 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     nanos_cols = _NANOS_TS_COLS.get(name, ())
     if nanos_cols:
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        with _scoped_conf(spark, "spark.sql.legacy.parquet.nanosAsLong", "true"):
+            df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    else:
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     for c in nanos_cols:
         if dict(df.dtypes).get(c) == "bigint":
             df = df.withColumn(c, F.expr(f"timestamp_micros({c} DIV 1000)"))

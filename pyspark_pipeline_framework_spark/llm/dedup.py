@@ -120,6 +120,8 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     shingle_k: int = 3,
     threshold: float = 0.5,
+    max_doc_freq: int | None = None,
+    log_dropped: bool = False,
 ) -> DataFrame:
     """EXACT n-gram Jaccard near-dup pairs via an inverted index:
     explode distinct shingles (as 8-byte xxhash64 keys — shuffle hashes,
@@ -127,14 +129,36 @@ def ngram_jaccard_pairs(
     shingles (can't pair), emit in-list id pairs, count intersections,
     Jaccard = |∩|/(|A|+|B|-|∩|).
 
-    Exact (oracle-checkable; hash-collision risk ~|shingles|²/2^64) but
-    quadratic in posting-list length: at 100 TB run
-    :func:`minhash_candidate_pairs` first and use this as the verify
-    stage on candidates only — or bound hot shingles upstream."""
+    ``max_doc_freq`` bounds the quadratic in-list pair explosion: a
+    shingle appearing in more than that many documents (boilerplate,
+    headers — the 100 TB hot keys) is treated as a stopword and removed
+    from BOTH the index and the per-doc sizes, so the Jaccard stays a
+    true set similarity over the kept shingle universe. Pair count per
+    shingle is then ≤ max_doc_freq²/2 — deterministic worst-case work.
+    ``log_dropped`` runs one extra count job to report how many shingle
+    keys the cap removed.
+
+    Without a cap this is exact over all shingles (oracle-checkable;
+    hash-collision risk ~|shingles|²/2^64) but quadratic in
+    posting-list length: at 100 TB set the cap, or run
+    :func:`minhash_candidate_pairs` first and :func:`jaccard_verify`
+    on candidates only."""
     sh = ensure_parallelism(df).select(
         F.col(id_col).alias("id"),
         F.explode(_shingles(text_col, shingle_k)).alias("shingle"),
     ).select("id", F.xxhash64("shingle").alias("sh"))
+    if max_doc_freq is not None:
+        freq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+        hot = freq.filter(F.col("df") > max_doc_freq).select("sh")
+        if log_dropped:
+            import logging
+
+            logging.getLogger(__name__).info(
+                "ngram_jaccard_pairs: max_doc_freq=%d dropped %d hot shingles",
+                max_doc_freq,
+                hot.count(),
+            )
+        sh = sh.join(F.broadcast(hot), "sh", "left_anti")
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     postings = (
         sh.groupBy("sh")
@@ -156,6 +180,61 @@ def ngram_jaccard_pairs(
         ).alias("p")
     ).select("p.id_a", "p.id_b")
     inter = pairs.groupBy("id_a", "id_b").agg(F.count(F.lit(1)).alias("n_common"))
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common") / (F.col("sz_a") + F.col("sz_b") - F.col("n_common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "n_common", "jaccard")
+    )
+
+
+def jaccard_verify(
+    df: DataFrame,
+    candidates: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact-Jaccard verification of candidate pairs (id_a, id_b): the
+    scale-correct composition is :func:`minhash_candidate_pairs` →
+    this. Work is bounded by the candidate list, never the corpus:
+    shingles are materialized only for documents that appear in a
+    candidate pair (left-semi prune), the intersection count is a
+    pair⨝shingle equi-join on (doc, shingle-hash) longs, and the text
+    payload is never shuffled. Returns (id_a, id_b, n_common, jaccard)
+    for pairs at/above ``threshold`` — same schema and semantics as
+    :func:`ngram_jaccard_pairs`, restricted to candidates."""
+    cand = candidates.select(
+        F.col("id_a").cast("long").alias("id_a"), F.col("id_b").cast("long").alias("id_b")
+    ).distinct()
+    touched = (
+        cand.select(F.col("id_a").alias("id"))
+        .union(cand.select(F.col("id_b").alias("id")))
+        .distinct()
+    )
+    sh = (
+        ensure_parallelism(df)
+        .select(F.col(id_col).cast("long").alias("id"), F.col(text_col).alias("__t"))
+        .join(touched, "id", "left_semi")
+        .select("id", F.explode(_shingles("__t", shingle_k)).alias("shingle"))
+        .select("id", F.xxhash64("shingle").alias("sh"))
+    )
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    sh_a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    sh_b = sh.select(F.col("id").alias("__idb"), F.col("sh").alias("sh_b"))
+    inter = (
+        cand.join(sh_a, "id_a")
+        .join(sh_b, (F.col("id_b") == F.col("__idb")) & (F.col("sh_a") == F.col("sh_b")))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
     sa = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
     sb = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"))
     return (

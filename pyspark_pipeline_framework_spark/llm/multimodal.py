@@ -1,12 +1,14 @@
 """Multimodal columns: image/audio/video as opaque BINARY payloads with
 typed metadata structs, processed by Arrow-batched ``mapInPandas``.
 
-The decode stage is STUBBED (no codec libraries in this container —
-clearly marked below); everything around it — schema, batch shape,
-partition-preserving plumbing — is real and tested. Swap
-``_decode_stub`` for a PIL/ffmpeg call and the pipeline is production
-shape: at 100 TB the binary payloads stream through Arrow record
-batches executor-side and never visit the driver.
+The decode stage is PLUGGABLE: :func:`extract_features` takes a
+``decode_fn`` codec (+ its output schema); the default is a
+deterministic byte-stats STUB because no codec libraries ship in this
+container. Everything around the codec — schema, batch shape,
+partition-preserving plumbing — is real and tested: inject a
+PIL/ffmpeg-backed ``decode_fn`` and the pipeline is production shape.
+At 100 TB the binary payloads stream through Arrow record batches
+executor-side and never visit the driver.
 """
 
 from __future__ import annotations
@@ -67,24 +69,43 @@ FEATURE_SCHEMA = (
 )
 
 
-def extract_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+def extract_features(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    decode_fn=None,
+    feature_schema: str | None = None,
+) -> DataFrame:
     """Arrow-batched feature extraction over binary payloads. Batches
     stay columnar end-to-end; partitioning is inherited from the scan
-    (no shuffle)."""
+    (no shuffle).
+
+    ``decode_fn(payload: bytes) -> dict`` is the pluggable codec —
+    inject a PIL/ffmpeg-backed decoder here; the deterministic
+    byte-stats stub is only the DEFAULT. ``feature_schema`` is the
+    output DDL (id column first, then one field per key the codec
+    returns); it defaults to the stub's :data:`FEATURE_SCHEMA`. The
+    codec is shipped to executors by closure serialization — keep it
+    self-contained (import its libs inside the function)."""
+    if (decode_fn is None) != (feature_schema is None):
+        raise ValueError("decode_fn and feature_schema must be supplied together")
+    decode = decode_fn or _decode_stub
+    schema = feature_schema or FEATURE_SCHEMA
+    feat_cols = [
+        f.strip().split()[0] for f in schema.split(",")
+    ]
+    if feat_cols[0] != id_col:
+        raise ValueError(f"feature_schema must lead with the id column {id_col!r}")
+    feat_cols = feat_cols[1:]
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            feats = [_decode_stub(p) for p in pdf["payload"]]
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf[id_col].values,
-                    "n_bytes": [f["n_bytes"] for f in feats],
-                    "head_checksum": [f["head_checksum"] for f in feats],
-                    "feature": [f["feature"] for f in feats],
-                }
-            )
+            feats = [decode(p) for p in pdf["payload"]]
+            out = {id_col: pdf[id_col].values}
+            for c in feat_cols:
+                out[c] = [f[c] for f in feats]
+            yield pd.DataFrame(out)
 
-    return df.select(id_col, "payload").mapInPandas(batches, schema=FEATURE_SCHEMA)
+    return df.select(id_col, "payload").mapInPandas(batches, schema=schema)
 
 
 def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:

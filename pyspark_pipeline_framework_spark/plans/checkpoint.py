@@ -78,8 +78,73 @@ class LocalCheckpointStore:
 
     def load_for_resume(self, config: PipelineConfig) -> list[str]:
         """Completed components from a matching previous run — empty if
-        none or if the pipeline structure changed."""
+        none. A checkpoint whose fingerprint does not match the current
+        pipeline structure RAISES (reference ``PipelineConfigChangedError``
+        semantics): silently restarting from scratch would hide that the
+        resume the caller asked for is impossible."""
         state = self.load(config.name)
-        if state and state.fingerprint == structural_fingerprint(config):
-            return list(state.completed_components)
-        return []
+        if state is None:
+            return []
+        if state.fingerprint != structural_fingerprint(config):
+            raise PipelineConfigChangedError(
+                f"checkpoint for pipeline {config.name!r} was written by a "
+                f"structurally different pipeline (fingerprint "
+                f"{state.fingerprint[:12]}… != {structural_fingerprint(config)[:12]}…); "
+                f"clear the checkpoint to start fresh"
+            )
+        return list(state.completed_components)
+
+
+class PipelineConfigChangedError(RuntimeError):
+    """The pipeline structure changed since the checkpoint was written
+    (reference runner/checkpoint.py PipelineConfigChangedError)."""
+
+
+class CheckpointHooks:
+    """Persists checkpoint progress DURING a run (reference
+    runner/checkpoint.py CheckpointHooks): after every successful
+    component the completed set is saved via the store's atomic
+    write-rename, so a crash mid-pipeline resumes from the last
+    finished component instead of from scratch. On a fully successful
+    pipeline end the checkpoint is cleared (a finished run has nothing
+    to resume). Implements the ``PipelineHooks`` protocol — compose
+    with other hooks via ``CompositeHooks``."""
+
+    def __init__(
+        self,
+        store: LocalCheckpointStore,
+        config: PipelineConfig,
+        completed: list[str] | None = None,
+    ):
+        self.store = store
+        self.config = config
+        self.completed = list(completed or [])
+        self._fingerprint = structural_fingerprint(config)
+
+    def _save(self) -> None:
+        self.store.save(
+            CheckpointState(
+                pipeline=self.config.name,
+                fingerprint=self._fingerprint,
+                completed_components=list(self.completed),
+            )
+        )
+
+    def on_pipeline_start(self, pipeline): pass
+
+    def on_pipeline_end(self, pipeline, status, duration_s):
+        if status == "success":
+            self.store.clear(pipeline)
+
+    def on_component_start(self, pipeline, component): pass
+
+    def on_component_end(self, pipeline, component, status, duration_s):
+        if status == "success" and component not in self.completed:
+            self.completed.append(component)
+            self._save()
+
+    def on_component_retry(self, pipeline, component, attempt, error): pass
+
+    def on_component_skipped(self, pipeline, component, reason): pass
+
+    def on_validation_complete(self, pipeline, ok, messages): pass

@@ -30,6 +30,16 @@ class ComponentConfig:
     output: str = ""                 # dataset name produced ('' = component name)
     depends_on: list[str] = field(default_factory=list)
     enabled: bool = True
+    # schema contracts (reference runtime/dataflow/schema.py:10-31
+    # SchemaAwareDataFlow): declared as SchemaDefinition dicts
+    # ({"fields": [{"name", "data_type", "nullable"}, ...]}).
+    # input_schema is either one contract (applies to the single
+    # declared input) or a mapping of dataset name → contract;
+    # output_schema applies to the produced dataset. schema_mode
+    # "error" raises on contract violations, "warn" logs them.
+    input_schema: dict[str, Any] | None = None
+    output_schema: dict[str, Any] | None = None
+    schema_mode: str = "error"
 
     def __post_init__(self) -> None:
         if not self.name or not self.name.strip():
@@ -38,8 +48,29 @@ class ComponentConfig:
             raise PipelineValidationError(
                 f"component {self.name!r}: exactly one of op/class_path required"
             )
+        if self.schema_mode not in ("error", "warn"):
+            raise PipelineValidationError(
+                f"component {self.name!r}: schema_mode must be 'error' or 'warn'"
+            )
+        if (
+            self.input_schema is not None
+            and "fields" in self.input_schema
+            and len(self.inputs) != 1
+        ):
+            raise PipelineValidationError(
+                f"component {self.name!r}: single-contract input_schema requires "
+                f"exactly one declared input (got {self.inputs})"
+            )
         if not self.output:
             self.output = self.name
+
+    def input_contracts(self) -> dict[str, dict[str, Any]]:
+        """Normalized mapping of input dataset name → contract dict."""
+        if self.input_schema is None:
+            return {}
+        if "fields" in self.input_schema:
+            return {self.inputs[0]: self.input_schema}
+        return dict(self.input_schema)
 
 
 @dataclass

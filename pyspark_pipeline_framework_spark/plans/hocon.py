@@ -14,15 +14,28 @@ be loaded without any third-party parser:
 - quoted keys stay literal (``"spark.sql.shuffle.partitions"``);
   unquoted dotted keys expand to nested objects (``a.b.c: 1``)
 - duplicate object keys deep-merge (later scalars win) — HOCON merge
-- full-value ``${a.b}`` / ``${?a.b}`` substitutions resolved against
-  the root after parsing (optional form resolves to None if missing)
+- ``${a.b}`` / ``${?a.b}`` substitutions resolved against the root
+  AFTER parsing and all includes (optional form resolves to None if
+  missing); substitution chains and substituted objects that
+  themselves contain substitutions resolve recursively, with cycle
+  detection
+- value concatenation: ``"jdbc://"${host}":"${port}``, ``${base}/sub``,
+  list concat ``${defaults} [x]``, object concat ``${base} {k: v}``;
+  interior whitespace between tokens is preserved (HOCON string-
+  concatenation rule). Numeric parts render via ``str()`` — ``1.50``
+  concatenated renders as ``1.5``
+- ``include "path"`` / ``include file("path")`` /
+  ``include required(file("path"))`` — paths resolve relative to the
+  including file; a missing non-required include merges nothing
+  (HOCON semantics); include cycles are detected
 
-NOT supported (loud errors, not silent misparses): ``include``,
-string/array concatenation with substitutions, ``+=``.
+NOT supported (loud errors, not silent misparses): ``+=``,
+``include url(...)`` / ``classpath(...)``.
 """
 
 from __future__ import annotations
 
+import os
 from typing import Any
 
 __all__ = ["HoconError", "loads", "load"]
@@ -33,10 +46,12 @@ class HoconError(ValueError):
 
 
 class _Parser:
-    def __init__(self, text: str):
+    def __init__(self, text: str, base_dir: str | None = None, seen_files: frozenset[str] = frozenset()):
         self.s = text
         self.n = len(text)
         self.i = 0
+        self.base_dir = base_dir
+        self.seen_files = seen_files
 
     # -- low-level -----------------------------------------------------
     def _err(self, msg: str) -> HoconError:
@@ -94,6 +109,14 @@ class _Parser:
                 if root:
                     raise self._err("unexpected '}' at root")
                 return obj
+            if self._at_include():
+                included = self.parse_include()
+                if included:
+                    _merge(obj, included)
+                self.skip_ws(newlines=False)
+                if self.at() == ",":
+                    self.i += 1
+                continue
             key_path = self.parse_key()
             self.skip_ws(newlines=False)
             c = self.at()
@@ -112,6 +135,64 @@ class _Parser:
             if self.at() == ",":
                 self.i += 1
 
+    def _at_include(self) -> bool:
+        """``include`` is a directive only when followed by a resource
+        spec (quoted path or file()/required()/url() wrapper) — an
+        ``include:`` / ``include =`` / ``include {`` member keeps being
+        an ordinary key named "include"."""
+        if not self.s.startswith("include", self.i):
+            return False
+        j = self.i + len("include")
+        if j < self.n and (self.s[j].isalnum() or self.s[j] in "._-"):
+            return False  # longer identifier, e.g. include_path
+        while j < self.n and self.s[j] in " \t":
+            j += 1
+        return j < self.n and (self.s[j] == '"' or self.s[j].isalpha())
+
+    def parse_include(self) -> dict[str, Any]:
+        self.i += len("include")
+        self.skip_ws(newlines=False)
+        required = False
+        if self.s.startswith("required(", self.i):
+            required = True
+            self.i += len("required(")
+            self.skip_ws(newlines=False)
+        wrapped_file = False
+        if self.s.startswith("file(", self.i):
+            wrapped_file = True
+            self.i += len("file(")
+            self.skip_ws(newlines=False)
+        elif self.at() != '"':
+            raise self._err(
+                "only quoted-path and file(...) includes are supported "
+                "(url/classpath are not)"
+            )
+        path = self.parse_quoted()
+        for _ in range(int(wrapped_file) + int(required)):
+            self.skip_ws(newlines=False)
+            if self.at() != ")":
+                raise self._err("expected ')' closing include wrapper")
+            self.i += 1
+        if not os.path.isabs(path):
+            path = os.path.join(self.base_dir or os.getcwd(), path)
+        real = os.path.realpath(path)
+        if real in self.seen_files:
+            raise self._err(f"include cycle: {path}")
+        if not os.path.exists(real):
+            if required:
+                raise self._err(f"required include not found: {path}")
+            return {}
+        with open(real, encoding="utf-8") as f:
+            text = f.read()
+        # parse WITHOUT resolving: substitutions in included files see
+        # the full root after all includes merge (HOCON resolution order)
+        sub = _Parser(
+            text.lstrip("﻿"),
+            base_dir=os.path.dirname(real),
+            seen_files=self.seen_files | {real},
+        )
+        return sub.parse_root()
+
     def parse_key(self) -> list[str]:
         if self.at() == '"':
             return [self.parse_quoted()]  # quoted keys stay literal
@@ -122,11 +203,32 @@ class _Parser:
             raise self._err(f"expected a key, found {self.s[self.i:self.i+10]!r}")
         raw = self.s[self.i : j]
         self.i = j
-        if raw == "include":
-            raise self._err("'include' is not supported by this HOCON subset")
         return raw.split(".")
 
     def parse_value(self) -> Any:
+        """A value is one token or a same-line concatenation of tokens
+        (``"jdbc://"${host}":"${port}``, ``${base}/path``, ``${xs} [4]``).
+        Whitespace BETWEEN tokens is captured and preserved in string
+        concatenation (HOCON rule)."""
+        parts = [self.parse_single_value()]
+        seps: list[str] = []
+        while True:
+            j = self.i
+            while j < self.n and self.s[j] in " \t":
+                j += 1
+            if j >= self.n:
+                break
+            c = self.s[j]
+            if c in "\n,}]#" or self.s.startswith("//", j):
+                break
+            seps.append(self.s[self.i : j])
+            self.i = j
+            parts.append(self.parse_single_value())
+        if len(parts) == 1:
+            return parts[0]
+        return _Concat(parts, seps)
+
+    def parse_single_value(self) -> Any:
         c = self.at()
         if c == "{":
             return self.parse_object()
@@ -200,17 +302,21 @@ class _Parser:
         path = (body[1:] if optional else body).strip()
         if not path:
             raise self._err("empty substitution path")
-        self.skip_ws(newlines=False)
-        if self.at() not in ("", "\n", ",", "}", "]", "#") and not self.s.startswith(
-            "//", self.i
-        ):
-            raise self._err("substitution concatenation is not supported by this subset")
         return _Subst(path.split("."), optional)
 
     def parse_unquoted(self) -> Any:
         j = self.i
-        while j < self.n and self.s[j] not in "\n,}]#" and not self.s.startswith("//", j):
+        while (
+            j < self.n
+            and self.s[j] not in "\n,}]#"
+            and not self.s.startswith("//", j)
+            and not self.s.startswith("${", j)
+        ):
             j += 1
+        # leave trailing inline whitespace unconsumed so a following
+        # token sees it as the concatenation separator
+        while j > self.i and self.s[j - 1] in " \t":
+            j -= 1
         raw = self.s[self.i : j].strip()
         self.i = j
         if not raw:
@@ -222,6 +328,12 @@ class _Subst:
     def __init__(self, path: list[str], optional: bool):
         self.path = path
         self.optional = optional
+
+
+class _Concat:
+    def __init__(self, parts: list[Any], seps: list[str]):
+        self.parts = parts
+        self.seps = seps  # len(parts) - 1 inter-token whitespace runs
 
 
 def _coerce(raw: str) -> Any:
@@ -266,8 +378,25 @@ def _merge(dst: dict[str, Any], src: dict[str, Any]) -> None:
             dst[k] = v
 
 
-def _resolve(node: Any, root: dict[str, Any]) -> Any:
+def _concat_str(v: Any) -> str:
+    if v is None:
+        return ""  # missing optional substitution vanishes in string concat
+    if v is True:
+        return "true"
+    if v is False:
+        return "false"
+    if isinstance(v, str):
+        return v
+    if isinstance(v, (dict, list)):
+        raise HoconError("cannot string-concatenate an object/list with scalars")
+    return str(v)
+
+
+def _resolve(node: Any, root: dict[str, Any], seen: frozenset = frozenset()) -> Any:
     if isinstance(node, _Subst):
+        key = tuple(node.path)
+        if key in seen:
+            raise HoconError(f"substitution cycle through ${{{'.'.join(node.path)}}}")
         cur: Any = root
         for part in node.path:
             if not isinstance(cur, dict) or part not in cur:
@@ -275,22 +404,46 @@ def _resolve(node: Any, root: dict[str, Any]) -> Any:
                     return None
                 raise HoconError(f"unresolved substitution ${{{'.'.join(node.path)}}}")
             cur = cur[part]
-        if isinstance(cur, _Subst):
-            cur = _resolve(cur, root)
-        return cur
+        # recursively resolve WHATEVER the lookup returned — a chained
+        # substitution, or an object/list whose members contain
+        # substitutions (otherwise raw _Subst nodes leak into output)
+        return _resolve(cur, root, seen | {key})
+    if isinstance(node, _Concat):
+        vals = [_resolve(p, root, seen) for p in node.parts]
+        if vals and all(isinstance(v, list) for v in vals):
+            return [x for v in vals for x in v]
+        if vals and all(isinstance(v, dict) for v in vals):
+            merged: dict[str, Any] = {}
+            for v in vals:
+                _merge(merged, v)
+            return merged
+        out: list[str] = []
+        for idx, v in enumerate(vals):
+            if idx:
+                out.append(node.seps[idx - 1])
+            out.append(_concat_str(v))
+        return "".join(out)
     if isinstance(node, dict):
-        return {k: _resolve(v, root) for k, v in node.items()}
+        return {k: _resolve(v, root, seen) for k, v in node.items()}
     if isinstance(node, list):
-        return [_resolve(v, root) for v in node]
+        return [_resolve(v, root, seen) for v in node]
     return node
 
 
-def loads(text: str) -> dict[str, Any]:
-    """Parse a HOCON-subset document into plain dicts/lists/scalars."""
-    tree = _Parser(text.lstrip("﻿")).parse_root()
+def loads(text: str, base_dir: str | None = None) -> dict[str, Any]:
+    """Parse a HOCON-subset document into plain dicts/lists/scalars.
+    ``base_dir`` anchors relative ``include`` paths (defaults to cwd)."""
+    tree = _Parser(text.lstrip("﻿"), base_dir=base_dir).parse_root()
     return _resolve(tree, tree)
 
 
 def load(path: str) -> dict[str, Any]:
-    with open(path, encoding="utf-8") as f:
-        return loads(f.read())
+    real = os.path.realpath(path)
+    with open(real, encoding="utf-8") as f:
+        text = f.read()
+    tree = _Parser(
+        text.lstrip("﻿"),
+        base_dir=os.path.dirname(real),
+        seen_files=frozenset({real}),
+    ).parse_root()
+    return _resolve(tree, tree)

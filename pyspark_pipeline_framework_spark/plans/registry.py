@@ -16,6 +16,18 @@ from pyspark_pipeline_framework_spark.io.writers import SinkConfig, write_sink
 Operator = Callable[..., "DataFrame | None"]
 
 
+def operator(name: str):
+    """Mark a function as a discoverable operator for
+    :meth:`OperatorRegistry.scan_package` — usable in user packages
+    without importing any registry instance."""
+
+    def deco(f: Operator) -> Operator:
+        f.__operator_name__ = name  # type: ignore[attr-defined]
+        return f
+
+    return deco
+
+
 class OperatorRegistry:
     def __init__(self) -> None:
         self._ops: dict[str, Operator] = {}
@@ -38,6 +50,39 @@ class OperatorRegistry:
 
     def names(self) -> list[str]:
         return sorted(self._ops)
+
+    def scan_package(self, package: str) -> list[str]:
+        """Import every module under ``package`` and register all
+        callables marked with :func:`operator` — package-scan component
+        discovery (reference runtime/loader.py:114-137), so users drop
+        operator modules into a package instead of listing dotted paths.
+        Returns the newly registered names; a name already registered
+        to a DIFFERENT callable raises (silent override would mask
+        collisions between scanned modules)."""
+        import pkgutil
+
+        pkg = importlib.import_module(package)
+        modules = [pkg]
+        if hasattr(pkg, "__path__"):
+            for info in pkgutil.walk_packages(pkg.__path__, prefix=pkg.__name__ + "."):
+                modules.append(importlib.import_module(info.name))
+        found: list[str] = []
+        for mod in modules:
+            for attr in list(vars(mod).values()):
+                name = getattr(attr, "__operator_name__", None)
+                if not name or not callable(attr):
+                    continue
+                existing = self._ops.get(name)
+                if existing is attr:
+                    continue  # same function re-exported elsewhere
+                if existing is not None:
+                    raise ValueError(
+                        f"operator {name!r} from {mod.__name__} conflicts with an "
+                        f"already-registered operator"
+                    )
+                self._ops[name] = attr
+                found.append(name)
+        return sorted(found)
 
 
 def load_class_path(path: str) -> Any:

@@ -39,6 +39,23 @@ from pyspark_pipeline_framework_spark.resilience.circuit_breaker import (
 )
 from pyspark_pipeline_framework_spark.resilience.presets import DEFAULT, ResiliencePolicy
 from pyspark_pipeline_framework_spark.resilience.retry import RetryExecutor
+from pyspark_pipeline_framework_spark.schema.converter import from_struct_type
+from pyspark_pipeline_framework_spark.schema.model import SchemaDefinition
+from pyspark_pipeline_framework_spark.schema.validator import validate_compatibility
+
+
+class SchemaContractError(RuntimeError):
+    """A component's declared input/output schema contract was violated
+    (reference runtime/dataflow/schema.py:10-31 ERROR semantics)."""
+
+    def __init__(self, component: str, dataset: str, issues):
+        self.component = component
+        self.dataset = dataset
+        self.issues = issues
+        super().__init__(
+            f"schema contract violated for component {component!r} on dataset "
+            f"{dataset!r}: " + "; ".join(f"{i.field}: {i.message}" for i in issues)
+        )
 
 
 class PipelineRunner:
@@ -143,6 +160,42 @@ class PipelineRunner:
     def _datasets(self):
         return {n: self.catalog.get(n) for n in self.catalog.names()}
 
+    def _check_contract(
+        self, comp: ComponentConfig, dataset: str, contract: dict
+    ) -> None:
+        """Validate one dataset against a declared contract. Contract
+        violations are data facts, not transient errors — callers keep
+        this OUTSIDE the retry loop. ``schema_mode="warn"`` downgrades
+        errors to log warnings; warning-severity issues (extra columns,
+        missing optional fields) always just log."""
+        import logging
+
+        if dataset not in self.catalog.names():
+            raise SchemaContractError(
+                comp.name,
+                dataset,
+                [type("I", (), {"field": "<dataset>", "message": "dataset not found"})()],
+            )
+        expected = SchemaDefinition.from_dict(contract)
+        actual = from_struct_type(self.catalog.get(dataset).schema)
+        issues = validate_compatibility(expected, actual)
+        errors = [i for i in issues if i.severity == "error"]
+        warnings = [i for i in issues if i.severity != "error"]
+        log = logging.getLogger(__name__)
+        for i in warnings:
+            log.warning(
+                "schema contract warning [%s/%s] %s: %s", comp.name, dataset, i.field, i.message
+            )
+        if errors:
+            if comp.schema_mode == "warn":
+                for i in errors:
+                    log.warning(
+                        "schema contract violation (warn mode) [%s/%s] %s: %s",
+                        comp.name, dataset, i.field, i.message,
+                    )
+            else:
+                raise SchemaContractError(comp.name, dataset, errors)
+
     def _run_component(self, comp: ComponentConfig) -> ComponentResult:
         self.hooks.on_component_start(self.config.name, comp.name)
         t0 = self._clock()
@@ -173,14 +226,26 @@ class PipelineRunner:
             return out
 
         try:
+            # declared input contracts checked before the run, output
+            # contract after — both OUTSIDE the retry loop (a schema
+            # violation is deterministic, retrying cannot fix it)
+            for ds, contract in comp.input_contracts().items():
+                self._check_contract(comp, ds, contract)
             if self._breaker:
                 self._breaker.call(executor.execute, invoke)
             else:
                 executor.execute(invoke)
+            if comp.output_schema is not None:
+                self._check_contract(comp, comp.output, comp.output_schema)
             # quality checks run once, OUTSIDE the retry loop — a failed
             # check is a data fact, not a transient error to retry
             if self.quality_gate:
-                self.quality_gate.run(CheckTiming.AFTER_COMPONENT, self._datasets())
+                self.quality_gate.run(
+                    CheckTiming.AFTER_COMPONENT,
+                    self._datasets(),
+                    component_name=comp.name,
+                    component_output=comp.output,
+                )
             dur = self._clock() - t0
             self.hooks.on_component_end(self.config.name, comp.name, "success", dur)
             return ComponentResult(comp.name, ComponentStatus.SUCCESS, dur, executor.attempts)

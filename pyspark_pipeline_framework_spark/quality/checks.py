@@ -54,6 +54,10 @@ class DataQualityCheck:
     evaluate: Callable[[dict], tuple[bool, float, str]]
     timing: CheckTiming = CheckTiming.AFTER_COMPONENT
     severity: CheckSeverity = CheckSeverity.FAIL_ON_ERROR
+    # AFTER_COMPONENT checks run only after THIS component (reference
+    # runner/quality_hooks.py skips non-matching component names); when
+    # None, the check binds to whichever component OUTPUTS its dataset
+    component_name: str | None = None
 
     def run(self, df: DataFrame) -> CheckResult:
         row = self.metric_df(df).head()

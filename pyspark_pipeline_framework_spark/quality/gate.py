@@ -44,15 +44,33 @@ class QualityGate:
         self,
         timing: CheckTiming,
         datasets: dict[str, DataFrame],
+        component_name: str | None = None,
+        component_output: str | None = None,
     ) -> list[CheckResult]:
         """Run every check registered for ``timing`` whose dataset is
-        present; enforce severities."""
+        present; enforce severities.
+
+        AFTER_COMPONENT calls pass the just-finished component's name
+        and output dataset, and only checks scoped to that component
+        run — a check with an explicit ``component_name`` must match
+        it; an unscoped check runs iff its dataset is the component's
+        output. Without this, every registered check would re-execute
+        its full-scan aggregate after EVERY component (O(components ×
+        checks) redundant Spark jobs) and a failing check on dataset A
+        would mark whatever unrelated component ran last as the
+        failure."""
         batch: list[CheckResult] = []
         hard_failures: list[CheckResult] = []
         threshold_failures = 0
         for check in self.checks:
             if check.timing != timing or check.dataset not in datasets:
                 continue
+            if timing == CheckTiming.AFTER_COMPONENT:
+                if check.component_name is not None:
+                    if check.component_name != component_name:
+                        continue
+                elif check.dataset != component_output:
+                    continue
             result = check.run(datasets[check.dataset])
             batch.append(result)
             self.results.append(result)

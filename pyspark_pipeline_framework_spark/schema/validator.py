@@ -19,6 +19,33 @@ class SchemaValidationIssue:
     message: str
 
 
+#: Spark DDL spellings of the same physical type (simpleString() says
+#: "bigint"/"int" where the model enum says "long"/"integer")
+_TYPE_ALIASES = {
+    "bigint": "long",
+    "int": "integer",
+    "smallint": "short",
+    "tinyint": "byte",
+    "real": "float",
+}
+
+
+def _norm_type(t: str) -> str:
+    t = t.strip().lower()
+    t = _TYPE_ALIASES.get(t, t)
+    return t
+
+
+def _types_match(expected: str, actual: str) -> bool:
+    e, a = _norm_type(expected), _norm_type(actual)
+    if e == a:
+        return True
+    # a bare "decimal" contract accepts any precision/scale
+    if e == "decimal" and a.startswith("decimal"):
+        return True
+    return False
+
+
 def validate_compatibility(
     expected: SchemaDefinition | None,
     actual: SchemaDefinition | None,
@@ -44,7 +71,7 @@ def validate_compatibility(
                     SchemaValidationIssue("warning", exp.name, "optional field missing")
                 )
             continue
-        if exp.type_string() != act.type_string():
+        if not _types_match(exp.type_string(), act.type_string()):
             issues.append(
                 SchemaValidationIssue(
                     "error",

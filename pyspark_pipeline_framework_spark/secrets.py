@@ -3,8 +3,9 @@ resolver, and ``secret://PROVIDER/KEY`` config interpolation — behavior
 parity with the reference subsystem (core/secrets/base.py:61-81,
 providers.py:16-149, resolver.py:17-98, core/config/
 secret_resolver.py:31-111). AWS Secrets Manager / Vault providers are
-import-gated (their SDKs aren't bundled here); values are never logged
-or audited (only key names)."""
+import-gated (their SDKs aren't bundled here). Secret VALUES never
+reach logs or audit events — accesses are audited by provider/key name
+with the value field redacted (core/secrets/audit.py:26-85)."""
 
 from __future__ import annotations
 
@@ -85,35 +86,71 @@ class _Cached:
 
 class SecretsResolver:
     """Routes ``provider/key`` to the registered provider, with a TTL
-    cache and an access log of KEY NAMES only (never values)."""
+    cache and an access log of KEY NAMES only (never values).
+
+    ``audit_sink`` (any ``observability.audit.AuditSink``) receives one
+    ``secret_access`` event per resolve — cache hits included, values
+    always redacted — matching the reference's audited access trail
+    (core/secrets/audit.py:26-85)."""
 
     def __init__(self, providers: list[SecretsProvider] | None = None, ttl_s: float = 300.0,
-                 clock: Callable[[], float] = time.monotonic):
+                 clock: Callable[[], float] = time.monotonic, audit_sink=None):
         self._providers = {p.name: p for p in (providers or [EnvSecretsProvider()])}
         self._ttl = ttl_s
         self._clock = clock
         self._lock = threading.Lock()
         self._cache: dict[str, _Cached] = {}
         self.access_log: list[tuple[str, str]] = []  # (provider, key)
+        self.audit_sink = audit_sink
 
     def register(self, provider: SecretsProvider) -> None:
         self._providers[provider.name] = provider
+
+    def _audit(self, provider: str, key: str, status: str, cached: bool) -> None:
+        if self.audit_sink is None:
+            return
+        from pyspark_pipeline_framework_spark.observability.audit import (
+            REDACTED,
+            AuditEvent,
+        )
+
+        try:
+            self.audit_sink.emit(
+                AuditEvent(
+                    action="secret_access",
+                    resource=f"{provider}/{key}",
+                    status=status,
+                    actor="secrets-resolver",
+                    detail={"cached": cached, "value": REDACTED},
+                )
+            )
+        except Exception:  # noqa: BLE001 — observers never fail resolution
+            import logging
+
+            logging.getLogger(__name__).exception("secret audit sink raised")
 
     def resolve(self, ref: str) -> str:
         provider_name, _, key = ref.partition("/")
         if not provider_name or not key:
             raise ValueError(f"secret ref must be PROVIDER/KEY, got {ref!r}")
         if provider_name not in self._providers:
+            self._audit(provider_name, key, "unknown_provider", cached=False)
             raise SecretNotFoundError(f"unknown secrets provider {provider_name!r}")
         cache_key = f"{provider_name}/{key}"
         with self._lock:
             hit = self._cache.get(cache_key)
             if hit and hit.expires_at > self._clock():
+                self._audit(provider_name, key, "ok", cached=True)
                 return hit.value
-        value = self._providers[provider_name].get_secret(key)
+        try:
+            value = self._providers[provider_name].get_secret(key)
+        except Exception:
+            self._audit(provider_name, key, "not_found", cached=False)
+            raise
         with self._lock:
             self._cache[cache_key] = _Cached(value, self._clock() + self._ttl)
             self.access_log.append((provider_name, key))
+        self._audit(provider_name, key, "ok", cached=False)
         return value
 
     def interpolate(self, config: Any) -> Any:

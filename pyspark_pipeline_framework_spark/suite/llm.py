@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 from pyspark_pipeline_framework_spark.io.readers import table
 from pyspark_pipeline_framework_spark.llm.dedup import (
     exact_text_dedup,
+    jaccard_verify,
     minhash_candidate_pairs,
     ngram_jaccard_pairs,
     simhash,
@@ -143,17 +144,8 @@ def q_dedup_exact_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_text_dedup(d).select("doc_id", "lang", "n_chars")
 
 
-@case(
-    "q_dedup_ngram_jaccard",
-    oracle="""
-    WITH words AS (
-      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS w FROM documents
-    ), sh AS (
-      SELECT doc_id, unnest(list_distinct(list_transform(
-               range(1, greatest(len(w) - 2, 1) + 1),
-               i -> array_to_string(list_slice(w, i, i + 2), ' ')))) AS shingle
-      FROM words
-    ), sizes AS (
+_JACCARD_ORACLE_BODY = """
+    sizes AS (
       SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz FROM sh GROUP BY doc_id
     ), inter AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS BIGINT) AS n_common
@@ -166,11 +158,55 @@ def q_dedup_exact_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN sizes sa ON sa.doc_id = id_a
     JOIN sizes sb ON sb.doc_id = id_b
     WHERE CAST(n_common AS DOUBLE) / (sa.sz + sb.sz - n_common) >= 0.8
-    """,
+"""
+
+
+@case(
+    "q_dedup_ngram_jaccard",
+    # cap mirrored: shingles in > 50 docs are stopworded in BOTH engines,
+    # so the case stays bit-exact while exercising the bounded plan
+    oracle="""
+    WITH words AS (
+      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS w FROM documents
+    ), sh0 AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+               range(1, greatest(len(w) - 2, 1) + 1),
+               i -> array_to_string(list_slice(w, i, i + 2), ' ')))) AS shingle
+      FROM words
+    ), hot AS (
+      SELECT shingle FROM sh0 GROUP BY shingle HAVING COUNT(*) > 50
+    ), sh AS (
+      SELECT * FROM sh0 WHERE shingle NOT IN (SELECT shingle FROM hot)
+    ), """
+    + _JACCARD_ORACLE_BODY,
 )
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
-    return ngram_jaccard_pairs(d, shingle_k=3, threshold=0.8)
+    return ngram_jaccard_pairs(d, shingle_k=3, threshold=0.8, max_doc_freq=50)
+
+
+@case(
+    "q_dedup_minhash_verify",
+    # the scale composition: MinHash-LSH candidates → exact-Jaccard
+    # verify. At the registered band settings recall is 1.0 on the
+    # planted near-dups (deterministic — xxhash64 is seed-free), so the
+    # composed output equals the exact all-pairs Jaccard result and the
+    # same SQL oracle applies.
+    oracle="""
+    WITH words AS (
+      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS w FROM documents
+    ), sh AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+               range(1, greatest(len(w) - 2, 1) + 1),
+               i -> array_to_string(list_slice(w, i, i + 2), ' ')))) AS shingle
+      FROM words
+    ), """
+    + _JACCARD_ORACLE_BODY,
+)
+def q_dedup_minhash_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    cand = minhash_candidate_pairs(d, num_hashes=64, bands=16, shingle_k=3)
+    return jaccard_verify(d, cand, shingle_k=3, threshold=0.8)
 
 
 @case("q_dedup_minhash", oracle=None)  # xxhash64 has no DuckDB twin → rows-only

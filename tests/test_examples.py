@@ -25,3 +25,17 @@ def test_events_daily_hocon_example(spark):
     out = spark.read.parquet(os.path.join(REPO, ".scratch/examples/events_daily"))
     assert out.count() > 0
     assert "event_type" in out.columns  # partition column survives the roundtrip
+
+
+def test_documents_quality_include_example(spark):
+    """Exercises HOCON include + substitution concat + schema contracts
+    + checkpoint CLI flags end-to-end."""
+    ckpt = os.path.join(REPO, ".scratch/examples/ckpt")
+    assert main([
+        os.path.join(REPO, "examples", "documents_quality.conf"),
+        "--checkpoint-dir", ckpt,
+    ]) == 0
+    out = spark.read.parquet(os.path.join(REPO, ".scratch/examples/docs_quality"))
+    assert out.count() > 0
+    # full success cleared the checkpoint
+    assert not [f for f in os.listdir(ckpt) if f.endswith(".checkpoint.json")]

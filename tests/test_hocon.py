@@ -5,7 +5,7 @@ keys) plus subset-boundary errors."""
 
 import pytest
 
-from pyspark_pipeline_framework_spark.plans.hocon import HoconError, loads
+from pyspark_pipeline_framework_spark.plans.hocon import HoconError, load, loads
 
 
 def test_reference_shaped_document():
@@ -103,12 +103,76 @@ def test_substitutions_full_value_and_optional():
 
 
 def test_subset_boundaries_error_loudly():
-    with pytest.raises(HoconError, match="include"):
-        loads('include "other.conf"\nname: x')
-    with pytest.raises(HoconError, match="concatenation"):
-        loads('base: "/d"\npath: ${base} "/sub"')
+    with pytest.raises(HoconError, match=r"\+="):
+        loads("xs: [1]\nxs += 2")
+    with pytest.raises(HoconError, match="url/classpath"):
+        loads('include url("http://x/y.conf")\nname: x')
     with pytest.raises(HoconError, match="end of input"):
         loads("{ a: 1 ")
+
+
+def test_concat_string_list_object():
+    d = loads(
+        """
+        host: db.local
+        port: 5432
+        url: "jdbc://"${host}":"${port}"/main"
+        path: ${base}/sub
+        base: "/data"
+        label: pre ${host} post
+        xs: [1, 2] [3]
+        more: ${xs} [4]
+        obj: ${defaults} { b: 2 }
+        defaults { a: 1, b: 0 }
+        """
+    )
+    assert d["url"] == "jdbc://db.local:5432/main"
+    assert d["path"] == "/data/sub"
+    assert d["label"] == "pre db.local post"  # inter-token whitespace kept
+    assert d["xs"] == [1, 2, 3]
+    assert d["more"] == [1, 2, 3, 4]
+    assert d["obj"] == {"a": 1, "b": 2}
+    # missing optional substitution vanishes in string concat
+    assert loads('v: "a"${?nope}"b"')["v"] == "ab"
+
+
+def test_substituted_object_resolves_recursively():
+    # a substitution whose target itself contains substitutions must not
+    # leak unresolved nodes into the output
+    d = loads("base { x: ${y} }\ny: 1\ncopy: ${base}")
+    assert d["copy"] == {"x": 1} and d["base"] == {"x": 1}
+    with pytest.raises(HoconError, match="cycle"):
+        loads("a: ${b}\nb: ${a}")
+
+
+def test_include_merges_and_guards(tmp_path):
+    (tmp_path / "common.conf").write_text("defaults { retries: 3, mode: warn }\nowner: common\n")
+    (tmp_path / "main.conf").write_text(
+        'include "common.conf"\n'
+        "owner: main\n"
+        "job { retries: ${defaults.retries} }\n"
+    )
+    d = load(str(tmp_path / "main.conf"))
+    assert d["defaults"] == {"retries": 3, "mode": "warn"}
+    assert d["owner"] == "main"  # later keys override included ones
+    assert d["job"]["retries"] == 3  # substitution sees included values
+    # file() and required() wrappers
+    (tmp_path / "w.conf").write_text('include required(file("common.conf"))\n')
+    assert load(str(tmp_path / "w.conf"))["owner"] == "common"
+    # missing non-required include merges nothing (HOCON semantics)
+    (tmp_path / "m.conf").write_text('include "nope.conf"\nname: x\n')
+    assert load(str(tmp_path / "m.conf")) == {"name": "x"}
+    # missing required include raises
+    (tmp_path / "r.conf").write_text('include required(file("nope.conf"))\n')
+    with pytest.raises(HoconError, match="required include not found"):
+        load(str(tmp_path / "r.conf"))
+    # include cycles detected
+    (tmp_path / "a.conf").write_text('include "b.conf"\n')
+    (tmp_path / "b.conf").write_text('include "a.conf"\n')
+    with pytest.raises(HoconError, match="include cycle"):
+        load(str(tmp_path / "a.conf"))
+    # 'include' as a plain key still works
+    assert loads("include: 5") == {"include": 5}
 
 
 def test_pipeline_config_from_conf_file(tmp_path):

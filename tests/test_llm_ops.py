@@ -194,3 +194,59 @@ def test_connected_components_chain_and_singleton(spark):
     out = {r.doc_id: (r.cluster_id, r.is_duplicate) for r in dedup_clusters(docs, pairs).collect()}
     assert out[42] == (42, False)  # singleton: own cluster, kept
     assert out[9] == (1, True) and out[1] == (1, False)
+
+
+def test_jaccard_hot_shingle_cap_bounds_pairs(spark):
+    """A shingle shared by EVERY doc must not quadratically explode the
+    candidate pair count when max_doc_freq is set: with the boilerplate
+    shingle stopworded, only the genuinely similar pair survives."""
+    boiler = "standard header boilerplate line"
+    docs = [(i, f"{boiler} unique body {i} " + " ".join(f"w{i}_{j}" for j in range(20)))
+            for i in range(100)]
+    docs.append((1000, docs[0][1]))  # verbatim copy of doc 0 → one true pair
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    capped = ngram_jaccard_pairs(df, shingle_k=3, threshold=0.8, max_doc_freq=10).collect()
+    assert {(r.id_a, r.id_b) for r in capped} == {(0, 1000)}
+    # uncapped still finds it, but through the hot posting list
+    uncapped = ngram_jaccard_pairs(df, shingle_k=3, threshold=0.8).collect()
+    assert (0, 1000) in {(r.id_a, r.id_b) for r in uncapped}
+
+
+def test_jaccard_verify_matches_exact_on_candidates(spark, sf_dir, docs):
+    """minhash→verify composition returns exactly the exact-Jaccard
+    result (full recall at these band settings on the planted dups)."""
+    from pyspark_pipeline_framework_spark.llm.dedup import jaccard_verify
+
+    exact = {(r.id_a, r.id_b, r.n_common) for r in
+             ngram_jaccard_pairs(docs, shingle_k=3, threshold=0.8).collect()}
+    cand = minhash_candidate_pairs(docs, num_hashes=64, bands=16, shingle_k=3)
+    verified = {(r.id_a, r.id_b, r.n_common) for r in
+                jaccard_verify(docs, cand, shingle_k=3, threshold=0.8).collect()}
+    assert verified == exact
+
+
+def test_multimodal_pluggable_codec(spark, docs):
+    """Injecting a user codec (here: a fake image decoder producing real
+    width/height from the payload bytes) drives the same Arrow plumbing
+    as the default stub."""
+    import pytest
+
+    def fake_image_codec(payload: bytes) -> dict:
+        # a real impl would be PIL.Image.open(io.BytesIO(payload)).size
+        return {"width": len(payload) % 640, "height": len(payload) % 480, "ok": True}
+
+    with_payload = attach_binary_payload(docs.limit(20))
+    out = extract_features(
+        with_payload,
+        decode_fn=fake_image_codec,
+        feature_schema="doc_id long, width int, height int, ok boolean",
+    )
+    rows = out.collect()
+    assert len(rows) == 20
+    assert all(r.ok and 0 <= r.width < 640 and 0 <= r.height < 480 for r in rows)
+    # schema/codec must be supplied together
+    with pytest.raises(ValueError, match="together"):
+        extract_features(with_payload, decode_fn=fake_image_codec)
+    # default path (stub) unchanged
+    stub_rows = extract_features(with_payload).collect()
+    assert {r.doc_id for r in stub_rows} == {r.doc_id for r in rows}

@@ -218,14 +218,54 @@ def test_checkpoint_roundtrip_and_resume(tmp_path):
     store.save(CheckpointState("cp", fp, ["a"]))
     assert store.load_for_resume(cfg) == ["a"]
 
-    # structural change invalidates the checkpoint (params don't)
+    # structural change RAISES (silently restarting would hide the
+    # conflict — reference PipelineConfigChangedError); params don't
+    from pyspark_pipeline_framework_spark.plans.checkpoint import PipelineConfigChangedError
+
     cfg2 = PipelineConfig("cp", [comp("a"), comp("b2", deps=["a"])])
-    assert store.load_for_resume(cfg2) == []
+    with pytest.raises(PipelineConfigChangedError, match="structurally different"):
+        store.load_for_resume(cfg2)
     cfg3 = PipelineConfig("cp", [comp("a", params={"x": 1}), comp("b", deps=["a"])])
     assert store.load_for_resume(cfg3) == ["a"]
 
     store.clear("cp")
     assert store.load("cp") is None
+
+
+def test_checkpoint_hooks_persist_during_run(spark, tmp_path):
+    """Progress must be saved after EACH successful component, and the
+    checkpoint cleared on full success."""
+    from pyspark_pipeline_framework_spark.plans.checkpoint import CheckpointHooks
+
+    cfg = PipelineConfig(
+        "hk",
+        [
+            comp("one", op="sql", params={"sql": "SELECT 1 AS x"}),
+            comp("boom", op="sql", params={"sql": "SELECT * FROM missing"}, deps=["one"]),
+        ],
+    )
+    store = LocalCheckpointStore(str(tmp_path))
+    hooks = CheckpointHooks(store, cfg)
+    result = PipelineRunner(cfg, spark, hooks=hooks, resilience=NO_RETRY).run()
+    assert result.status == PipelineStatus.PARTIAL_SUCCESS  # one ok, boom failed
+    # crash-resume state: 'one' persisted even though the pipeline died
+    assert store.load_for_resume(cfg) == ["one"]
+
+    # fix the pipeline, resume from checkpoint, rerun → success clears it
+    cfg_fixed = PipelineConfig(
+        "hk",
+        [
+            comp("one", op="sql", params={"sql": "SELECT 1 AS x"}),
+            comp("boom", op="sql", params={"sql": "SELECT 2 AS y"}, deps=["one"]),
+        ],
+    )
+    completed = store.load_for_resume(cfg_fixed)  # same structure → ["one"]
+    hooks2 = CheckpointHooks(store, cfg_fixed, completed=completed)
+    result = PipelineRunner(cfg_fixed, spark, hooks=hooks2, resilience=NO_RETRY).run(
+        completed_components=completed
+    )
+    assert result.status == PipelineStatus.SUCCESS
+    assert store.load("hk") is None  # cleared on success
 
 
 # ---------------------------------------------------------------- secrets
@@ -284,3 +324,157 @@ def test_schema_validator_rules():
     # vacuous unless strict
     assert validate_compatibility(None, actual) == []
     assert validate_compatibility(None, actual, strict=True)
+
+
+# ------------------------------------------------------- schema contracts
+
+def test_runner_enforces_output_contract(spark):
+    ok_contract = {"fields": [{"name": "one", "data_type": "integer", "nullable": False}]}
+    cfg = PipelineConfig(
+        "contract_ok",
+        [comp("gen", op="sql", params={"sql": "SELECT 1 AS one"},
+              output_schema=ok_contract)],
+    )
+    result = PipelineRunner(cfg, spark, resilience=NO_RETRY).run()
+    assert result.status == PipelineStatus.SUCCESS
+
+    bad_contract = {"fields": [{"name": "missing_col", "data_type": "string", "nullable": False}]}
+    cfg = PipelineConfig(
+        "contract_bad",
+        [comp("gen", op="sql", params={"sql": "SELECT 1 AS one"},
+              output_schema=bad_contract)],
+    )
+    result = PipelineRunner(cfg, spark, resilience=NO_RETRY).run()
+    by = {c.name: c for c in result.components}
+    assert by["gen"].status == ComponentStatus.FAILURE
+    assert "schema contract violated" in by["gen"].error
+    assert "missing_col" in by["gen"].error
+
+
+def test_runner_enforces_input_contract_and_warn_mode(spark):
+    bad_input = {"fields": [{"name": "nope", "data_type": "string", "nullable": False}]}
+    mk = lambda mode: PipelineConfig(
+        "ic",
+        [
+            comp("gen", op="sql", params={"sql": "SELECT 1 AS one"}),
+            comp("use", op="sql", params={"sql": "SELECT one FROM gen"},
+                 deps=["gen"], inputs=["gen"], input_schema=bad_input,
+                 schema_mode=mode),
+        ],
+    )
+    result = PipelineRunner(mk("error"), spark, resilience=NO_RETRY).run()
+    by = {c.name: c.status for c in result.components}
+    assert by["use"] == ComponentStatus.FAILURE
+    # warn mode: violations log but the component runs
+    result = PipelineRunner(mk("warn"), spark, resilience=NO_RETRY).run()
+    assert result.status == PipelineStatus.SUCCESS
+
+
+def test_contract_retry_not_triggered(spark):
+    """A schema violation must fail once, not burn retry attempts."""
+    from pyspark_pipeline_framework_spark.resilience.presets import ResiliencePolicy
+    from pyspark_pipeline_framework_spark.resilience.retry import RetryPolicy
+
+    pol = ResiliencePolicy(
+        retry=RetryPolicy(max_attempts=3, initial_delay_s=0.0), circuit_breaker_enabled=False
+    )
+    bad = {"fields": [{"name": "ghost", "data_type": "string", "nullable": False}]}
+    cfg = PipelineConfig(
+        "nr", [comp("gen", op="sql", params={"sql": "SELECT 1 AS one"}, output_schema=bad)]
+    )
+    result = PipelineRunner(cfg, spark, resilience=pol, sleep=lambda s: None).run()
+    gen = result.components[0]
+    assert gen.status == ComponentStatus.FAILURE and gen.attempts <= 1
+
+
+def test_secret_access_audited_redacted(monkeypatch, tmp_path):
+    """Every secret resolve (cache hits included) emits an audit event
+    with the value redacted; the value never appears in the file."""
+    import json
+
+    from pyspark_pipeline_framework_spark.observability.audit import FileAuditSink
+
+    monkeypatch.setenv("API_TOKEN", "hunter2-value")
+    path = str(tmp_path / "audit.jsonl")
+    r = SecretsResolver([EnvSecretsProvider()], audit_sink=FileAuditSink(path))
+    assert r.resolve("env/API_TOKEN") == "hunter2-value"
+    assert r.resolve("env/API_TOKEN") == "hunter2-value"  # cached
+    with pytest.raises(Exception):
+        r.resolve("env/MISSING_KEY")
+    raw = open(path).read()
+    assert "hunter2-value" not in raw
+    events = [json.loads(l) for l in raw.splitlines()]
+    assert [(e["action"], e["status"], e["detail"]["cached"]) for e in events] == [
+        ("secret_access", "ok", False),
+        ("secret_access", "ok", True),
+        ("secret_access", "not_found", False),
+    ]
+    assert all(e["detail"]["value"] == "***REDACTED***" for e in events)
+    assert events[0]["resource"] == "env/API_TOKEN"
+
+
+def test_registry_scan_package_discovery(tmp_path, monkeypatch):
+    """Operators marked @operator(...) in a package are discovered by
+    scan_package and runnable through the pipeline runner."""
+    import sys
+    import textwrap
+
+    from pyspark_pipeline_framework_spark.plans.registry import OperatorRegistry
+
+    pkg = tmp_path / "userops"
+    (pkg / "sub").mkdir(parents=True)
+    (pkg / "__init__.py").write_text("")
+    (pkg / "mod_a.py").write_text(textwrap.dedent("""
+        from pyspark_pipeline_framework_spark.plans.registry import operator
+
+        @operator("greet")
+        def greet(spark, catalog, *, output, **params):
+            return catalog.put(output, catalog.sql("SELECT 'hi' AS msg"))
+
+        def not_an_operator(): pass
+    """))
+    (pkg / "sub" / "__init__.py").write_text("")
+    (pkg / "sub" / "mod_b.py").write_text(textwrap.dedent("""
+        from pyspark_pipeline_framework_spark.plans.registry import operator
+
+        @operator("shout")
+        def shout(spark, catalog, *, output, **params):
+            return catalog.put(output, catalog.sql("SELECT 'HI' AS msg"))
+    """))
+    monkeypatch.syspath_prepend(str(tmp_path))
+    reg = OperatorRegistry()
+    assert reg.scan_package("userops") == ["greet", "shout"]
+    assert reg.scan_package("userops") == []  # idempotent re-scan
+    # conflicting registration under the same name raises
+    reg2 = OperatorRegistry()
+    reg2.register("greet", lambda *a, **k: None)
+    with pytest.raises(ValueError, match="conflicts"):
+        reg2.scan_package("userops")
+    # cleanup sys.modules so other tests never see the temp package
+    for m in [k for k in sys.modules if k.startswith("userops")]:
+        del sys.modules[m]
+
+
+def test_registry_scanned_operator_runs(spark, tmp_path, monkeypatch):
+    import sys
+    import textwrap
+
+    from pyspark_pipeline_framework_spark.plans.registry import OperatorRegistry
+
+    pkg = tmp_path / "runops"
+    pkg.mkdir()
+    (pkg / "__init__.py").write_text(textwrap.dedent("""
+        from pyspark_pipeline_framework_spark.plans.registry import operator
+
+        @operator("const_df")
+        def const_df(spark, catalog, *, output, **params):
+            return catalog.put(output, spark.sql("SELECT 42 AS answer"))
+    """))
+    monkeypatch.syspath_prepend(str(tmp_path))
+    reg = OperatorRegistry()
+    reg.scan_package("runops")
+    cfg = PipelineConfig("scanned", [ComponentConfig(name="c", op="const_df")])
+    result = PipelineRunner(cfg, spark, registry=reg, resilience=NO_RETRY).run()
+    assert result.status == PipelineStatus.SUCCESS
+    for m in [k for k in sys.modules if k.startswith("runops")]:
+        del sys.modules[m]

@@ -73,12 +73,12 @@ def test_custom_sql(spark, dq_df):
 def test_gate_fail_on_error(dq_df):
     gate = QualityGate([unique_check("t", ["name"])])
     with pytest.raises(QualityGateError):
-        gate.run(CheckTiming.AFTER_COMPONENT, {"t": dq_df})
+        gate.run(CheckTiming.AFTER_COMPONENT, {"t": dq_df}, component_output="t")
 
 
 def test_gate_warn_only_passes(dq_df):
     gate = QualityGate([unique_check("t", ["name"], severity=CheckSeverity.WARN_ONLY)])
-    results = gate.run(CheckTiming.AFTER_COMPONENT, {"t": dq_df})
+    results = gate.run(CheckTiming.AFTER_COMPONENT, {"t": dq_df}, component_output="t")
     assert len(results) == 1 and not results[0].passed
 
 
@@ -87,12 +87,44 @@ def test_gate_threshold(dq_df):
         unique_check("t", ["name"], severity=CheckSeverity.THRESHOLD),
         null_check("t", "score", 0.0, severity=CheckSeverity.THRESHOLD),
     ]
-    assert QualityGate(checks, max_failures=2).run(CheckTiming.AFTER_COMPONENT, {"t": dq_df})
+    assert QualityGate(checks, max_failures=2).run(CheckTiming.AFTER_COMPONENT, {"t": dq_df}, component_output="t")
     with pytest.raises(QualityGateError):
-        QualityGate(checks, max_failures=1).run(CheckTiming.AFTER_COMPONENT, {"t": dq_df})
+        QualityGate(checks, max_failures=1).run(CheckTiming.AFTER_COMPONENT, {"t": dq_df}, component_output="t")
 
 
 def test_gate_timing_filter(dq_df):
     gate = QualityGate([row_count_check("t", 1, timing=CheckTiming.BEFORE_PIPELINE)])
-    assert gate.run(CheckTiming.AFTER_COMPONENT, {"t": dq_df}) == []
+    assert gate.run(CheckTiming.AFTER_COMPONENT, {"t": dq_df}, component_output="t") == []
     assert len(gate.run(CheckTiming.BEFORE_PIPELINE, {"t": dq_df})) == 1
+
+
+def test_gate_scopes_after_component_checks(dq_df):
+    """An AFTER_COMPONENT check runs once, for the component that
+    produced its dataset (or that it names) — not after every
+    component."""
+    gate = QualityGate(
+        [
+            row_count_check("t", 1),
+            row_count_check("t", 1, component_name="loader"),
+        ]
+    )
+    # unrelated component: neither the dataset producer nor "loader"
+    assert (
+        gate.run(
+            CheckTiming.AFTER_COMPONENT, {"t": dq_df},
+            component_name="other", component_output="u",
+        )
+        == []
+    )
+    # producer of "t": unscoped check fires, name-scoped does not
+    r = gate.run(
+        CheckTiming.AFTER_COMPONENT, {"t": dq_df},
+        component_name="maker", component_output="t",
+    )
+    assert [x.check_name for x in r] == ["row_count[t]"]
+    # the named component: name-scoped check fires regardless of output
+    r = gate.run(
+        CheckTiming.AFTER_COMPONENT, {"t": dq_df},
+        component_name="loader", component_output="z",
+    )
+    assert [x.check_name for x in r] == ["row_count[t]"]

@@ -20,3 +20,16 @@ def test_exporters_import_gated():
         PrometheusMetricsRegistry()
     with pytest.raises(ImportError, match="opentelemetry"):
         OpenTelemetryMetricsRegistry()
+
+
+def test_nanos_conf_scoped_to_read(spark, sf_dir):
+    """Reading a nanos-timestamp table must not leave the legacy
+    nanosAsLong conf set session-wide (unrelated parquet reads would
+    silently get bigint columns for TIMESTAMP(NANOS) data)."""
+    from pyspark_pipeline_framework_spark.io.readers import table
+
+    spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+    ev = table(spark, sf_dir, "events")
+    assert dict(ev.dtypes)["ts"] == "timestamp"
+    assert spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None) is None
+    assert ev.count() > 0  # lazy execution still works after restore
