@@ -46,23 +46,43 @@ def minhash_signature(
     text_col: str = "text",
     num_hashes: int = 64,
     shingle_k: int = 3,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
-    """MinHash signatures. One string xxhash64 per shingle, then
-    ``num_hashes`` permutations as ``xxhash64(base_hash, i)`` over the
-    8-byte base values — far cheaper than re-hashing every shingle
-    string per permutation, and overflow-free under ANSI mode (Spark 4
-    default; affine a·h+b permutations would throw on long overflow).
-    Output: (id, signature array<bigint>). Map-only — no shuffle."""
-    # explode → 64 min-aggregates: flat long columns keep whole-stage
+    """MinHash signatures. One base hash per shingle, then
+    ``num_hashes`` permutations hashed over the small base value — far
+    cheaper than re-hashing every shingle string per permutation, and
+    overflow-free under ANSI mode (Spark 4 default; affine a·h+b
+    permutations would throw on long overflow). Map-only — no shuffle.
+
+    ``hash_fn="xxhash64"`` (scale default): permutation i =
+    ``xxhash64(base, i)``; signature is ``array<bigint>``.
+    ``hash_fn="md5"`` (engine-portable): permutation i = first 16 hex
+    chars of ``md5(i || ':' || md5(shingle))``; signature is
+    ``array<string>`` — MIN over fixed-width lowercase hex equals
+    numeric min, and any engine with md5 (DuckDB, Python, warehouses)
+    recomputes the identical signature, making LSH candidates
+    oracle-checkable."""
+    # explode → 64 min-aggregates: flat columns keep whole-stage
     # codegen tight (64 nested array transforms per row do not), and the
     # partial agg collapses shingle rows before the doc_id shuffle
     exploded = ensure_parallelism(df).select(
         F.col(id_col),
         F.explode(_shingles(text_col, shingle_k)).alias("__s"),
-    ).select(F.col(id_col), F.xxhash64("__s").alias("__h"))
-    mins = exploded.groupBy(id_col).agg(
-        *[F.min(F.xxhash64("__h", F.lit(i))).alias(f"__m{i}") for i in range(num_hashes)]
     )
+    if hash_fn == "xxhash64":
+        hashed = exploded.select(F.col(id_col), F.xxhash64("__s").alias("__h"))
+        perms = [F.min(F.xxhash64("__h", F.lit(i))).alias(f"__m{i}") for i in range(num_hashes)]
+    elif hash_fn == "md5":
+        hashed = exploded.select(F.col(id_col), F.md5("__s").alias("__h"))
+        perms = [
+            F.min(
+                F.substring(F.md5(F.concat(F.lit(f"{i}:"), F.col("__h"))), 1, 16)
+            ).alias(f"__m{i}")
+            for i in range(num_hashes)
+        ]
+    else:
+        raise ValueError(f"hash_fn must be 'xxhash64' or 'md5', got {hash_fn!r}")
+    mins = hashed.groupBy(id_col).agg(*perms)
     sig = F.array(*[F.col(f"__m{i}") for i in range(num_hashes)])
     return mins.select(F.col(id_col), sig.alias("signature"))
 
@@ -74,31 +94,33 @@ def minhash_candidate_pairs(
     num_hashes: int = 64,
     bands: int = 16,
     shingle_k: int = 3,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """MinHash-LSH candidate pairs: band the signature (rows_per_band =
     num_hashes/bands), hash each band, self-join on (band_idx,
     band_hash). Pair count is bounded by bucket collisions — the
-    classic no-N² shape. Returns distinct (id_a < id_b) pairs."""
+    classic no-N² shape. Returns distinct (id_a < id_b) pairs.
+    ``hash_fn="md5"`` selects the engine-portable signature/banding
+    (see :func:`minhash_signature`) — identical pairs are derivable in
+    any md5-capable engine."""
     if num_hashes % bands:
         raise ValueError("num_hashes must divide evenly into bands")
     rows_per_band = num_hashes // bands
-    sigs = minhash_signature(df, id_col, text_col, num_hashes, shingle_k)
+    sigs = minhash_signature(df, id_col, text_col, num_hashes, shingle_k, hash_fn)
+
+    def band_hash(b: int):
+        sliced = F.slice(F.col("signature"), b * rows_per_band + 1, rows_per_band)
+        if hash_fn == "md5":
+            return F.md5(F.concat_ws(",", sliced))
+        return F.xxhash64(
+            F.concat_ws(",", F.transform(sliced, lambda v: v.cast("string")))
+        )
+
     banded = sigs.select(
         F.col(id_col).alias("id"),
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.xxhash64(
-                    F.concat_ws(
-                        ",",
-                        F.transform(
-                            F.slice(F.col("signature"), b * rows_per_band + 1, rows_per_band),
-                            lambda v: v.cast("string"),
-                        ),
-                    )
-                ),
-            )
-        ).alias("band_idx", "band_hash"),
+        F.posexplode(F.array(*[band_hash(b) for b in range(bands)])).alias(
+            "band_idx", "band_hash"
+        ),
     )
     a = banded.alias("a")
     b = banded.alias("b")
@@ -254,12 +276,21 @@ def simhash(
     id_col: str = "doc_id",
     text_col: str = "text",
     bits: int = 64,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
-    """SimHash signature: per word, take xxhash64 bits; sum ±1 per bit
+    """SimHash signature: per word, take word-hash bits; sum ±1 per bit
     position over all words; signature bit = sign. Near-dup docs have
-    small Hamming distance. Pure array expressions — map-only."""
+    small Hamming distance. Pure array expressions — map-only.
+
+    ``hash_fn="md5"`` (engine-portable): word hash = first 15 hex chars
+    of md5 as a 60-bit int — the top 4 signature bits are always 0 and
+    every engine with md5 recomputes the identical signature (the SWAR
+    lane aggregation below is unchanged; an oracle can cross-check it
+    with a naive per-bit majority count)."""
     if bits != 64:
-        raise ValueError("simhash is fixed at 64 bits (xxhash64 output width)")
+        raise ValueError("simhash is fixed at 64 bits (word-hash width)")
+    if hash_fn not in ("xxhash64", "md5"):
+        raise ValueError(f"hash_fn must be 'xxhash64' or 'md5', got {hash_fn!r}")
     # SWAR bit-slicing: sum ((h >> j) & 0x0001000100010001) for j=0..15
     # — each of the 16 sums carries FOUR bit-position counts in its
     # 16-bit lanes (positions j, j+16, j+32, j+48), so the aggregate is
@@ -272,8 +303,12 @@ def simhash(
     # the ±1-sum > 0 rule rewritten in counts).
     lane_mask = 0x0001000100010001
     words = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    if hash_fn == "md5":
+        word_hash = F.conv(F.substring(F.md5(F.col("__w")), 1, 15), 16, 10).cast("long")
+    else:
+        word_hash = F.xxhash64("__w")
     exploded = ensure_parallelism(df).select(F.col(id_col), F.explode(words).alias("__w")).select(
-        F.col(id_col), F.xxhash64("__w").alias("__h")
+        F.col(id_col), word_hash.alias("__h")
     )
     sums = exploded.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("__n"),

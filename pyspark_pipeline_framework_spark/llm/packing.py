@@ -16,20 +16,46 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _hash_bucket(id_col: str, salt: str, modulus: int, hash_fn: str):
+    """Deterministic non-negative bucket in [0, modulus).
+
+    ``xxhash64`` is the scale default (one JVM hash per row).
+    ``md5`` is the ENGINE-PORTABLE mode: bucket = first-8-hex-chars of
+    ``md5(id || ':' || salt)`` as a uint32 — recomputable in DuckDB
+    (``CAST('0x'||substr(md5(..),1,8) AS BIGINT)``), Python, or any
+    warehouse, so external systems can verify exactly which rows landed
+    where. Slightly costlier per row; same distribution quality."""
+    if hash_fn == "xxhash64":
+        return F.pmod(F.xxhash64(F.col(id_col), F.lit(salt)), F.lit(modulus))
+    if hash_fn == "md5":
+        h = F.conv(
+            F.substring(
+                F.md5(F.concat(F.col(id_col).cast("string"), F.lit(":" + salt))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        return F.pmod(h, F.lit(modulus))
+    raise ValueError(f"hash_fn must be 'xxhash64' or 'md5', got {hash_fn!r}")
+
+
 def split_by_hash(
     df: DataFrame,
     id_col: str,
     fractions: dict[str, float],
     salt: str = "split",
     out_col: str = "split",
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
-    """Deterministic train/valid/test split: bucket = xxhash64(id, salt)
+    """Deterministic train/valid/test split: bucket = hash(id, salt)
     mod 10_000 mapped onto cumulative fraction ranges. Stable across
-    runs, sessions, and cluster sizes — no RNG, no sampling drift."""
+    runs, sessions, and cluster sizes — no RNG, no sampling drift.
+    ``hash_fn="md5"`` makes membership recomputable outside Spark (see
+    :func:`_hash_bucket`)."""
     total = sum(fractions.values())
     if abs(total - 1.0) > 1e-9:
         raise ValueError(f"fractions must sum to 1, got {total}")
-    bucket = F.pmod(F.xxhash64(F.col(id_col), F.lit(salt)), F.lit(10_000))
+    bucket = _hash_bucket(id_col, salt, 10_000, hash_fn)
     expr = None
     acc = 0.0
     for name, frac in fractions.items():
@@ -48,6 +74,7 @@ def pack_sequences(
     id_col: str = "doc_id",
     tokens_col: str = "n_tokens",
     num_shards: int = 64,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Greedy sequential packing: within each shard (deterministic hash
     of the id), docs are visited in id order and appended to the
@@ -82,7 +109,7 @@ def pack_sequences(
 
     sharded = df.select(
         F.col(id_col).alias("doc_id"),
-        F.pmod(F.xxhash64(F.col(id_col)), F.lit(num_shards)).cast("int").alias("shard"),
+        _hash_bucket(id_col, "shard", num_shards, hash_fn).cast("int").alias("shard"),
         F.col(tokens_col).cast("int").alias("n_tokens"),
     )
     return sharded.groupBy("shard").applyInPandas(pack_shard, schema=PACKED_SCHEMA)

@@ -1,10 +1,12 @@
 """LLM-data-pipeline cases — SURVEY.md §2.8 [beyond-ref].
 
 Exact operators (text stats, quality filter, lang-ID, fingerprints,
-exact dedup, n-gram Jaccard, brute-force kNN) are oracle-checked;
-hash-family operators (MinHash-LSH, SimHash, LSH-kNN) have no DuckDB
-equivalent of xxhash64 → rows-only here, recall-tested in
-``tests/test_llm_ops.py``.
+exact dedup, n-gram Jaccard, brute-force kNN) are oracle-checked, as
+are the md5-portable hash operators (splits, packing via a
+recursive-CTE greedy oracle, md5-MinHash-LSH candidates). The
+xxhash64-based variants (MinHash, SimHash) and the approximate ANN
+paths (LSH-kNN, IVF) have no DuckDB twin → rows-only here,
+recall-tested in ``tests/test_llm_ops.py``.
 """
 
 from __future__ import annotations
@@ -215,6 +217,109 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_candidate_pairs(d, num_hashes=64, bands=16, shingle_k=3)
 
 
+@case(
+    "q_dedup_minhash_md5",
+    # the ENTIRE MinHash-LSH pipeline recomputed in SQL: base md5 per
+    # shingle → 64 permutation mins (min over fixed-width hex ≡ numeric
+    # min) → 16 band hashes → bucket self-join. Bit-exact across
+    # engines, so the LSH candidate set itself is oracle-gated — not
+    # just rows-only.
+    oracle=r"""
+    WITH words AS (
+      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS w FROM documents
+    ), sh AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+               range(1, greatest(len(w) - 2, 1) + 1),
+               i -> array_to_string(list_slice(w, i, i + 2), ' ')))) AS shingle
+      FROM words
+    ), base AS (
+      SELECT doc_id, md5(shingle) AS bh FROM sh
+    ), sig AS (
+      SELECT doc_id, seed,
+             MIN(substr(md5(concat(CAST(seed AS VARCHAR), ':', bh)), 1, 16)) AS mh
+      FROM base, range(64) t(seed)
+      GROUP BY doc_id, seed
+    ), bands AS (
+      SELECT doc_id, CAST(seed // 4 AS INT) AS band_idx,
+             md5(string_agg(mh, ',' ORDER BY seed)) AS bhash
+      FROM sig GROUP BY doc_id, seed // 4
+    )
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM bands a JOIN bands b
+      ON a.band_idx = b.band_idx AND a.bhash = b.bhash AND a.doc_id < b.doc_id
+    """,
+)
+def q_dedup_minhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    return minhash_candidate_pairs(d, num_hashes=64, bands=16, shingle_k=3, hash_fn="md5")
+
+
+def _simhash_block_pairs(sigs: DataFrame) -> DataFrame:
+    """Positional 16-bit-block LSH over simhash signatures (shared by
+    the xxhash64 and md5-portable cases)."""
+
+    def blocks(h, n=4):
+        return F.array(*[F.shiftright(h, 16 * i).bitwiseAND(F.lit(0xFFFF)) for i in range(n)])
+
+    banded = sigs.select(
+        "doc_id", "simhash", F.posexplode(blocks(F.col("simhash"))).alias("blk_i", "blk")
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.blk_i") == F.col("b.blk_i"))
+            & (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 6)
+        .distinct()
+    )
+
+
+@case(
+    "q_dedup_simhash_md5",
+    # independent oracle formulation: naive per-bit majority count over
+    # 60-bit md5 word hashes (cross-checks the engine's SWAR 16-lane
+    # aggregation), then the same 16-bit-block LSH + hamming filter
+    oracle=r"""
+    WITH wh AS (
+      SELECT doc_id,
+             CAST(concat('0x', substr(md5(word), 1, 15)) AS BIGINT) AS h
+      FROM (SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS word
+            FROM documents)
+    ), nw AS (
+      SELECT doc_id, COUNT(*) AS n FROM wh GROUP BY doc_id
+    ), bits AS (
+      SELECT doc_id, j, SUM((h >> CAST(j AS INT)) & 1) AS cnt
+      FROM wh, range(60) t(j) GROUP BY doc_id, j
+    ), sig AS (
+      SELECT b.doc_id,
+             SUM(CASE WHEN b.cnt * 2 > nw.n THEN (1::BIGINT << CAST(b.j AS INT))
+                      ELSE 0 END)::BIGINT AS simhash
+      FROM bits b JOIN nw ON nw.doc_id = b.doc_id
+      GROUP BY b.doc_id
+    ), banded AS (
+      SELECT doc_id, simhash, blk_i, (simhash >> (16 * blk_i)) & 65535 AS blk
+      FROM sig, range(4) t(blk_i)
+    )
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+    FROM banded a JOIN banded b
+      ON a.blk_i = b.blk_i AND a.blk = b.blk AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
+    """,
+)
+def q_dedup_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    return _simhash_block_pairs(simhash(d, hash_fn="md5"))
+
+
 @case("q_dedup_simhash", oracle=None)  # rows-only; recall tested in pytest
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
@@ -389,23 +494,84 @@ def q_llm_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@case("q_llm_pack", oracle=None)  # xxhash sharding has no DuckDB twin → rows-only
+# doc_id → shard/bucket, engine-portable: first-8-hex md5 as uint32
+# (Spark conv(...,16,10) ≡ DuckDB CAST('0x'||... AS BIGINT), verified
+# bit-identical)
+def _o_md5_bucket(salt: str, modulus: int) -> str:
+    return (
+        f"CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR), ':{salt}')), 1, 8))"
+        f" AS BIGINT) % {modulus}"
+    )
+
+
+# greedy packing as a recursive CTE: state (nxt_pack, nxt_used) carried
+# row-to-row in doc_id order within each shard — an independent
+# formulation of pack_shard's sequential fold, so agreement is strong
+# evidence, not a shared-code tautology. Iterations = max rows/shard.
+_PACK_ORACLE = rf"""
+    WITH RECURSIVE sharded AS (
+      SELECT doc_id,
+             CAST({_o_md5_bucket("shard", 8)} AS INT) AS shard,
+             CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INT) AS n_tokens
+      FROM documents
+    ), docs AS (
+      SELECT doc_id, shard, n_tokens,
+             ROW_NUMBER() OVER (PARTITION BY shard ORDER BY doc_id) AS rn
+      FROM sharded
+    ), rec AS (
+      SELECT shard, rn, doc_id, n_tokens,
+             0::BIGINT AS pack_id,
+             CASE WHEN n_tokens >= 256 THEN 1 ELSE 0 END::BIGINT AS nxt_pack,
+             CASE WHEN n_tokens >= 256 THEN 0 ELSE n_tokens END AS nxt_used
+      FROM docs WHERE rn = 1
+      UNION ALL
+      SELECT d.shard, d.rn, d.doc_id, d.n_tokens,
+             CASE WHEN r.nxt_used > 0 AND r.nxt_used + d.n_tokens > 256
+                  THEN r.nxt_pack + 1 ELSE r.nxt_pack END AS asg,
+             CASE WHEN (CASE WHEN r.nxt_used > 0 AND r.nxt_used + d.n_tokens > 256
+                             THEN d.n_tokens ELSE r.nxt_used + d.n_tokens END) >= 256
+                  THEN asg + 1 ELSE asg END AS np,
+             CASE WHEN (CASE WHEN r.nxt_used > 0 AND r.nxt_used + d.n_tokens > 256
+                             THEN d.n_tokens ELSE r.nxt_used + d.n_tokens END) >= 256
+                  THEN 0
+                  ELSE (CASE WHEN r.nxt_used > 0 AND r.nxt_used + d.n_tokens > 256
+                             THEN d.n_tokens ELSE r.nxt_used + d.n_tokens END) END AS nu
+      FROM rec r JOIN docs d ON d.shard = r.shard AND d.rn = r.rn + 1
+    )
+    SELECT doc_id, shard, pack_id, n_tokens FROM rec
+"""
+
+
+@case("q_llm_pack", oracle=_PACK_ORACLE)
 def q_llm_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark_pipeline_framework_spark.llm.packing import pack_sequences
 
     d = table(spark, sf_dir, "documents").select(
         "doc_id", token_count_ws("text").alias("n_tokens")
     )
-    return pack_sequences(d, max_tokens=256, num_shards=8)
+    return pack_sequences(d, max_tokens=256, num_shards=8, hash_fn="md5")
 
 
-@case("q_llm_split", oracle=None)  # rows-only (hash-based)
+@case(
+    "q_llm_split",
+    oracle=f"""
+    WITH b AS (
+      SELECT lang, {_o_md5_bucket("split", 10000)} AS bucket FROM documents
+    ), s AS (
+      SELECT lang, CASE WHEN bucket < 8000 THEN 'train'
+                        WHEN bucket < 9000 THEN 'valid'
+                        ELSE 'test' END AS split
+      FROM b
+    )
+    SELECT split, lang, CAST(COUNT(*) AS BIGINT) AS n FROM s GROUP BY split, lang
+    """,
+)
 def q_llm_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark_pipeline_framework_spark.llm.packing import split_by_hash
 
     d = table(spark, sf_dir, "documents").select("doc_id", "lang")
     return (
-        split_by_hash(d, "doc_id", {"train": 0.8, "valid": 0.1, "test": 0.1})
+        split_by_hash(d, "doc_id", {"train": 0.8, "valid": 0.1, "test": 0.1}, hash_fn="md5")
         .groupBy("split", "lang")
         .agg(F.count(F.lit(1)).alias("n"))
     )

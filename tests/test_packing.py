@@ -74,3 +74,24 @@ def test_stratified_sample_rate_and_determinism(spark, docs_tokens):
     assert {r.doc_id for r in s3.collect()} <= {r.doc_id for r in s1.collect()}
     with pytest.raises(ValueError):
         stratified_sample(docs_tokens, rate=0.0, id_col="doc_id")
+
+
+def test_split_by_hash_md5_portable(spark, docs_tokens):
+    """md5 mode: same API/behavior, buckets recomputable outside Spark."""
+    import hashlib
+
+    split = split_by_hash(
+        docs_tokens, "doc_id", {"train": 0.8, "valid": 0.1, "test": 0.1}, hash_fn="md5"
+    )
+    rows = split.collect()
+    frac_train = sum(r.split == "train" for r in rows) / len(rows)
+    assert 0.7 < frac_train < 0.9
+    # bucket recomputed in pure Python matches Spark's assignment
+    for r in rows[:50]:
+        bucket = int(hashlib.md5(f"{r.doc_id}:split".encode()).hexdigest()[:8], 16) % 10000
+        expected = "train" if bucket < 8000 else ("valid" if bucket < 9000 else "test")
+        assert r.split == expected, (r.doc_id, bucket, r.split, expected)
+    import pytest
+
+    with pytest.raises(ValueError, match="hash_fn"):
+        split_by_hash(docs_tokens, "doc_id", {"a": 1.0}, hash_fn="sha1")
