@@ -114,6 +114,67 @@ def pack_sequences(
     )
     return sharded.groupBy("shard").applyInPandas(pack_shard, schema=PACKED_SCHEMA)
 
+def domain_mix_sample(
+    df: DataFrame,
+    domain_col: str = "source",
+    id_col: str = "doc_id",
+    alpha: float = 0.5,
+    target_fraction: float = 0.5,
+    salt: str = "mix",
+) -> DataFrame:
+    """Temperature-reweighted domain sampling: keep-rate per domain
+    follows p_d ∝ n_d^alpha (the multilingual-LM data-mixing recipe —
+    alpha < 1 upsamples small domains relative to their share), scaled
+    so the expected total is ``target_fraction`` of the corpus and
+    capped at 1.
+
+    Row selection is the same deterministic md5 keep-set as
+    :func:`stratified_sample` (u(id) < rate_d), so the sample is
+    engine-portable and reproducible; per-domain rates use exact
+    arithmetic (integer counts, sqrt weights, DECIMAL-summed weight
+    total) so the rates themselves are bit-identical on any engine.
+
+    ``alpha`` ∈ {0.0, 0.5, 1.0} keeps full portability (lit / sqrt /
+    identity — all correctly-rounded IEEE); other alphas go through
+    ``pow``, whose last-bit rounding is libm-specific.
+
+    Scale: one tiny groupBy(domain) count, rates broadcast back, then
+    a map-side filter — no data shuffle of the corpus itself."""
+    if alpha == 0.0:
+        weight = F.lit(1.0)
+    elif alpha == 0.5:
+        weight = F.sqrt(F.col("__n").cast("double"))
+    elif alpha == 1.0:
+        weight = F.col("__n").cast("double")
+    else:
+        weight = F.pow(F.col("__n").cast("double"), F.lit(float(alpha)))
+    counts = df.groupBy(domain_col).agg(F.count(F.lit(1)).alias("__n")).withColumn(
+        "__w", weight
+    )
+    totals = counts.agg(
+        F.sum(F.col("__w").cast("decimal(38,9)")).cast("double").alias("__wsum"),
+        F.sum("__n").cast("double").alias("__ntot"),
+    )
+    rates = counts.crossJoin(F.broadcast(totals)).select(
+        domain_col,
+        F.least(
+            F.lit(1.0),
+            (F.lit(float(target_fraction)) * F.col("__ntot") * F.col("__w"))
+            / (F.col("__wsum") * F.col("__n").cast("double")),
+        ).alias("__rate"),
+    )
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.col(id_col).cast("string"), F.lit(":" + salt))), 1, 8),
+        16,
+        10,
+    ).cast("bigint")
+    return (
+        df.join(F.broadcast(rates), domain_col)
+        .filter(h.cast("double") < F.col("__rate") * F.lit(4294967296.0))
+        .drop("__rate")
+    )
+
+
 def stratified_sample(
     df: DataFrame,
     rate: float,

@@ -138,6 +138,60 @@ def embedding_dedup_pairs(
 
 _LSH_SEED = 20240501
 
+#: fixed-point scale for Rademacher sign-projection bits: vectors are
+#: quantized once (floor(x·1e7) as long) so every plane dot is exact
+#: integer arithmetic — bit-identical in Spark, DuckDB, or plain Python
+_SIGN_SCALE = 1e7
+
+
+def rademacher_signs(
+    dim: int, n_planes: int = 8, n_tables: int = 4, salt: str = "lsh"
+) -> list[list[list[int]]]:
+    """±1 hyperplane components from md5 parity — the ENGINE-PORTABLE
+    plane family: component (t, p, d) is +1 iff the first 8 hex chars
+    of ``md5("{salt}:{t}:{p}:{d}")`` are odd. Sign-random-projection
+    with Rademacher entries is the classic SimHash family for angular
+    similarity (Charikar '02); any engine with md5 can regenerate the
+    planes — no stored model, no RNG-implementation dependence."""
+    import hashlib
+
+    return [
+        [
+            [
+                1
+                if int(hashlib.md5(f"{salt}:{t}:{p}:{d}".encode()).hexdigest()[:8], 16) % 2
+                else -1
+                for d in range(dim)
+            ]
+            for p in range(n_planes)
+        ]
+        for t in range(n_tables)
+    ]
+
+
+def rademacher_buckets_col(vec: Column, signs: list[list[list[int]]]) -> Column:
+    """Per-table LSH bucket ids (array<long>, one per table) as pure
+    column expressions: quantize the vector once, then each plane bit
+    is the sign of an exact integer dot with a ±1 literal array. No
+    Python at execution time — whole-stage codegen end to end, and a
+    SQL oracle doing FLOOR(x·1e7) + the same ±1 sums matches exactly."""
+    vq = F.transform(vec, lambda x: F.floor(x.cast("double") * F.lit(_SIGN_SCALE)).cast("long"))
+    tables = []
+    for planes in signs:
+        bucket = F.lit(0).cast("long")
+        for p, row in enumerate(planes):
+            sarr = F.array(*[F.lit(s) for s in row])
+            dot = F.aggregate(
+                F.zip_with(vq, sarr, lambda xq, sg: xq * sg),
+                F.lit(0).cast("long"),
+                lambda acc, v: acc + v,
+            )
+            bucket = bucket + F.when(dot > 0, F.lit(1 << p).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+        tables.append(bucket)
+    return F.array(*tables)
+
 
 def _hyperplanes(dim: int, n_planes: int, n_tables: int):
     """Deterministic Gaussian hyperplanes (seeded generator — identical
@@ -177,6 +231,7 @@ def cosine_topk_lsh(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    hash_fn: str = "numpy",
 ) -> DataFrame:
     """Approximate top-k: only corpus vectors sharing an LSH bucket with
     the query (in ANY of ``n_tables`` independent tables — the standard
@@ -184,8 +239,21 @@ def cosine_topk_lsh(
 
     At 100 TB this turns a full-corpus scan per query into a bucket
     equi-join: candidates ≈ n_tables · corpus/2^n_planes per query —
-    tune the two knobs against the recall target."""
-    bucketer = lsh_buckets_udf(dim, n_planes, n_tables)
+    tune the two knobs against the recall target.
+
+    ``hash_fn``: ``"numpy"`` (default) = Gaussian hyperplanes via one
+    Arrow-batched matmul; ``"md5"`` = Rademacher ±1 planes from md5
+    parity evaluated as exact integer column expressions — slightly
+    coarser buckets, but every stage (bits, buckets, candidates,
+    scores, ranks) is recomputable in any engine with md5, so the full
+    ANN pipeline is oracle-checkable."""
+    if hash_fn == "md5":
+        signs = rademacher_signs(dim, n_planes, n_tables)
+        bucketer = lambda c: rademacher_buckets_col(c, signs)  # noqa: E731
+    elif hash_fn == "numpy":
+        bucketer = lsh_buckets_udf(dim, n_planes, n_tables)
+    else:
+        raise ValueError(f"hash_fn must be 'numpy' or 'md5', got {hash_fn!r}")
 
     def with_buckets(df: DataFrame, idc: str, vec_alias: str, norm_alias: str) -> DataFrame:
         # posexplode: (table idx, bucket) pairs join only within a table
@@ -220,6 +288,98 @@ def cosine_topk_lsh(
     )
 
 _IVF_SEED = 20240502
+
+#: fixed-point scale for exact centroid means (sum of floor(x·1e9)
+#: per dimension as int64, one division) — order-independent, so the
+#: trained model is identical in numpy and in a SQL replay
+_MEAN_SCALE = 1e9
+
+
+def _dot14_np(A: np.ndarray, B: np.ndarray) -> np.ndarray:
+    """Exact pairwise fixed-point dots, numpy twin of ``_dot_decimal``:
+    floor((a·b)·1e14) per element as int64, integer sum over dims.
+    Returns (len(A), len(B)) int64 — compare/argmax on the raw integers
+    (rescaling is only needed when the value itself is reported)."""
+    P = np.floor(A[:, None, :] * B[None, :, :] * _DOT_SCALE)
+    return P.astype("int64").sum(axis=2)
+
+
+def ivf_train_centroids_exact(
+    corpus: DataFrame,
+    dim: int,
+    nlist: int = 8,
+    train_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    train_sample: int | None = None,
+) -> np.ndarray:
+    """ENGINE-PORTABLE IVF training: same bounded-sample + driver-side
+    Lloyd shape as :func:`ivf_train_centroids`, but every step is exact
+    integer arithmetic that a SQL engine can replay bit-for-bit:
+
+    - sample: the ``train_sample`` corpus rows with the smallest
+      ``md5(id)`` hex (lexicographic — identical in any engine), via
+      ``TakeOrderedAndProject`` exactly like the xxhash64 path;
+    - init: the first ``nlist`` sampled vectors, normalized by the
+      fixed-point norm ``sqrt(dot14(x, x))``;
+    - assign: argmax of integer dot14 scores, ties to the lowest cell;
+    - means: per-dim sums of ``floor(x·1e9)`` as int64, one division
+      ``sum / (n·1e9)`` — order-independent, so partitioning and SQL
+      aggregation order can't perturb the model;
+    - renormalize by the fixed-point norm; empty cells keep their
+      previous centroid.
+
+    The suite oracle replays all of this (sample, both Lloyd steps,
+    assignment, probing, scoring) in DuckDB SQL — the trained model is
+    cross-checked, not just the search."""
+    n_train = train_sample or max(64 * nlist, 1024)
+    rows = (
+        corpus.select(
+            F.col(vec_col).alias("__v"),
+            F.md5(F.col(id_col).cast("string")).alias("__h"),
+            F.col(id_col).alias("__id"),
+        )
+        .orderBy("__h", "__id")
+        .limit(n_train)
+        .collect()
+    )
+    X = np.stack([np.asarray(r["__v"], dtype="float64") for r in rows])
+
+    def normalize(M: np.ndarray) -> np.ndarray:
+        sq = np.floor(M * M * _DOT_SCALE).astype("int64").sum(axis=1)
+        norms = np.sqrt(sq.astype("float64") / _DOT_SCALE)
+        return M / norms[:, None]
+
+    C = normalize(X[:nlist].copy())
+    Q = np.floor(X * _MEAN_SCALE).astype("int64")
+    for _ in range(train_iters):
+        assign = np.argmax(_dot14_np(X, C), axis=1)  # ties -> lowest cell
+        M = C.copy()
+        for j in range(nlist):
+            members = Q[assign == j]
+            if len(members):
+                M[j] = members.sum(axis=0).astype("float64") / (
+                    float(len(members)) * _MEAN_SCALE
+                )
+        C = normalize(M)
+    return C
+
+
+def ivf_cells_exact_udf(centroids: np.ndarray, nprobe: int):
+    """Arrow-batched coarse quantizer on EXACT integer dot products
+    (fixed-point twin of :func:`ivf_cells_udf`): cell ranking is a pure
+    function of the data, reproducible in SQL — no BLAS sum-order or
+    near-tie ambiguity."""
+    C = centroids
+
+    @F.pandas_udf("array<int>")
+    def cells(v: pd.Series) -> pd.Series:
+        M = np.stack(v.values).astype("float64")
+        scores = _dot14_np(M, C)                       # (batch, nlist) int64
+        top = np.argsort(-scores, axis=1, kind="stable")[:, :nprobe].astype("int32")
+        return pd.Series(list(top))
+
+    return cells
 
 
 def ivf_cells_udf(centroids: np.ndarray, nprobe: int):
@@ -303,6 +463,8 @@ def cosine_topk_ivf(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    mode: str = "fast",
+    train_sample: int | None = None,
 ) -> DataFrame:
     """IVF-Flat approximate top-k: corpus vectors live in exactly one
     of ``nlist`` cells; each query scores only the vectors in its
@@ -313,12 +475,27 @@ def cosine_topk_ivf(
     construction (a corpus vector has ONE cell), so no dedup shuffle;
     the cell equi-join is the only wide operation before the top-k
     window. The trained model concentrates candidates where density
-    is, which beats data-oblivious hyperplanes on clustered corpora."""
-    C = ivf_train_centroids(
-        corpus, dim, nlist=nlist, train_iters=train_iters, id_col=id_col, vec_col=vec_col
-    )
-    assign1 = ivf_cells_udf(C, 1)
-    probe = ivf_cells_udf(C, nprobe)
+    is, which beats data-oblivious hyperplanes on clustered corpora.
+
+    ``mode``: ``"fast"`` = xxhash64 sample + float BLAS Lloyd/assign;
+    ``"exact"`` = md5-ordered sample + fixed-point Lloyd/assign —
+    every stage (including training) replayable in SQL."""
+    if mode == "exact":
+        C = ivf_train_centroids_exact(
+            corpus, dim, nlist=nlist, train_iters=train_iters,
+            id_col=id_col, vec_col=vec_col, train_sample=train_sample,
+        )
+        assign1 = ivf_cells_exact_udf(C, 1)
+        probe = ivf_cells_exact_udf(C, nprobe)
+    elif mode == "fast":
+        C = ivf_train_centroids(
+            corpus, dim, nlist=nlist, train_iters=train_iters,
+            id_col=id_col, vec_col=vec_col, train_sample=train_sample,
+        )
+        assign1 = ivf_cells_udf(C, 1)
+        probe = ivf_cells_udf(C, nprobe)
+    else:
+        raise ValueError(f"mode must be 'fast' or 'exact', got {mode!r}")
 
     cb = ensure_parallelism(corpus).select(
         F.col(id_col),

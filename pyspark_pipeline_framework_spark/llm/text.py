@@ -120,6 +120,51 @@ def language_id(
     return df.withColumn(out_col, winner)
 
 
+def repetition_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Intra-document repetition signals (the Gopher-style quality
+    filters): ``top1_frac`` = occurrences of the most frequent word /
+    total words, ``top2_frac`` = same for 2-grams (0.0 for documents
+    with fewer than two words). High values flag boilerplate and
+    degenerate generations before training.
+
+    Scale: explode → count per (doc, gram) → per-doc max/total.
+    Grams shuffle hashed by (doc, gram) with map-side partial
+    aggregation, so a hot document spreads across reducers until the
+    final tiny per-doc combine — no per-row quadratic expressions, no
+    UDFs, all whole-stage codegen."""
+    words = df.select(
+        F.col(id_col), F.split(F.trim(F.lower(F.col(text_col))), r"\s+").alias("__w")
+    )
+    s1 = (
+        words.select(id_col, F.explode("__w").alias("__g"))
+        .groupBy(id_col, "__g")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .groupBy(id_col)
+        .agg(F.max("__c").alias("__m1"), F.sum("__c").alias("__t1"))
+    )
+    two_grams = F.zip_with(
+        F.slice(F.col("__w"), 1, F.greatest(F.size("__w") - 1, F.lit(0))),
+        F.slice(F.col("__w"), 2, F.greatest(F.size("__w") - 1, F.lit(0))),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    s2 = (
+        words.select(id_col, F.explode(two_grams).alias("__g"))
+        .groupBy(id_col, "__g")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .groupBy(id_col)
+        .agg(F.max("__c").alias("__m2"), F.sum("__c").alias("__t2"))
+    )
+    return s1.join(s2, id_col, "left").select(
+        id_col,
+        (F.col("__m1").cast("double") / F.col("__t1").cast("double")).alias("top1_frac"),
+        F.coalesce(
+            F.col("__m2").cast("double") / F.col("__t2").cast("double"), F.lit(0.0)
+        ).alias("top2_frac"),
+    )
+
+
 def md5_fingerprint(col: Column | str) -> Column:
     """Content fingerprint: md5 of the normalized text (hex string)."""
     return F.md5(normalize_text(col))

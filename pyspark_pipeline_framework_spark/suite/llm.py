@@ -3,10 +3,13 @@
 Exact operators (text stats, quality filter, lang-ID, fingerprints,
 exact dedup, n-gram Jaccard, brute-force kNN) are oracle-checked, as
 are the md5-portable hash operators (splits, packing via a
-recursive-CTE greedy oracle, md5-MinHash-LSH candidates). The
-xxhash64-based variants (MinHash, SimHash) and the approximate ANN
-paths (LSH-kNN, IVF) have no DuckDB twin → rows-only here,
-recall-tested in ``tests/test_llm_ops.py``.
+recursive-CTE greedy oracle, md5-MinHash-LSH candidates, md5-SimHash)
+AND the approximate ANN paths in their portable modes: md5-Rademacher
+LSH (full pipeline replayed in SQL) and exact-mode IVF (the oracle
+replays TRAINING — sample, Lloyd iterations, assignment — not just the
+search). Only the xxhash64-native variants (MinHash, SimHash, LSH-kNN,
+IVF fast mode) and HLL stay rows-only, recall-tested in
+``tests/test_llm_ops.py``.
 """
 
 from __future__ import annotations
@@ -429,6 +432,68 @@ def q_sim_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _lsh_md5_oracle(dim: int = 64, n_planes: int = 4, n_tables: int = 8, k: int = 5) -> str:
+    """Full ANN-pipeline oracle for the md5-Rademacher LSH: regenerates
+    the ±1 planes (inlined as literals from the same md5 parity rule),
+    recomputes every plane bit as exact integer arithmetic, rebuilds
+    the per-table buckets, the candidate equi-join, the fixed-point
+    cosine scores, and the rank filter — end to end in SQL."""
+    from pyspark_pipeline_framework_spark.llm.similarity import rademacher_signs
+
+    signs = rademacher_signs(dim, n_planes, n_tables)
+    rows = ",\n      ".join(
+        f"({t}, {p}, [{', '.join(str(s) for s in signs[t][p])}])"
+        for t in range(n_tables)
+        for p in range(n_planes)
+    )
+    return f"""
+    WITH planes(tbl, p, s) AS (VALUES
+      {rows}),
+    vq AS (
+      SELECT vec_id,
+             list_transform(range(1, {dim + 1}),
+               i -> CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1e7) AS BIGINT)) AS q
+      FROM embeddings),
+    bits AS (
+      SELECT v.vec_id, pl.tbl,
+             CASE WHEN list_sum(list_transform(range(1, {dim + 1}), i -> v.q[i] * pl.s[i])) > 0
+                  THEN 1 << pl.p ELSE 0 END AS bit
+      FROM vq v CROSS JOIN planes pl),
+    buckets AS (
+      SELECT vec_id, tbl, CAST(SUM(bit) AS BIGINT) AS b FROM bits GROUP BY 1, 2),
+    cand AS (
+      SELECT DISTINCT qb.vec_id AS query_id, cb.vec_id
+      FROM buckets qb
+      JOIN buckets cb ON qb.tbl = cb.tbl AND qb.b = cb.b AND cb.vec_id <> qb.vec_id
+      WHERE qb.vec_id < 5),
+    scored AS (
+      SELECT c.query_id, c.vec_id, {_o_cos("qe.embedding", "ce.embedding")} AS cos_sim
+      FROM cand c
+      JOIN embeddings qe ON qe.vec_id = c.query_id
+      JOIN embeddings ce ON ce.vec_id = c.vec_id)
+    SELECT query_id, vec_id, cos_sim, rank FROM (
+      SELECT query_id, vec_id, cos_sim,
+             CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cos_sim DESC, vec_id) AS BIGINT) AS rank
+      FROM scored) WHERE rank <= {k}
+    """
+
+
+@case("q_sim_knn_lsh_md5", oracle=_lsh_md5_oracle())
+def q_sim_knn_lsh_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """md5-Rademacher LSH ANN: the oracle replays the ENTIRE pipeline
+    (plane bits -> buckets -> candidate join -> fixed-point cosine ->
+    rank) in SQL, so this approximate operator is hash-gated, not just
+    rows-only."""
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return cosine_topk_lsh(
+        emb, queries, dim=64, k=5, n_planes=4, n_tables=8, hash_fn="md5"
+    ).select("query_id", "vec_id", "cos_sim", "rank")
+
+
 @case("q_sim_knn_ivf", oracle=None)  # approximate (recall<1) -> rows-only
 def q_sim_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-Flat ANN: trained coarse quantizer (deterministic seed + 2
@@ -441,6 +506,113 @@ def q_sim_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk_ivf(emb, queries, dim=64, k=5, nlist=8, nprobe=3).select(
         "query_id", "vec_id", "cos_sim", "rank"
     )
+
+
+def _o_doti(x: str, y: str) -> str:
+    """Integer fixed-point dot (no rescale) — for exact argmax/ordering."""
+    return (
+        f"list_sum(list_transform(range(1, len({x}) + 1), "
+        f"i -> CAST(FLOOR(CAST({x}[i] AS DOUBLE) * CAST({y}[i] AS DOUBLE) * 1e14) AS BIGINT)))"
+    )
+
+
+def _ivf_exact_oracle(
+    dim: int = 64,
+    nlist: int = 8,
+    nprobe: int = 3,
+    train_iters: int = 2,
+    n_train: int = 256,
+    k: int = 5,
+) -> str:
+    """Oracle that replays the ENTIRE IVF pipeline in SQL — including
+    training: md5-ordered sample, init centroids, each Lloyd iteration
+    (exact-integer assign + fixed-point means + renormalize), corpus
+    cell assignment, query probing, candidate join, scoring, ranking.
+    Every arithmetic step mirrors ``ivf_train_centroids_exact`` /
+    ``ivf_cells_exact_udf`` bit-for-bit, so a training bug (not just a
+    search bug) breaks the hash match."""
+    norm_of = lambda arr: f"SQRT(CAST({_o_doti(arr, arr)} AS DOUBLE) / 1e14)"  # noqa: E731
+    ctes = [
+        f"""sample AS (
+      SELECT vec_id, embedding,
+             ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+      FROM embeddings QUALIFY rn <= {n_train})""",
+        f"""c0 AS (
+      SELECT rn - 1 AS j, list_transform(embedding, v -> CAST(v AS DOUBLE) / nrm) AS c
+      FROM (SELECT rn, embedding, {norm_of("embedding")} AS nrm
+            FROM sample WHERE rn <= {nlist}))""",
+    ]
+    for i in range(1, train_iters + 1):
+        prev = f"c{i - 1}"
+        ctes += [
+            f"""a{i} AS (
+      SELECT vec_id, embedding, j FROM (
+        SELECT s.vec_id, s.embedding, c.j,
+               ROW_NUMBER() OVER (PARTITION BY s.vec_id
+                                  ORDER BY {_o_doti("s.embedding", "c.c")} DESC, c.j) AS r
+        FROM sample s CROSS JOIN {prev} c) WHERE r = 1)""",
+            f"""m{i} AS (
+      SELECT a.j, g.d,
+             SUM(CAST(FLOOR(CAST(a.embedding[g.d] AS DOUBLE) * 1e9) AS BIGINT)) AS s,
+             COUNT(*) AS n
+      FROM a{i} a CROSS JOIN generate_series(1, {dim}) g(d) GROUP BY 1, 2)""",
+            f"""mm{i} AS (
+      SELECT j, list(CAST(s AS DOUBLE) / (CAST(n AS DOUBLE) * 1e9) ORDER BY d) AS m
+      FROM m{i} GROUP BY j)""",
+            f"""cm{i} AS (
+      SELECT c.j, COALESCE(mm.m, c.c) AS m
+      FROM {prev} c LEFT JOIN mm{i} mm ON c.j = mm.j)""",
+            f"""c{i} AS (
+      SELECT j, list_transform(m, v -> v / nrm) AS c
+      FROM (SELECT j, m, {norm_of("m")} AS nrm FROM cm{i}))""",
+        ]
+    final = f"c{train_iters}"
+    ctes += [
+        f"""corpuscell AS (
+      SELECT vec_id, cell FROM (
+        SELECT e.vec_id, c.j AS cell,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {_o_doti("e.embedding", "c.c")} DESC, c.j) AS r
+        FROM embeddings e CROSS JOIN {final} c) WHERE r = 1)""",
+        f"""probe AS (
+      SELECT query_id, cell FROM (
+        SELECT e.vec_id AS query_id, c.j AS cell,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {_o_doti("e.embedding", "c.c")} DESC, c.j) AS r
+        FROM embeddings e CROSS JOIN {final} c WHERE e.vec_id < 5) WHERE r <= {nprobe})""",
+        """cand AS (
+      SELECT p.query_id, cc.vec_id
+      FROM probe p JOIN corpuscell cc ON cc.cell = p.cell AND cc.vec_id <> p.query_id)""",
+        f"""scored AS (
+      SELECT c.query_id, c.vec_id, {_o_cos("qe.embedding", "ce.embedding")} AS cos_sim
+      FROM cand c
+      JOIN embeddings qe ON qe.vec_id = c.query_id
+      JOIN embeddings ce ON ce.vec_id = c.vec_id)""",
+    ]
+    joined = ",\n    ".join(ctes)
+    return f"""
+    WITH {joined}
+    SELECT query_id, vec_id, cos_sim, rank FROM (
+      SELECT query_id, vec_id, cos_sim,
+             CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cos_sim DESC, vec_id) AS BIGINT) AS rank
+      FROM scored) WHERE rank <= {k}
+    """
+
+
+@case("q_sim_knn_ivf_exact", oracle=_ivf_exact_oracle())
+def q_sim_knn_ivf_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-mode IVF-Flat ANN: md5-ordered training sample +
+    fixed-point Lloyd + integer-dot cell assignment. The oracle
+    replays training AND search in SQL — the one trained-model
+    operator in the suite whose model itself is hash-gated."""
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return cosine_topk_ivf(
+        emb, queries, dim=64, k=5, nlist=8, nprobe=3, mode="exact", train_sample=256
+    ).select("query_id", "vec_id", "cos_sim", "rank")
 
 
 @case(
@@ -609,6 +781,76 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stratified_sample(d, rate=0.3, id_col="doc_id", strata_col="lang").select(
         "doc_id", "lang"
     )
+
+
+@case(
+    "q_llm_domain_mix",
+    # arithmetic structure mirrored EXACTLY (parenthesization included):
+    # rate = LEAST(1, ((tf·N)·w) / (S·n)), w = sqrt(n), S = decimal-sum
+    # of weights, keep iff md5-uint32 < rate·2^32
+    oracle="""
+    WITH c AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM documents GROUP BY source
+    ), w AS (
+      SELECT source, n, SQRT(CAST(n AS DOUBLE)) AS w FROM c
+    ), t AS (
+      SELECT CAST(SUM(CAST(w AS DECIMAL(38,9))) AS DOUBLE) AS S,
+             CAST(SUM(n) AS DOUBLE) AS N
+      FROM w
+    ), r AS (
+      SELECT w.source,
+             LEAST(1.0, ((0.5 * t.N) * w.w) / (t.S * CAST(w.n AS DOUBLE))) AS rate
+      FROM w CROSS JOIN t
+    )
+    SELECT d.doc_id, d.source FROM documents d JOIN r ON d.source = r.source
+    WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || ':mix'), 1, 8))::BIGINT
+               AS DOUBLE) < r.rate * 4294967296.0
+    """,
+)
+def q_llm_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-reweighted domain mixing (p_d ∝ sqrt(n_d), expected
+    half the corpus): deterministic md5 keep-set, exact per-domain
+    rates — the oracle recomputes rates AND membership."""
+    from pyspark_pipeline_framework_spark.llm.packing import domain_mix_sample
+
+    d = table(spark, sf_dir, "documents")
+    return domain_mix_sample(
+        d, domain_col="source", alpha=0.5, target_fraction=0.5
+    ).select("doc_id", "source")
+
+
+@case(
+    "q_text_repetition",
+    oracle=r"""
+    WITH words AS (
+      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS w FROM documents
+    ), c1 AS (
+      SELECT doc_id, g, COUNT(*) AS c
+      FROM (SELECT doc_id, unnest(w) AS g FROM words) GROUP BY 1, 2
+    ), s1 AS (
+      SELECT doc_id, MAX(c) AS m1, SUM(c) AS t1 FROM c1 GROUP BY 1
+    ), c2 AS (
+      SELECT doc_id, g, COUNT(*) AS c
+      FROM (SELECT doc_id,
+                   unnest(list_transform(range(1, greatest(len(w) - 1, 0) + 1),
+                                         i -> w[i] || ' ' || w[i + 1])) AS g
+            FROM words) GROUP BY 1, 2
+    ), s2 AS (
+      SELECT doc_id, MAX(c) AS m2, SUM(c) AS t2 FROM c2 GROUP BY 1
+    )
+    SELECT s1.doc_id,
+           CAST(s1.m1 AS DOUBLE) / CAST(s1.t1 AS DOUBLE) AS top1_frac,
+           COALESCE(CAST(s2.m2 AS DOUBLE) / CAST(s2.t2 AS DOUBLE), 0.0) AS top2_frac
+    FROM s1 LEFT JOIN s2 ON s1.doc_id = s2.doc_id
+    """,
+)
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style intra-doc repetition fractions (top word / top
+    2-gram share) — boilerplate and degenerate-generation filters."""
+    from pyspark_pipeline_framework_spark.llm.text import repetition_stats
+
+    d = table(spark, sf_dir, "documents")
+    return repetition_stats(d)
 
 
 @case(

@@ -124,6 +124,98 @@ def test_ivf_knn_recall_vs_bruteforce(spark, sf_dir):
         assert abs(ce[k2] - ca[k2]) < 1e-12
 
 
+def test_lsh_md5_recall_and_sign_portability(spark, sf_dir):
+    """md5-Rademacher LSH: recall sanity vs brute force, and the sign
+    planes recompute identically from plain hashlib (engine-portable)."""
+    import hashlib
+
+    from pyspark_pipeline_framework_spark.llm.similarity import rademacher_signs
+
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = cosine_topk_bruteforce(emb, queries, k=3)
+    approx = cosine_topk_lsh(
+        emb, queries, dim=64, k=3, n_planes=4, n_tables=8, hash_fn="md5"
+    )
+    e = {(r.query_id, r.vec_id) for r in exact.collect()}
+    a = {(r.query_id, r.vec_id) for r in approx.collect()}
+    assert len(a & e) / len(e) >= 0.3
+    signs = rademacher_signs(4, n_planes=2, n_tables=1)
+    for p in range(2):
+        for d in range(4):
+            h = int(hashlib.md5(f"lsh:0:{p}:{d}".encode()).hexdigest()[:8], 16)
+            assert signs[0][p][d] == (1 if h % 2 else -1)
+
+
+def test_ivf_exact_mode_recall_and_model_determinism(spark, sf_dir):
+    """Exact-mode IVF: recall sanity, and the fixed-point Lloyd model is
+    bit-identical across partitionings (the property the SQL oracle
+    replay depends on)."""
+    import numpy as np
+
+    from pyspark_pipeline_framework_spark.llm.similarity import (
+        cosine_topk_ivf,
+        ivf_train_centroids_exact,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = cosine_topk_bruteforce(emb, queries, k=3)
+    approx = cosine_topk_ivf(
+        emb, queries, dim=64, k=3, nlist=8, nprobe=3, mode="exact", train_sample=256
+    )
+    e = {(r.query_id, r.vec_id) for r in exact.collect()}
+    a = {(r.query_id, r.vec_id) for r in approx.collect()}
+    assert len(a & e) / len(e) >= 0.5
+    c1 = ivf_train_centroids_exact(emb, dim=64, nlist=8, train_iters=2, train_sample=256)
+    c2 = ivf_train_centroids_exact(
+        emb.repartition(7), dim=64, nlist=8, train_iters=2, train_sample=256
+    )
+    assert np.array_equal(c1, c2)
+
+
+def test_domain_mix_upsamples_small_domains(spark, sf_dir, docs):
+    """alpha=0.5 keep-rates: smaller domains keep a larger fraction of
+    their docs than bigger ones; expected total ≈ target_fraction; and
+    the md5 keep-set is deterministic."""
+    from pyspark_pipeline_framework_spark.llm.packing import domain_mix_sample
+
+    base = {r["source"]: r["n"] for r in docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    picked = domain_mix_sample(docs, domain_col="source", alpha=0.5, target_fraction=0.5)
+    got = {r["source"]: r["n"] for r in picked.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    rates = {s: got.get(s, 0) / n for s, n in base.items()}
+    smallest = min(base, key=base.get)
+    largest = max(base, key=base.get)
+    if base[smallest] < base[largest]:  # only meaningful when sizes differ
+        assert rates[smallest] >= rates[largest]
+    total_frac = sum(got.values()) / sum(base.values())
+    assert 0.3 <= total_frac <= 0.7
+    again = domain_mix_sample(docs, domain_col="source", alpha=0.5, target_fraction=0.5)
+    assert {r.doc_id for r in picked.select("doc_id").collect()} == {
+        r.doc_id for r in again.select("doc_id").collect()
+    }
+
+
+def test_repetition_stats_known_values(spark):
+    from pyspark_pipeline_framework_spark.llm.text import repetition_stats
+
+    df = spark.createDataFrame(
+        [(1, "a a a b"), (2, "x"), (3, "p q p q")], ["doc_id", "text"]
+    )
+    out = {r.doc_id: r for r in repetition_stats(df).collect()}
+    assert abs(out[1].top1_frac - 3 / 4) < 1e-12
+    assert abs(out[1].top2_frac - 2 / 3) < 1e-12   # "a a" twice of 3 grams
+    assert out[2].top1_frac == 1.0 and out[2].top2_frac == 0.0
+    assert abs(out[3].top1_frac - 2 / 4) < 1e-12
+    assert abs(out[3].top2_frac - 2 / 3) < 1e-12   # "p q" twice of 3 grams
+
+
 def test_ivf_training_deterministic(spark, sf_dir):
     from pyspark_pipeline_framework_spark.llm.similarity import ivf_train_centroids
 
