@@ -223,30 +223,77 @@ def jaccard_verify(
     text_col: str = "text",
     shingle_k: int = 3,
     threshold: float = 0.5,
+    method: str = "array",
+    materialize_candidates: bool = True,
 ) -> DataFrame:
     """Exact-Jaccard verification of candidate pairs (id_a, id_b): the
     scale-correct composition is :func:`minhash_candidate_pairs` →
     this. Work is bounded by the candidate list, never the corpus:
-    shingles are materialized only for documents that appear in a
-    candidate pair (left-semi prune), the intersection count is a
-    pair⨝shingle equi-join on (doc, shingle-hash) longs, and the text
-    payload is never shuffled. Returns (id_a, id_b, n_common, jaccard)
-    for pairs at/above ``threshold`` — same schema and semantics as
-    :func:`ngram_jaccard_pairs`, restricted to candidates."""
+    shingle sets are materialized only for documents that appear in a
+    candidate pair (left-semi prune), and the text payload is never
+    shuffled. Returns (id_a, id_b, n_common, jaccard) for pairs
+    at/above ``threshold`` — same schema and semantics as
+    :func:`ngram_jaccard_pairs`, restricted to candidates.
+
+    ``method="array"`` (default): each side's distinct shingle-hash
+    set travels as one ``array<bigint>`` row; two equi-joins, then
+    ``array_intersect`` per pair — no explode, no per-shingle shuffle.
+    Right when document length is bounded (the normal case after a
+    length-capped quality filter). ``method="join"``: per-shingle
+    explode + (doc, hash) equi-join + count — rows stay tiny no matter
+    how long one document is; use when lengths are unbounded.
+
+    ``materialize_candidates``: the candidate DataFrame feeds three
+    branches of the plan (the touched-id semi-join prune on each side
+    and the pair join itself); without materialization Spark recomputes
+    the whole candidate-generation DAG — typically a full MinHash-LSH
+    pass — once per branch. An eager ``localCheckpoint`` computes it
+    exactly once; candidates are bounded by construction (that is the
+    point of LSH), so the checkpointed footprint is two longs per
+    pair."""
     cand = candidates.select(
         F.col("id_a").cast("long").alias("id_a"), F.col("id_b").cast("long").alias("id_b")
     ).distinct()
+    if materialize_candidates:
+        cand = cand.localCheckpoint(eager=True)
     touched = (
         cand.select(F.col("id_a").alias("id"))
         .union(cand.select(F.col("id_b").alias("id")))
         .distinct()
     )
-    sh = (
+    pruned = (
         ensure_parallelism(df)
         .select(F.col(id_col).cast("long").alias("id"), F.col(text_col).alias("__t"))
         .join(touched, "id", "left_semi")
-        .select("id", F.explode(_shingles("__t", shingle_k)).alias("shingle"))
-        .select("id", F.xxhash64("shingle").alias("sh"))
+    )
+    if method == "array":
+        sets = pruned.select(
+            "id",
+            F.array_distinct(
+                F.transform(_shingles("__t", shingle_k), lambda s: F.xxhash64(s))
+            ).alias("__set"),
+        )
+        return (
+            cand.join(sets.select(F.col("id").alias("id_a"), F.col("__set").alias("__sa")), "id_a")
+            .join(sets.select(F.col("id").alias("id_b"), F.col("__set").alias("__sb")), "id_b")
+            .select(
+                "id_a",
+                "id_b",
+                F.size(F.array_intersect("__sa", "__sb")).cast("long").alias("n_common"),
+                F.size("__sa").alias("__za"),
+                F.size("__sb").alias("__zb"),
+            )
+            .withColumn(
+                "jaccard",
+                F.col("n_common") / (F.col("__za") + F.col("__zb") - F.col("n_common")),
+            )
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "n_common", "jaccard")
+        )
+    if method != "join":
+        raise ValueError(f"method must be 'array' or 'join', got {method!r}")
+    sh = pruned.select("id", F.explode(_shingles("__t", shingle_k)).alias("shingle")).select(
+        "id", F.xxhash64("shingle").alias("sh")
     )
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     sh_a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
@@ -313,28 +360,29 @@ def simhash(
     sums = exploded.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("__n"),
         *[
-            F.sum(F.shiftright(F.col("__h"), j).bitwiseAND(F.lit(lane_mask))).alias(f"__l{j}")
+            F.expr(f"sum(shiftright(__h, {j}) & {lane_mask})").alias(f"__l{j}")
             for j in range(16)
         ],
     )
-    terms = []
-    for j in range(16):
-        for k in range(4):
-            cnt = F.shiftright(F.col(f"__l{j}"), 16 * k).bitwiseAND(F.lit(0xFFFF))
-            terms.append(
-                F.when(
-                    cnt * 2 > F.col("__n"), F.shiftleft(F.lit(1).cast("long"), j + 16 * k)
-                ).otherwise(F.lit(0).cast("long"))
-            )
-    # balanced OR-reduction: a 64-deep left chain costs ~1s of
-    # driver-side analysis per query (tree traversals are depth-
-    # sensitive); depth-6 is measurably cheaper with identical results
+    # the 64-term unpack is ONE JVM-parsed expr string: building it
+    # from Column ops costs ~400 py4j round-trips (~1.5s of pure
+    # driver-client latency per invocation); parsing is two calls.
+    # Balanced OR parenthesization keeps the analyzer's tree shallow
+    # (a 64-deep left chain costs ~1s of depth-sensitive analysis).
+    terms = [
+        # bit 63 as a literal (2^63) overflows BIGINT under ANSI —
+        # emit every bit as a shift of 1L instead
+        f"IF((shiftright(__l{j}, {16 * k}) & 65535) * 2 > __n, "
+        f"shiftleft(CAST(1 AS BIGINT), {j + 16 * k}), CAST(0 AS BIGINT))"
+        for j in range(16)
+        for k in range(4)
+    ]
     while len(terms) > 1:
         terms = [
-            terms[i].bitwiseOR(terms[i + 1]) if i + 1 < len(terms) else terms[i]
+            f"({terms[i]} | {terms[i + 1]})" if i + 1 < len(terms) else terms[i]
             for i in range(0, len(terms), 2)
         ]
-    return sums.select(F.col(id_col), terms[0].alias("simhash"))
+    return sums.select(F.col(id_col), F.expr(terms[0]).alias("simhash"))
 
 
 def hamming_distance(a: Column, b: Column) -> Column:
@@ -416,10 +464,18 @@ def connected_components(
         .distinct()
         .localCheckpoint(eager=False)
     )
-    labels = edges.select("u").distinct().select(
-        F.col("u").alias("id"), F.col("u").alias("label")
+    # fused round 1: with labels initialized to own ids, the first
+    # propagation is just min(id, min neighbor id) — one groupBy over
+    # the edge list instead of a join round. Seeding prev_sum with the
+    # init labels' sum lets near-clique dedup graphs (diameter ≤ 2)
+    # terminate after a single join round instead of three.
+    labels = (
+        edges.groupBy("u")
+        .agg(F.min("v").alias("__mn"))
+        .select(F.col("u").alias("id"), F.least("u", "__mn").alias("label"))
+        .localCheckpoint(eager=False)
     )
-    prev_sum = None
+    prev_sum = labels.agg(F.sum(F.col("label").cast("decimal(38,0)"))).first()[0]
     for _ in range(max_iters):
         nbr_min = (
             edges.join(labels, edges.v == labels.id)
@@ -464,3 +520,54 @@ def dedup_clusters(
             (F.coalesce("cluster_id", F.col(id_col)) != F.col(id_col)).alias("is_duplicate"),
         )
     )
+
+
+def passage_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 20,
+    stride: int = 20,
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """Passage-level exact dedup (boilerplate removal): cut each
+    document into ``window``-word passages every ``stride`` words,
+    hash each passage, and mark every occurrence after the corpus-wide
+    first (ordered by doc id, then position) as a duplicate. Returns
+    (id, pos, passage_hash, is_duplicate) — callers drop flagged
+    passages or route docs with high duplicate share to review.
+
+    ``hash_fn="md5"`` is engine-portable (SQL oracles recompute it);
+    ``"xxhash64"`` is the cheaper scale default inside Spark.
+
+    Scale: passages are map-side column expressions (no UDF); the only
+    shuffle is the window partition on the passage hash — 16-to-32-byte
+    keys plus two ints, never the text. A hot passage (the classic
+    boilerplate header) lands in one partition but carries only its
+    tiny rows, and the first-occurrence rule needs exactly that
+    grouping."""
+    words = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    n = F.size(words)
+    starts = F.sequence(
+        F.lit(1), F.greatest(n - (window - 1), F.lit(1)), F.lit(stride)
+    )
+    text_of = lambda i: F.concat_ws(" ", F.slice(words, i, window))  # noqa: E731
+    if hash_fn == "md5":
+        hash_of = lambda i: F.md5(text_of(i))  # noqa: E731
+    elif hash_fn == "xxhash64":
+        hash_of = lambda i: F.xxhash64(text_of(i)).cast("string")  # noqa: E731
+    else:
+        raise ValueError(f"hash_fn must be 'md5' or 'xxhash64', got {hash_fn!r}")
+    passages = F.transform(
+        starts,
+        lambda i: F.struct(
+            i.cast("long").alias("pos"), hash_of(i).alias("passage_hash")
+        ),
+    )
+    ex = (
+        ensure_parallelism(df)
+        .select(F.col(id_col), F.explode(passages).alias("__p"))
+        .select(F.col(id_col), F.col("__p.pos").alias("pos"), F.col("__p.passage_hash").alias("passage_hash"))
+    )
+    w = Window.partitionBy("passage_hash").orderBy(F.col(id_col), F.col("pos"))
+    return ex.withColumn("is_duplicate", F.row_number().over(w) > 1)

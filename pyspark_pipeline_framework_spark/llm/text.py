@@ -165,6 +165,117 @@ def repetition_stats(
     )
 
 
+#: PII patterns — deliberately restricted to syntax with IDENTICAL
+#: semantics in Java regex (Spark) and RE2 (DuckDB): character classes,
+#: bounded repetition, non-capturing groups, \b. No lookaround, no
+#: backreferences (RE2 has neither), so an oracle can replay detection
+#: and redaction bit-for-bit.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\b(?:\d{1,3}\.){3}\d{1,3}\b"
+PII_PHONE = r"\+?\d{1,3}[-.\s]\(?\d{3}\)?[-.\s]\d{3,4}\b"
+PII_SSN = r"\b\d{3}-\d{2}-\d{4}\b"
+
+#: redaction applies in this fixed order; tokens contain no digits or
+#: '@', so earlier redactions can never create later matches
+PII_RULES: list[tuple[str, str, str]] = [
+    ("email", PII_EMAIL, "[EMAIL]"),
+    ("ipv4", PII_IPV4, "[IP]"),
+    ("ssn", PII_SSN, "[SSN]"),
+    ("phone", PII_PHONE, "[PHONE]"),
+]
+
+
+def pii_stats(
+    df: DataFrame, text_col: str = "text", rules: list[tuple[str, str, str]] | None = None
+) -> DataFrame:
+    """Per-document PII hit counts (``n_email``, ``n_ipv4``, ...), one
+    ``regexp_count`` per rule over the ORIGINAL text. Map-only column
+    expressions — at 100 TB this is a single scan, no shuffle."""
+    t = F.col(text_col)
+    return df.withColumns(
+        {f"n_{name}": F.regexp_count(t, F.lit(pat)) for name, pat, _ in (rules or PII_RULES)}
+    )
+
+
+def pii_redact(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "redacted",
+    rules: list[tuple[str, str, str]] | None = None,
+) -> DataFrame:
+    """Replace every PII match with its rule token, applying rules in
+    :data:`PII_RULES` order (email → ipv4 → ssn → phone; tokens are
+    digit-free so redaction is confluent). Pure ``regexp_replace``
+    chain — whole-stage codegen, no Python."""
+    out = F.col(text_col)
+    for _, pat, token in rules or PII_RULES:
+        out = F.regexp_replace(out, pat, token)
+    return df.withColumn(out_col, out)
+
+
+#: URLs: scheme + authority + non-space path (identical in Java/RE2)
+URL_PATTERN = r"https?://[^\s]+"
+
+
+def extract_urls(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """One row per (document, url) via ``regexp_extract_all`` +
+    ``posexplode`` (position keeps multiple identical URLs distinct).
+    Map-side explode — the only shuffle is whatever the caller does
+    with the result."""
+    urls = F.regexp_extract_all(F.col(text_col), F.lit(URL_PATTERN), F.lit(0))
+    return df.select(F.col(id_col), F.posexplode(urls).alias("pos", "url")).withColumn(
+        "domain", F.regexp_extract(F.col("url"), r"https?://([^/\s]+)", 1)
+    )
+
+
+def url_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document URL signals: count, distinct-domain count, and the
+    lexicographically first domain (deterministic representative).
+    Array expressions only — no explode, no shuffle."""
+    urls = F.regexp_extract_all(F.col(text_col), F.lit(URL_PATTERN), F.lit(0))
+    domains = F.transform(urls, lambda u: F.regexp_extract(u, r"https?://([^/\s]+)", 1))
+    return df.select(
+        F.col(id_col),
+        F.size(urls).alias("n_urls"),
+        F.size(F.array_distinct(domains)).alias("n_domains"),
+        F.array_min(domains).alias("first_domain"),
+    )
+
+
+def vocab_topk(
+    df: DataFrame,
+    k: int = 100,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus heavy hitters: the ``k`` most frequent words with total
+    term frequency ``tf`` and document frequency ``df_docs``; ties
+    broken by term ascending.
+
+    Scale: explode → groupBy(term) with map-side partial aggregation
+    (hot words combine locally before the shuffle), df via
+    count(DISTINCT doc) inside the same aggregate; the final top-k is
+    ``TakeOrderedAndProject`` — only k rows reach the driver side of
+    the limit, never the full vocabulary."""
+    words = df.select(
+        F.col(id_col).alias("__d"),
+        F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("term"),
+    )
+    return (
+        words.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("tf"),
+            F.count_distinct(F.col("__d")).alias("df_docs"),
+        )
+        .orderBy(F.col("tf").desc(), F.col("term"))
+        .limit(k)
+    )
+
+
 def md5_fingerprint(col: Column | str) -> Column:
     """Content fingerprint: md5 of the normalized text (hex string)."""
     return F.md5(normalize_text(col))
@@ -179,3 +290,36 @@ def rolling_shingle_hashes(col: Column | str, k: int = 3) -> Column:
     n = F.size(words)
     idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
     return F.transform(idx, lambda i: F.xxhash64(F.concat_ws(" ", F.slice(words, i, k))))
+
+
+def corpus_stats(
+    df: DataFrame,
+    by: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-domain corpus accounting for data-mix reporting: document
+    count, total whitespace tokens, total characters, mean tokens per
+    doc, and the domain's share of all corpus tokens.
+
+    All counts are exact integers; the two doubles (mean, share) are
+    single divisions of exact integers — engine-portable. One groupBy
+    on the domain key with map-side combine, plus a broadcast of the
+    one-row corpus total — no second pass over the data."""
+    per = df.groupBy(by).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count_ws(text_col).cast("long")).alias("total_tokens"),
+        F.sum(F.length(F.col(text_col)).cast("long")).alias("total_chars"),
+    )
+    tot = per.agg(F.sum("total_tokens").alias("__corpus_tokens"))
+    return per.crossJoin(F.broadcast(tot)).select(
+        by,
+        "n_docs",
+        "total_tokens",
+        "total_chars",
+        (F.col("total_tokens").cast("double") / F.col("n_docs").cast("double")).alias(
+            "mean_tokens"
+        ),
+        (
+            F.col("total_tokens").cast("double") / F.col("__corpus_tokens").cast("double")
+        ).alias("token_share"),
+    )

@@ -25,6 +25,10 @@ from pyspark_pipeline_framework_spark.streaming.sinks import (
     MemoryStreamingSink,
     StreamingSink,
 )
+from pyspark_pipeline_framework_spark.streaming.joins import (
+    stream_static_join,
+    stream_stream_join,
+)
 from pyspark_pipeline_framework_spark.streaming.hooks import (
     CompositeStreamingHooks,
     LoggingStreamingHooks,
@@ -60,4 +64,6 @@ __all__ = [
     "LoggingStreamingHooks",
     "CompositeStreamingHooks",
     "attach_listener",
+    "stream_stream_join",
+    "stream_static_join",
 ]

@@ -945,3 +945,204 @@ def q_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
     pairs = ngram_jaccard_pairs(d, shingle_k=3, threshold=0.8)
     return dedup_clusters(d, pairs)
+
+
+def _pii_oracle() -> str:
+    """Synthesizes deterministic PII-bearing text from customer keys in
+    SQL (same construction as the Spark case), then replays detection
+    (len(regexp_extract_all)) and the ordered redaction chain
+    (regexp_replace ... 'g'). Patterns are the Java∩RE2-safe subset
+    from llm/text.py — identical match semantics in both engines."""
+    from pyspark_pipeline_framework_spark.llm.text import PII_RULES
+
+    counts = ",\n      ".join(
+        f"CAST(len(regexp_extract_all(text, '{pat}')) AS INT) AS n_{name}"
+        for name, pat, _ in PII_RULES
+    )
+    red = "text"
+    for _, pat, token in PII_RULES:
+        red = f"regexp_replace({red}, '{pat}', '{token}', 'g')"
+    return f"""
+    WITH base AS (
+      SELECT c_custkey AS doc_id,
+             'reach ' || c_name || ' at user' || CAST(c_custkey AS VARCHAR)
+             || '@example.com or +1-555-'
+             || lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0')
+             || ' ip 10.0.' || CAST(c_custkey % 256 AS VARCHAR)
+             || '.17 ssn 123-45-6789 done' AS text
+      FROM customer
+    )
+    SELECT doc_id,
+      {counts},
+      {red} AS redacted
+    FROM base
+    """
+
+
+@case("q_text_pii", oracle=_pii_oracle())
+def q_text_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction (email / IPv4 / SSN / phone) over
+    deterministic synthesized contact strings: counts on the original
+    text, then the ordered digit-free-token redaction chain. Map-only
+    regexp expressions — a single scan at any scale."""
+    from pyspark_pipeline_framework_spark.llm.text import pii_redact, pii_stats
+
+    c = table(spark, sf_dir, "customer")
+    txt = F.concat(
+        F.lit("reach "),
+        F.col("c_name"),
+        F.lit(" at user"),
+        F.col("c_custkey").cast("string"),
+        F.lit("@example.com or +1-555-"),
+        F.lpad((F.col("c_custkey") % 10000).cast("string"), 4, "0"),
+        F.lit(" ip 10.0."),
+        (F.col("c_custkey") % 256).cast("string"),
+        F.lit(".17 ssn 123-45-6789 done"),
+    )
+    base = c.select(F.col("c_custkey").alias("doc_id"), txt.alias("text"))
+    out = pii_redact(pii_stats(base))
+    return out.select("doc_id", "n_email", "n_ipv4", "n_ssn", "n_phone", "redacted")
+
+
+@case(
+    "q_text_urls",
+    oracle=r"""
+    WITH base AS (
+      SELECT doc_id,
+             text || ' see https://' || source || '.example.com/p/'
+                  || CAST(doc_id AS VARCHAR) || ' and http://mirror.net/' || source AS text
+      FROM documents
+    ), u AS (
+      SELECT doc_id,
+             regexp_extract_all(text, 'https?://[^\s]+') AS urls
+      FROM base
+    )
+    SELECT doc_id,
+           CAST(len(urls) AS INT) AS n_urls,
+           CAST(len(list_distinct(list_transform(urls,
+                x -> regexp_extract(x, 'https?://([^/\s]+)', 1)))) AS INT) AS n_domains,
+           list_min(list_transform(urls,
+                x -> regexp_extract(x, 'https?://([^/\s]+)', 1))) AS first_domain
+    FROM u
+    """,
+)
+def q_text_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL extraction stats (count, distinct domains, lexicographic
+    first domain) over documents with deterministic appended URLs —
+    array expressions only, no explode, no shuffle."""
+    from pyspark_pipeline_framework_spark.llm.text import url_stats
+
+    d = table(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" see https://"),
+            F.col("source"),
+            F.lit(".example.com/p/"),
+            F.col("doc_id").cast("string"),
+            F.lit(" and http://mirror.net/"),
+            F.col("source"),
+        ).alias("text"),
+    )
+    return url_stats(base)
+
+
+@case(
+    "q_text_vocab",
+    oracle=r"""
+    WITH w AS (
+      SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+      FROM documents
+    )
+    SELECT term,
+           CAST(COUNT(*) AS BIGINT) AS tf,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df_docs
+    FROM w GROUP BY term ORDER BY tf DESC, term LIMIT 50
+    """,
+)
+def q_text_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus heavy hitters: top-50 words by total term frequency with
+    document frequency; deterministic tie-break by term. Map-side
+    partial aggregation + TakeOrderedAndProject top-k."""
+    from pyspark_pipeline_framework_spark.llm.text import vocab_topk
+
+    d = table(spark, sf_dir, "documents")
+    return vocab_topk(d, k=50)
+
+
+@case(
+    "q_dedup_passages",
+    oracle=r"""
+    WITH words AS (
+      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS w FROM documents
+    ), p AS (
+      SELECT doc_id,
+             unnest(range(1, greatest(len(w) - 19, 1) + 1, 20)) AS pos,
+             w
+      FROM words
+    )
+    SELECT doc_id,
+           CAST(pos AS BIGINT) AS pos,
+           md5(array_to_string(list_slice(w, pos, pos + 19), ' ')) AS passage_hash,
+           ROW_NUMBER() OVER (
+             PARTITION BY md5(array_to_string(list_slice(w, pos, pos + 19), ' '))
+             ORDER BY doc_id, pos) > 1 AS is_duplicate
+    FROM p
+    """,
+)
+def q_dedup_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Passage-level exact dedup (20-word windows, stride 20, md5):
+    every passage occurrence after the corpus-wide first is flagged.
+    The oracle recuts, rehashes, and re-ranks every passage in SQL."""
+    from pyspark_pipeline_framework_spark.llm.dedup import passage_dedup
+
+    d = table(spark, sf_dir, "documents")
+    return passage_dedup(d, window=20, stride=20, hash_fn="md5")
+
+
+@case(
+    "q_emb_centroids",
+    oracle="""
+    SELECT label,
+           CAST(g.d - 1 AS INT) AS d,
+           CAST(SUM(CAST(FLOOR(CAST(embedding[g.d] AS DOUBLE) * 1e9) AS BIGINT)) AS DOUBLE)
+             / (CAST(COUNT(*) AS DOUBLE) * 1e9) AS centroid,
+           CAST(COUNT(*) AS BIGINT) AS n_vectors
+    FROM embeddings CROSS JOIN generate_series(1, 64) g(d)
+    GROUP BY label, g.d
+    """,
+)
+def q_emb_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids in long form — fixed-point integer
+    sums (order-independent, partitioning-proof), one double division;
+    the oracle replays the identical arithmetic per (label, dim)."""
+    from pyspark_pipeline_framework_spark.llm.similarity import embedding_centroids
+
+    e = table(spark, sf_dir, "embeddings")
+    return embedding_centroids(e, key_col="label")
+
+
+@case(
+    "q_corpus_stats",
+    oracle=r"""
+    WITH per AS (
+      SELECT source,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS total_tokens,
+             CAST(SUM(LENGTH(text)) AS BIGINT) AS total_chars
+      FROM documents GROUP BY source
+    ), t AS (SELECT CAST(SUM(total_tokens) AS DOUBLE) AS ct FROM per)
+    SELECT source, n_docs, total_tokens, total_chars,
+           CAST(total_tokens AS DOUBLE) / CAST(n_docs AS DOUBLE) AS mean_tokens,
+           CAST(total_tokens AS DOUBLE) / t.ct AS token_share
+    FROM per CROSS JOIN t
+    """,
+)
+def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain corpus accounting (docs, tokens, chars, mean tokens,
+    token share) — exact integer counts, two IEEE divisions."""
+    from pyspark_pipeline_framework_spark.llm.text import corpus_stats
+
+    d = table(spark, sf_dir, "documents")
+    return corpus_stats(d, by="source")

@@ -342,3 +342,101 @@ def test_multimodal_pluggable_codec(spark, docs):
     # default path (stub) unchanged
     stub_rows = extract_features(with_payload).collect()
     assert {r.doc_id for r in stub_rows} == {r.doc_id for r in rows}
+
+
+def test_pii_detect_and_redact_known_strings(spark):
+    from pyspark_pipeline_framework_spark.llm.text import pii_redact, pii_stats
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail bob.smith+x@corp.io or call +1-555-0142 from 192.168.0.1"),
+            (2, "ssn 123-45-6789 twice 123-45-6789"),
+            (3, "no pii here at all"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in pii_redact(pii_stats(df)).collect()}
+    assert (out[1].n_email, out[1].n_ipv4, out[1].n_phone) == (1, 1, 1)
+    assert "bob.smith" not in out[1].redacted and "[EMAIL]" in out[1].redacted
+    assert "192.168" not in out[1].redacted and "[IP]" in out[1].redacted
+    assert "555-0142" not in out[1].redacted and "[PHONE]" in out[1].redacted
+    assert out[2].n_ssn == 2 and out[2].redacted == "ssn [SSN] twice [SSN]"
+    assert out[3].redacted == "no pii here at all"
+    assert (out[3].n_email, out[3].n_ipv4, out[3].n_ssn, out[3].n_phone) == (0, 0, 0, 0)
+
+
+def test_url_extract_and_stats(spark):
+    from pyspark_pipeline_framework_spark.llm.text import extract_urls, url_stats
+
+    df = spark.createDataFrame(
+        [
+            (1, "see https://a.example.com/x and http://b.net/y?q=1 plus https://a.example.com/z"),
+            (2, "plain text"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = extract_urls(df).collect()
+    assert len(rows) == 3 and all(r.doc_id == 1 for r in rows)
+    assert {r.domain for r in rows} == {"a.example.com", "b.net"}
+    st = {r.doc_id: r for r in url_stats(df).collect()}
+    assert (st[1].n_urls, st[1].n_domains, st[1].first_domain) == (3, 2, "a.example.com")
+    assert (st[2].n_urls, st[2].n_domains, st[2].first_domain) == (0, 0, None)
+
+
+def test_vocab_topk_counts_and_tiebreak(spark):
+    from pyspark_pipeline_framework_spark.llm.text import vocab_topk
+
+    df = spark.createDataFrame(
+        [(1, "a b a c"), (2, "a b b z")], ["doc_id", "text"]
+    )
+    rows = vocab_topk(df, k=3).collect()
+    assert [(r.term, r.tf, r.df_docs) for r in rows] == [
+        ("a", 3, 2),
+        ("b", 3, 2),
+        ("c", 1, 1),   # tf tie at 1 broken by term asc: c before z
+    ]
+
+
+def test_passage_dedup_flags_shared_passages(spark):
+    from pyspark_pipeline_framework_spark.llm.dedup import passage_dedup
+
+    shared = " ".join(f"w{i}" for i in range(4))
+    df = spark.createDataFrame(
+        [(1, shared + " unique tail one"), (2, shared + " other suffix two"), (3, "totally different words here")],
+        ["doc_id", "text"],
+    )
+    out = passage_dedup(df, window=4, stride=4, hash_fn="md5").collect()
+    # doc 1 pos 1 and doc 2 pos 1 share the 4-word window; first (doc 1) kept
+    flags = {(r.doc_id, r.pos): r.is_duplicate for r in out}
+    assert flags[(1, 1)] is False and flags[(2, 1)] is True
+    assert not any(dup for (d, _), dup in flags.items() if d == 3)
+    # xxhash64 mode flags the same positions
+    out2 = passage_dedup(df, window=4, stride=4, hash_fn="xxhash64").collect()
+    assert {(r.doc_id, r.pos): r.is_duplicate for r in out2} == flags
+
+
+def test_embedding_centroids_exact_means(spark):
+    from pyspark_pipeline_framework_spark.llm.similarity import embedding_centroids
+
+    df = spark.createDataFrame(
+        [("a", [1.0, 2.0]), ("a", [3.0, 6.0]), ("b", [5.0, -1.0])],
+        ["label", "embedding"],
+    )
+    rows = {(r.label, r.d): r for r in embedding_centroids(df, key_col="label").collect()}
+    assert rows[("a", 0)].centroid == 2.0 and rows[("a", 1)].centroid == 4.0
+    assert rows[("b", 0)].centroid == 5.0 and rows[("b", 1)].centroid == -1.0
+    assert rows[("a", 0)].n_vectors == 2 and rows[("b", 1)].n_vectors == 1
+
+
+def test_corpus_stats_counts_and_share(spark):
+    from pyspark_pipeline_framework_spark.llm.text import corpus_stats
+
+    df = spark.createDataFrame(
+        [("s1", "a b c"), ("s1", "d e"), ("s2", "f g h i j")],
+        ["source", "text"],
+    )
+    st = {r.source: r for r in corpus_stats(df, by="source").collect()}
+    assert st["s1"].n_docs == 2 and st["s1"].total_tokens == 5
+    assert st["s2"].total_tokens == 5
+    assert abs(st["s1"].token_share - 0.5) < 1e-12
+    assert abs(st["s1"].mean_tokens - 2.5) < 1e-12

@@ -144,3 +144,75 @@ def test_streaming_listener_hooks(spark, tmp_path):
         assert events["progress"] >= 1
     finally:
         spark.streams.removeListener(listener)
+
+
+def test_stream_stream_join_time_bounded(spark, tmp_path):
+    """Watermarked stream-stream inner join with a time-range bound —
+    impressions joined to clicks within 10 minutes (the bounded-state
+    shape from SURVEY.md §2.6's add-on list)."""
+    from pyspark_pipeline_framework_spark.streaming import stream_stream_join
+
+    imp_dir, clk_dir, ckpt = str(tmp_path / "imp"), str(tmp_path / "clk"), str(tmp_path / "ck")
+    imps = [("a", "2024-01-01 00:00:00"), ("b", "2024-01-01 00:05:00")]
+    clks = [
+        ("a", "2024-01-01 00:04:00"),   # within 10m of impression a -> match
+        ("b", "2024-01-01 00:30:00"),   # 25m after impression b -> no match
+    ]
+    spark.createDataFrame(imps, "ad string, imp_ts_s string").coalesce(1).write.json(imp_dir)
+    spark.createDataFrame(clks, "ad string, clk_ts_s string").coalesce(1).write.json(clk_dir)
+
+    left = (
+        spark.readStream.schema("ad STRING, imp_ts_s STRING").json(imp_dir)
+        .withColumn("imp_ts", F.to_timestamp("imp_ts_s"))
+    )
+    right = (
+        spark.readStream.schema("ad STRING, clk_ts_s STRING").json(clk_dir)
+        .withColumn("clk_ts", F.to_timestamp("clk_ts_s"))
+    )
+    joined = stream_stream_join(
+        left, right, on="ad", left_ts="imp_ts", right_ts="clk_ts",
+        watermark="1 minute", within="10 minutes",
+    )
+    q = (
+        joined.select("ad", "imp_ts", "clk_ts")
+        .writeStream.format("memory").queryName("ss_join")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    rows = spark.table("ss_join").collect()
+    assert [(r.ad, r.clk_ts.minute) for r in rows] == [("a", 4)]
+
+
+def test_stream_stream_join_refuses_unbounded(spark, tmp_path):
+    from pyspark_pipeline_framework_spark.streaming import stream_stream_join
+
+    d = str(tmp_path / "s")
+    spark.createDataFrame([("a", "2024-01-01 00:00:00")], "k string, ts_s string").write.json(d)
+    s = (
+        spark.readStream.schema("k STRING, ts_s STRING").json(d)
+        .withColumn("ts", F.to_timestamp("ts_s"))
+    )
+    with pytest.raises(ValueError, match="unbounded"):
+        stream_stream_join(s, s, on="k", left_ts="ts", right_ts="ts", within=None)
+    with pytest.raises(ValueError, match="time bound"):
+        stream_stream_join(s, s, on="k", left_ts="ts", right_ts="ts", within=None, how="leftOuter")
+
+
+def test_stream_static_join_broadcast(spark, tmp_path):
+    from pyspark_pipeline_framework_spark.streaming import stream_static_join
+
+    src, ckpt = str(tmp_path / "in"), str(tmp_path / "ck")
+    spark.createDataFrame([(1, "x"), (2, "y"), (3, "z")], "k long, v string").coalesce(1).write.json(src)
+    dim = spark.createDataFrame([(1, "one"), (2, "two")], "k long, name string")
+    stream = spark.readStream.schema("k LONG, v STRING").json(src)
+    q = (
+        stream_static_join(stream, dim, on="k")
+        .writeStream.format("memory").queryName("ss_static")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    assert {(r.k, r.name) for r in spark.table("ss_static").collect()} == {(1, "one"), (2, "two")}
