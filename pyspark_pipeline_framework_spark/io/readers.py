@@ -101,8 +101,7 @@ def read_source(spark: SparkSession, config: SourceConfig) -> DataFrame:
     else:
         df = _read_source_df(spark, config)
     for c in config.nanos_ts_cols or ():
-        if dict(df.dtypes).get(c) == "bigint":
-            df = df.withColumn(c, F.expr(f"timestamp_micros({c} DIV 1000)"))
+        df = _normalize_nanos_col(df, c)
     if config.filter_condition:
         df = df.filter(config.filter_condition)
     if config.select:
@@ -115,6 +114,23 @@ def read_source(spark: SparkSession, config: SourceConfig) -> DataFrame:
 #: (legacy conf) and truncate to microseconds, matching how DuckDB (the
 #: oracle) and Arrow coerce ns → us.
 _NANOS_TS_COLS = {"events": ["ts"]}
+
+
+def _normalize_nanos_col(df: DataFrame, c: str) -> DataFrame:
+    """Normalize a TIMESTAMP(NANOS) parquet column to plain ``timestamp``.
+
+    Spark version drift: older readers reject nanos unless the legacy
+    nanosAsLong conf maps them to bigint (then we truncate ns → us);
+    Spark ≥4.1 reads them natively as ``timestamp_ntz``. Either way the
+    stable contract downstream is a session-tz (UTC-pinned) timestamp
+    at microsecond precision, matching the DuckDB oracle's coercion.
+    """
+    dt = dict(df.dtypes).get(c)
+    if dt == "bigint":
+        return df.withColumn(c, F.expr(f"timestamp_micros({c} DIV 1000)"))
+    if dt == "timestamp_ntz":
+        return df.withColumn(c, F.col(c).cast("timestamp"))
+    return df
 
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -130,8 +146,7 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     else:
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     for c in nanos_cols:
-        if dict(df.dtypes).get(c) == "bigint":
-            df = df.withColumn(c, F.expr(f"timestamp_micros({c} DIV 1000)"))
+        df = _normalize_nanos_col(df, c)
     return df
 
 
