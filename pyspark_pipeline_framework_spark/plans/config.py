@@ -40,6 +40,14 @@ class ComponentConfig:
     input_schema: dict[str, Any] | None = None
     output_schema: dict[str, Any] | None = None
     schema_mode: str = "error"
+    # per-component resilience (reference core/config/component.py:32-64):
+    # `retry` / `circuit_breaker` are config dicts, `resilience` is a
+    # preset name or {retry, circuit_breaker} dict. `resilience` is
+    # mutually exclusive with the individual fields; anything unset
+    # inherits the runner-wide policy.
+    retry: dict[str, Any] | None = None
+    circuit_breaker: dict[str, Any] | None = None
+    resilience: str | dict[str, Any] | None = None
 
     def __post_init__(self) -> None:
         if not self.name or not self.name.strip():
@@ -63,6 +71,24 @@ class ComponentConfig:
             )
         if not self.output:
             self.output = self.name
+        # validate + apply mutual exclusion eagerly so a bad .conf fails
+        # at load time, not mid-run (reference raises in __post_init__)
+        from pyspark_pipeline_framework_spark.resilience.config import (
+            ResilienceConfigError,
+            resolve_component_resilience,
+        )
+
+        try:
+            self._resilience_override = resolve_component_resilience(
+                self.retry, self.circuit_breaker, self.resilience
+            )
+        except ResilienceConfigError as exc:
+            raise PipelineValidationError(f"component {self.name!r}: {exc}") from exc
+
+    def resilience_override(self):
+        """Resolved per-component ``ComponentResilience`` or ``None``
+        (inherit runner-wide policy)."""
+        return self._resilience_override
 
     def input_contracts(self) -> dict[str, dict[str, Any]]:
         """Normalized mapping of input dataset name → contract dict."""

@@ -89,6 +89,14 @@ class PipelineRunner:
             if resilience.circuit_breaker_enabled
             else None
         )
+        # per-component breakers (reference core/config/component.py:36):
+        # built eagerly so each component's failure state is isolated and
+        # the parallel runner needs no lazy-creation lock
+        self._component_breakers: dict[str, CircuitBreaker] = {
+            c.name: override.circuit_breaker.build(c.name, clock)
+            for c in config.components
+            if (override := c.resilience_override()) and override.circuit_breaker
+        }
         for k, v in config.spark_conf.items():
             spark.conf.set(k, v)
 
@@ -240,8 +248,21 @@ class PipelineRunner:
     def _run_component(self, comp: ComponentConfig) -> ComponentResult:
         self.hooks.on_component_start(self.config.name, comp.name)
         t0 = self._clock()
+        override = comp.resilience_override()
+        retry_policy = (
+            override.retry if override and override.retry else self.resilience.retry
+        )
+        # a component that declares ONLY a circuit_breaker (no retry, no
+        # bundled policy) still inherits the runner-wide retry; a
+        # component-level breaker replaces the shared one so its failures
+        # don't trip unrelated components
+        breaker = (
+            self._component_breakers.get(comp.name)
+            if override and override.circuit_breaker
+            else self._breaker
+        )
         executor = RetryExecutor(
-            self.resilience.retry,
+            retry_policy,
             sleep=self._sleep,
             on_retry=lambda attempt, exc, _d: self.hooks.on_component_retry(
                 self.config.name, comp.name, attempt, str(exc)
@@ -272,8 +293,8 @@ class PipelineRunner:
             # violation is deterministic, retrying cannot fix it)
             for ds, contract in comp.input_contracts().items():
                 self._check_contract(comp, ds, contract)
-            if self._breaker:
-                self._breaker.call(executor.execute, invoke)
+            if breaker:
+                breaker.call(executor.execute, invoke)
             else:
                 executor.execute(invoke)
             if comp.output_schema is not None:

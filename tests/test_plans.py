@@ -543,3 +543,179 @@ def test_runner_parallel_fail_fast_skips_later_levels(spark):
     assert by["bad"] == ComponentStatus.FAILURE
     assert by["ok"] == ComponentStatus.SUCCESS
     assert by["late"] == ComponentStatus.SKIPPED
+
+
+# ------------------------------------------- per-component resilience
+
+def test_component_resilience_mutual_exclusion():
+    with pytest.raises(PipelineValidationError, match="mutual|both"):
+        ComponentConfig(
+            name="x",
+            op="sql",
+            resilience="aggressive",
+            retry={"max_attempts": 2},
+        )
+
+
+def test_component_resilience_unknown_preset_rejected():
+    with pytest.raises(PipelineValidationError, match="preset"):
+        ComponentConfig(name="x", op="sql", resilience="turbo")
+
+
+def test_component_resilience_reference_field_spellings():
+    # the reference's config names (core/config/retry.py) port unchanged
+    c = ComponentConfig(
+        name="x",
+        op="sql",
+        retry={
+            "max_attempts": 4,
+            "initial_delay_seconds": 0.5,
+            "backoff_multiplier": 1.5,
+            "max_delay_seconds": 10.0,
+            "retry_on_exceptions": ["ValueError", "RuntimeError"],
+        },
+    )
+    pol = c.resilience_override().retry
+    assert pol.max_attempts == 4
+    assert pol.initial_delay_s == 0.5
+    assert pol.multiplier == 1.5
+    assert pol.retry_on == (ValueError, RuntimeError)
+
+
+def test_component_retry_overrides_runner_policy(spark):
+    from pyspark_pipeline_framework_spark.plans.registry import OperatorRegistry
+
+    reg = OperatorRegistry()
+    calls = {"a": 0, "b": 0}
+
+    @reg.register("flaky_a")
+    def flaky_a(spark_, catalog, **kw):
+        calls["a"] += 1
+        if calls["a"] < 3:
+            raise RuntimeError("transient")
+        return None
+
+    @reg.register("flaky_b")
+    def flaky_b(spark_, catalog, **kw):
+        calls["b"] += 1
+        raise RuntimeError("always fails")
+
+    cfg = PipelineConfig(
+        "pc",
+        [
+            ComponentConfig(
+                name="a",
+                op="flaky_a",
+                retry={"max_attempts": 3, "initial_delay_s": 0, "jitter": 0},
+            ),
+            ComponentConfig(name="b", op="flaky_b"),  # inherits NO_RETRY
+        ],
+    )
+    result = PipelineRunner(
+        cfg, spark, registry=reg, resilience=NO_RETRY, fail_fast=False, sleep=lambda s: None
+    ).run()
+    by = {c.name: c for c in result.components}
+    assert by["a"].status == ComponentStatus.SUCCESS
+    assert by["a"].attempts == 3          # own policy, not runner-wide
+    assert by["b"].status == ComponentStatus.FAILURE
+    assert by["b"].attempts == 1          # inherited NO_RETRY
+
+
+def test_component_circuit_breaker_isolated(spark):
+    from pyspark_pipeline_framework_spark.plans.registry import OperatorRegistry
+
+    reg = OperatorRegistry()
+    calls = {"guarded": 0, "plain": 0}
+
+    @reg.register("bad_guarded")
+    def bad_guarded(spark_, catalog, **kw):
+        calls["guarded"] += 1
+        raise RuntimeError("down")
+
+    @reg.register("ok_plain")
+    def ok_plain(spark_, catalog, **kw):
+        calls["plain"] += 1
+        return None
+
+    cfg = PipelineConfig(
+        "cb",
+        [
+            ComponentConfig(
+                name="guarded",
+                op="bad_guarded",
+                circuit_breaker={"failure_threshold": 1, "timeout_s": 3600},
+            ),
+            ComponentConfig(name="plain", op="ok_plain"),
+        ],
+    )
+    runner = PipelineRunner(cfg, spark, registry=reg, resilience=NO_RETRY, fail_fast=False)
+    r1 = runner.run()
+    by1 = {c.name: c.status for c in r1.components}
+    assert by1["guarded"] == ComponentStatus.FAILURE
+    assert by1["plain"] == ComponentStatus.SUCCESS
+    # second run on the same runner: guarded's breaker is open → SKIPPED
+    # without invoking the operator; plain is unaffected
+    r2 = runner.run()
+    by2 = {c.name: c.status for c in r2.components}
+    assert by2["guarded"] == ComponentStatus.SKIPPED
+    assert by2["plain"] == ComponentStatus.SUCCESS
+    assert calls["guarded"] == 1
+    assert calls["plain"] == 2
+
+
+def test_component_resilience_bundled_dict(spark):
+    c = ComponentConfig(
+        name="x",
+        op="sql",
+        resilience={
+            "retry": {"max_attempts": 5},
+            "circuit_breaker": {"failure_threshold": 2},
+        },
+    )
+    ov = c.resilience_override()
+    assert ov.retry.max_attempts == 5
+    assert ov.circuit_breaker.failure_threshold == 2
+
+
+def test_component_resilience_from_hocon(spark, tmp_path):
+    # reference-parity: a .conf pipeline where ONE component retries
+    # with its own backoff while the rest inherit the runner default
+    conf = tmp_path / "pipe.conf"
+    conf.write_text(
+        """
+        name = conf-resilience
+        components = [
+          {
+            name = flaky
+            op = flaky_conf
+            retry { max_attempts = 3, initial_delay_s = 0, jitter = 0 }
+          },
+          { name = steady, op = steady_conf, depends_on = [flaky] }
+        ]
+        """
+    )
+    from pyspark_pipeline_framework_spark.plans.registry import OperatorRegistry
+
+    reg = OperatorRegistry()
+    calls = {"flaky": 0, "steady": 0}
+
+    @reg.register("flaky_conf")
+    def flaky_conf(spark_, catalog, **kw):
+        calls["flaky"] += 1
+        if calls["flaky"] < 2:
+            raise RuntimeError("transient")
+        return None
+
+    @reg.register("steady_conf")
+    def steady_conf(spark_, catalog, **kw):
+        calls["steady"] += 1
+        return None
+
+    cfg = PipelineConfig.from_file(str(conf))
+    result = PipelineRunner(
+        cfg, spark, registry=reg, resilience=NO_RETRY, sleep=lambda s: None
+    ).run()
+    assert result.status == PipelineStatus.SUCCESS
+    by = {c.name: c for c in result.components}
+    assert by["flaky"].attempts == 2
+    assert by["steady"].attempts == 1
