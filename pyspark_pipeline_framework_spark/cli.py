@@ -18,6 +18,7 @@ from pyspark_pipeline_framework_spark.plans.checkpoint import (
 )
 from pyspark_pipeline_framework_spark.plans.config import PipelineConfig, PipelineValidationError
 from pyspark_pipeline_framework_spark.plans.runner import PipelineRunner
+from pyspark_pipeline_framework_spark.observability.config import build_hooks_from_config
 from pyspark_pipeline_framework_spark.observability.hooks import CompositeHooks, LoggingHooks
 from pyspark_pipeline_framework_spark.session import SparkConfig, build_session
 
@@ -52,7 +53,12 @@ def main(argv: list[str] | None = None) -> int:
         return 1
 
     completed: list[str] = []
-    hooks = LoggingHooks()
+    # config-declared hooks (reference core/config/hooks.py): a `hooks`
+    # block in the .conf/.json wires logging/metrics/audit observers
+    # with zero Python code; without one, default to LoggingHooks
+    hook_parts: list = (
+        [build_hooks_from_config(config.hooks)] if config.hooks else [LoggingHooks()]
+    )
     if args.checkpoint_dir:
         store = LocalCheckpointStore(args.checkpoint_dir)
         if args.resume:
@@ -61,9 +67,8 @@ def main(argv: list[str] | None = None) -> int:
             except PipelineConfigChangedError as exc:
                 print(f"resume error: {exc}", file=sys.stderr)
                 return 1
-        hooks = CompositeHooks(
-            LoggingHooks(), CheckpointHooks(store, config, completed=completed)
-        )
+        hook_parts.append(CheckpointHooks(store, config, completed=completed))
+    hooks = hook_parts[0] if len(hook_parts) == 1 else CompositeHooks(*hook_parts)
 
     spark = build_session(SparkConfig(app_name=f"ppfs:{config.name}"))
     runner = PipelineRunner(

@@ -106,10 +106,24 @@ class PipelineConfig:
     version: str = "0"
     spark_conf: dict[str, str] = field(default_factory=dict)
     description: str = ""
+    # config-declared lifecycle hooks (reference core/config/hooks.py:9-91):
+    # {"logging": {...}, "metrics": {...}, "audit": {...}} — built into
+    # observers by observability.config.build_hooks_from_config; the CLI
+    # wires them automatically so a .conf run needs zero Python code.
+    hooks: dict[str, Any] = field(default_factory=dict)
 
     def __post_init__(self) -> None:
         if not self.name or not self.name.strip():
             raise PipelineValidationError("pipeline name must be non-empty")
+        from pyspark_pipeline_framework_spark.observability.config import (
+            HooksConfigError,
+            validate_hooks_config,
+        )
+
+        try:
+            validate_hooks_config(self.hooks)
+        except HooksConfigError as exc:
+            raise PipelineValidationError(str(exc)) from exc
         names = [c.name for c in self.components]
         dupes = {n for n in names if names.count(n) > 1}
         if dupes:
@@ -191,6 +205,7 @@ class PipelineConfig:
             version=str(d.get("version", "0")),
             spark_conf=dict(d.get("spark_conf", {})),
             description=d.get("description", ""),
+            hooks=dict(d.get("hooks", {})),
         )
 
     @classmethod

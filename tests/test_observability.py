@@ -99,3 +99,114 @@ def test_cli_dry_run_and_run(tmp_path, spark):
     assert main([str(p), "--dry-run"]) == 0
     assert main([str(p)]) == 0
     assert main([str(tmp_path / "missing.json")]) == 1
+
+
+# ------------------------------------------- config-declared hooks
+
+def test_hooks_config_validation_rejects_unknown_sections():
+    import pytest
+    from pyspark_pipeline_framework_spark.observability.config import (
+        HooksConfigError,
+        validate_hooks_config,
+    )
+
+    with pytest.raises(HooksConfigError, match="unknown hooks"):
+        validate_hooks_config({"tracing": {}})
+    with pytest.raises(HooksConfigError, match="backend"):
+        validate_hooks_config({"metrics": {"backend": "statsd"}})
+    with pytest.raises(HooksConfigError, match="retention_days"):
+        validate_hooks_config({"audit": {"retention_days": 0}})
+    with pytest.raises(HooksConfigError, match="export_interval"):
+        validate_hooks_config({"metrics": {"export_interval_seconds": 0}})
+
+
+def test_pipeline_config_validates_hooks_block():
+    import pytest
+    from pyspark_pipeline_framework_spark.plans.config import (
+        PipelineConfig,
+        ComponentConfig,
+        PipelineValidationError,
+    )
+
+    with pytest.raises(PipelineValidationError, match="unknown hooks"):
+        PipelineConfig(
+            "p",
+            [ComponentConfig(name="a", op="sql")],
+            hooks={"nope": {}},
+        )
+
+
+def test_build_hooks_from_config_composes(tmp_path):
+    from pyspark_pipeline_framework_spark.observability.config import build_hooks_from_config
+    from pyspark_pipeline_framework_spark.observability.hooks import CompositeHooks
+
+    audit_path = tmp_path / "audit.jsonl"
+    hooks = build_hooks_from_config(
+        {
+            "metrics": {"backend": "in_memory"},
+            "audit": {"audit_trail_path": str(audit_path)},
+        }
+    )
+    assert isinstance(hooks, CompositeHooks)
+    hooks.on_pipeline_start("p")
+    hooks.on_component_end("p", "c", "success", 0.5)
+    hooks.on_pipeline_end("p", "success", 1.0)
+    lines = [json.loads(l) for l in audit_path.read_text().splitlines()]
+    assert [e["action"] for e in lines] == ["pipeline_start", "component_end", "pipeline_end"]
+    metrics = hooks.hooks[0]
+    snap = metrics.registry.snapshot()
+    assert any("component_runs" in k for k in snap["counters"])
+
+
+def test_metrics_backend_import_gated():
+    # prometheus_client / opentelemetry are not in this container: the
+    # config path must surface a clear ImportError, not a silent no-op
+    import pytest
+    from pyspark_pipeline_framework_spark.observability.config import (
+        MetricsHooksConfig,
+        build_metrics_registry,
+    )
+
+    for backend in ("prometheus", "otel"):
+        cfg = MetricsHooksConfig(backend=backend)
+        try:
+            build_metrics_registry(cfg)
+        except ImportError as exc:
+            assert "requires" in str(exc)
+
+
+def test_cli_config_declared_hooks_end_to_end(tmp_path, spark):
+    """A .conf run with a hooks block emits metrics JSON + audit JSONL
+    with zero Python wiring (reference HooksConfig semantics)."""
+    audit_path = tmp_path / "audit.jsonl"
+    metrics_path = tmp_path / "metrics.json"
+    log_path = tmp_path / "run.log"
+    conf = tmp_path / "pipe.conf"
+    conf.write_text(
+        f"""
+        name = hooks-demo
+        components = [
+          {{ name = one, op = sql, params {{ sql = "SELECT 1 AS one" }} }},
+          {{ name = two, op = sql, params {{ sql = "SELECT 2 AS two" }}, depends_on = [one] }}
+        ]
+        hooks {{
+          logging {{ level = INFO, format = json, output = "{log_path}" }}
+          metrics {{ backend = in_memory, dump_path = "{metrics_path}" }}
+          audit {{ audit_trail_path = "{audit_path}" }}
+        }}
+        """
+    )
+    from pyspark_pipeline_framework_spark.cli import main
+
+    assert main([str(conf)]) == 0
+    events = [json.loads(l) for l in audit_path.read_text().splitlines()]
+    actions = [e["action"] for e in events]
+    assert "pipeline_start" in actions and "pipeline_end" in actions
+    assert actions.count("component_end") == 2
+    trace_ids = {e["trace_id"] for e in events if e["action"] != "validation"}
+    assert len(trace_ids) == 1  # one run, one correlation id
+    metrics = json.loads(metrics_path.read_text())
+    assert any("pipeline_runs" in k for k in metrics["counters"])
+    assert any("component_duration_s" in k for k in metrics["timers"])
+    log_lines = [json.loads(l) for l in log_path.read_text().splitlines()]
+    assert all({"ts", "level", "logger", "message"} <= set(l) for l in log_lines)
