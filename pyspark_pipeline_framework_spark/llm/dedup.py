@@ -433,32 +433,108 @@ def decontaminate(
     )
 
 
+def _star_components(edges: DataFrame, max_iters: int) -> tuple[DataFrame, int]:
+    """Two-phase star contraction (Kiveris et al., "Connected
+    Components in MapReduce and Beyond", §3): alternate
+
+    - **large-star**: every node connects its strictly-larger
+      neighbors to the minimum of its closed neighborhood, and
+    - **small-star**: every node (oriented hi→lo) connects its
+      smaller neighbors and itself to that minimum,
+
+    until the edge set is a fixpoint — a forest of stars whose centers
+    are the component minima. Worst-case O(log² n) rounds on any graph
+    (vs O(diameter) for label propagation), each round two shuffles of
+    (long, long) edges. Input must be oriented (u > v), self-loop-free,
+    distinct. Returns (star edges as (u=node, v=root), rounds run)."""
+    prev_stats = None
+    rounds = 0
+    for rounds in range(1, max_iters + 1):
+        sym = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        nbr_min = sym.groupBy("u").agg(F.min("v").alias("mn"))
+        # large-star: emit (v, min(Γ⁺(u))) for every neighbor v > u —
+        # each undirected edge is emitted exactly once, from its
+        # smaller endpoint, so the output is already hi→lo oriented
+        large = (
+            sym.join(nbr_min, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.least(F.col("u"), F.col("mn")).alias("v"))
+            .distinct()
+            .localCheckpoint(eager=False)
+        )
+        # small-star on the oriented output: for each hub u, attach u
+        # and all its (smaller) neighbors to their minimum
+        mins = large.groupBy("u").agg(F.min("v").alias("m"))
+        small = (
+            large.join(mins, "u")
+            .where(F.col("v") != F.col("m"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .union(mins.select("u", F.col("m").alias("v")))
+            .distinct()
+            .localCheckpoint(eager=False)
+        )
+        stats = small.agg(
+            F.count(F.lit(1)),
+            F.sum(F.col("u").cast("decimal(38,0)")),
+            F.sum(F.col("v").cast("decimal(38,0)")),
+        ).first()
+        edges = small
+        if prev_stats is not None and tuple(stats) == tuple(prev_stats):
+            break
+        prev_stats = stats
+    return edges, rounds
+
+
 def connected_components(
     pairs: DataFrame,
     src_col: str = "id_a",
     dst_col: str = "id_b",
     max_iters: int = 25,
+    algorithm: str = "label",
 ) -> DataFrame:
-    """Connected components over a candidate-pair edge list by min-label
-    propagation: every node starts labeled with its own id; each round
-    takes the min of its label and its neighbors' labels; fixpoint =
-    components labeled by their smallest member id.
+    """Connected components over a candidate-pair edge list.
+
+    ``algorithm="label"`` (default) is min-label propagation: every
+    node starts labeled with its own id; each round takes the min of
+    its label and its neighbors' labels; fixpoint = components labeled
+    by their smallest member id.
 
     Scale notes (the dedup use case): near-dup components are
     near-cliques, so the diameter — and the round count — is tiny
     (2-4); each round is one shuffle of (node, label) longs, never
     payloads. Convergence is detected from the monotone global label
     sum (labels only ever decrease), a one-row aggregate per round
-    instead of a change-count join. For adversarial long-chain graphs
-    prefer large-star/small-star (Kiveris et al.) — O(log²) rounds;
-    not needed for dedup graphs. Per-round ``localCheckpoint``
+    instead of a change-count join. Per-round ``localCheckpoint``
     truncates the lineage so the plan doesn't grow with iterations.
+
+    ``algorithm="star"`` is two-phase large-star/small-star contraction
+    (Kiveris et al.) — O(log² n) rounds on ANY graph shape, the escape
+    hatch for adversarial long-chain graphs where label propagation
+    needs O(diameter) rounds. Identical output contract.
 
     Returns (id, cluster_id) for every node that appears in ``pairs``.
     Reference parity: the reference has no graph operators at all —
     this is [beyond-ref] plumbing required by LLM dedup (SURVEY §2.8).
     """
+    if algorithm not in ("label", "star"):
+        raise ValueError(f"algorithm must be 'label' or 'star', got {algorithm!r}")
     e1 = pairs.select(F.col(src_col).cast("long").alias("u"), F.col(dst_col).cast("long").alias("v"))
+    if algorithm == "star":
+        oriented = (
+            e1.where(F.col("u") != F.col("v"))
+            .select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
+            .distinct()
+            .localCheckpoint(eager=False)
+        )
+        stars, _ = _star_components(oriented, max_iters)
+        nodes = (
+            e1.select("u").union(e1.select(F.col("v").alias("u"))).distinct()
+        )
+        parents = stars.groupBy("u").agg(F.min("v").alias("root"))
+        return (
+            nodes.join(parents, "u", "left")
+            .select(F.col("u").alias("id"), F.coalesce("root", F.col("u")).alias("cluster_id"))
+        )
     edges = (
         e1.union(e1.select(F.col("v").alias("u"), F.col("u").alias("v")))
         .distinct()
@@ -501,6 +577,7 @@ def dedup_clusters(
     df: DataFrame,
     pairs: DataFrame,
     id_col: str = "doc_id",
+    algorithm: str = "label",
 ) -> DataFrame:
     """Canonicalize near-dup candidate pairs into keep/drop decisions:
     every document maps to the smallest id in its connected component
@@ -510,7 +587,7 @@ def dedup_clusters(
     One left join of the corpus against the (tiny relative to corpus)
     component labels; the corpus itself is never shuffled on anything
     but the join key."""
-    cc = connected_components(pairs)
+    cc = connected_components(pairs, algorithm=algorithm)
     return (
         df.select(F.col(id_col))
         .join(cc, F.col(id_col) == cc.id, "left")

@@ -895,9 +895,7 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@case(
-    "q_dedup_cluster",
-    oracle=r"""
+_CLUSTER_ORACLE = r"""
     WITH RECURSIVE words AS (
       SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS w FROM documents
     ), sh AS (
@@ -931,8 +929,10 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM documents d
     LEFT JOIN reach r ON r.u = d.doc_id
     GROUP BY d.doc_id
-    """,
-)
+    """
+
+
+@case("q_dedup_cluster", oracle=_CLUSTER_ORACLE)
 def q_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup canonicalization end-to-end: exact 3-gram Jaccard
     pairs (>= 0.8) -> connected components (min-label propagation) ->
@@ -945,6 +945,21 @@ def q_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
     pairs = ngram_jaccard_pairs(d, shingle_k=3, threshold=0.8)
     return dedup_clusters(d, pairs)
+
+
+@case("q_dedup_cluster_star", oracle=_CLUSTER_ORACLE)
+def q_dedup_cluster_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same canonicalization pipeline driven through the two-phase
+    large-star/small-star contraction (Kiveris et al.) instead of label
+    propagation — the O(log² n)-round escape hatch for long-chain
+    graphs. Oracled by the identical recursive-CTE transitive closure,
+    so both algorithms are independently proven against the same
+    fixpoint."""
+    from pyspark_pipeline_framework_spark.llm.dedup import dedup_clusters, ngram_jaccard_pairs
+
+    d = table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(d, shingle_k=3, threshold=0.8)
+    return dedup_clusters(d, pairs, algorithm="star")
 
 
 def _pii_oracle() -> str:
