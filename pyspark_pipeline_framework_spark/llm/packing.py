@@ -68,13 +68,20 @@ def split_by_hash(
 PACKED_SCHEMA = "doc_id long, shard int, pack_id long, n_tokens int"
 
 
+class ShardBudgetExceededError(RuntimeError):
+    """A packing shard materialized more rows than its declared memory
+    budget allows — raised executor-side with the shard count that
+    would bring it back under budget."""
+
+
 def pack_sequences(
     df: DataFrame,
     max_tokens: int,
     id_col: str = "doc_id",
     tokens_col: str = "n_tokens",
-    num_shards: int = 64,
+    num_shards: int | str = 64,
     hash_fn: str = "xxhash64",
+    max_rows_per_shard: int | None = 2_000_000,
 ) -> DataFrame:
     """Greedy sequential packing: within each shard (deterministic hash
     of the id), docs are visited in id order and appended to the
@@ -85,12 +92,43 @@ def pack_sequences(
 
     Packing quality vs parallelism is the ``num_shards`` knob: shards
     pack independently (at most one under-filled trailing pack per
-    shard) — at 100 TB, shards ≈ executor-cores × 4."""
+    shard) — at 100 TB, shards ≈ executor-cores × 4.
+
+    Memory safety: each shard arrives executor-side as ONE pandas
+    frame (applyInPandas), so a misconfigured ``num_shards`` would OOM
+    an executor silently. ``max_rows_per_shard`` (default 2M rows ≈
+    tens of MB of (long,int,int) columns) bounds that: an over-budget
+    shard fails fast with the ``num_shards`` value that would bring
+    shards back under ~half the budget. ``num_shards="auto"`` derives
+    the shard count from an up-front ``df.count()`` (one extra job)
+    targeting half-budget shards, so callers never have to guess."""
+    if max_rows_per_shard is not None and max_rows_per_shard < 1:
+        raise ValueError("max_rows_per_shard must be >= 1 or None")
+    if num_shards == "auto":
+        if max_rows_per_shard is None:
+            raise ValueError("num_shards='auto' requires max_rows_per_shard")
+        n = df.count()
+        num_shards = max(1, -(-n // max(1, max_rows_per_shard // 2)))
+    elif not isinstance(num_shards, int) or num_shards < 1:
+        raise ValueError(f"num_shards must be a positive int or 'auto', got {num_shards!r}")
+    resolved_shards = num_shards
 
     # applyInPandas (not mapInPandas): the whole shard arrives as ONE
     # frame, so the greedy cursor never resets mid-shard on an Arrow
     # batch boundary
     def pack_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+        if max_rows_per_shard is not None and len(pdf) > max_rows_per_shard:
+            # uniform-hash estimate of the corpus from this one shard;
+            # suggest shards sized to ~half the budget for skew headroom
+            est_total = len(pdf) * resolved_shards
+            suggested = -(-est_total // max(1, max_rows_per_shard // 2))
+            raise ShardBudgetExceededError(
+                f"packing shard holds {len(pdf)} rows, over the "
+                f"max_rows_per_shard={max_rows_per_shard} budget; "
+                f"re-run with num_shards>={suggested} (currently "
+                f"{resolved_shards}), pass num_shards='auto', or raise "
+                f"max_rows_per_shard if the executors have the memory"
+            )
         pdf = pdf.sort_values("doc_id")
         shard = int(pdf["shard"].iloc[0])
         out_rows = []

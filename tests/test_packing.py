@@ -95,3 +95,31 @@ def test_split_by_hash_md5_portable(spark, docs_tokens):
 
     with pytest.raises(ValueError, match="hash_fn"):
         split_by_hash(docs_tokens, "doc_id", {"a": 1.0}, hash_fn="sha1")
+
+
+def test_packing_shard_budget_raises_with_guidance(spark, docs_tokens):
+    """An over-budget shard must fail fast with the corrective
+    num_shards in the message, not OOM the executor silently."""
+    with pytest.raises(Exception, match="num_shards>=\\d+") as ei:
+        pack_sequences(
+            docs_tokens, max_tokens=128, num_shards=1, max_rows_per_shard=100
+        ).collect()
+    assert "max_rows_per_shard=100" in str(ei.value)
+
+
+def test_packing_auto_shards_stays_under_budget(spark, docs_tokens):
+    packed = pack_sequences(
+        docs_tokens, max_tokens=128, num_shards="auto", max_rows_per_shard=100
+    )
+    per_shard = packed.groupBy("shard").count().collect()
+    assert max(r["count"] for r in per_shard) <= 100
+    assert packed.count() == docs_tokens.count()
+
+
+def test_packing_budget_validation():
+    with pytest.raises(ValueError, match="max_rows_per_shard"):
+        pack_sequences(None, max_tokens=1, max_rows_per_shard=0)
+    with pytest.raises(ValueError, match="num_shards"):
+        pack_sequences(None, max_tokens=1, num_shards=0)
+    with pytest.raises(ValueError, match="auto"):
+        pack_sequences(None, max_tokens=1, num_shards="auto", max_rows_per_shard=None)
