@@ -421,7 +421,7 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_dedup_pairs(emb, threshold=0.4, block_col="label")
 
 
-@case("q_sim_knn_lsh", oracle=None)  # approximate (recall<1) → rows-only
+@case("q_sim_knn_lsh", oracle=None)  # rows-only; gated by q_sim_knn_lsh_recall
 def q_sim_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5).select(
@@ -494,7 +494,70 @@ def q_sim_knn_lsh_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("query_id", "vec_id", "cos_sim", "rank")
 
 
-@case("q_sim_knn_ivf", oracle=None)  # approximate (recall<1) -> rows-only
+def _recall_gate(
+    approx: DataFrame, exact: DataFrame, metric: str, threshold: float
+) -> DataFrame:
+    """One-row recall@k gate: |approx ∩ exact| / |exact| >= threshold,
+    computed entirely inside Spark (two one-row aggregates, no
+    collect). The planes/model behind the approximate side are
+    deterministic, so ``passed`` is a stable fact the DuckDB oracle
+    asserts as a literal row — turning a rows-only approximate case
+    into a hash-gated assertion. Thresholds sit well under the
+    measured recall at sf0.001/0.01/0.1 (LSH 0.60-0.72, IVF
+    0.52-0.76) so the gate is about catching regressions, not luck."""
+    hits = approx.join(exact, ["query_id", "vec_id"]).agg(
+        F.count(F.lit(1)).alias("n_hit")
+    )
+    totals = exact.agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.countDistinct("query_id").alias("n_queries"),
+    )
+    return hits.crossJoin(F.broadcast(totals)).select(
+        F.lit(metric).alias("metric"),
+        F.col("n_queries").cast("long").alias("n_queries"),
+        (
+            F.col("n_hit").cast("double")
+            >= F.lit(threshold) * F.col("n_total").cast("double")
+        ).alias("passed"),
+    )
+
+
+_RECALL_GATE_ORACLE = (
+    "SELECT '{metric}' AS metric, CAST(5 AS BIGINT) AS n_queries, TRUE AS passed"
+)
+
+
+@case("q_sim_knn_lsh_recall", oracle=_RECALL_GATE_ORACLE.format(metric="lsh_recall_at_5"))
+def q_sim_knn_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall gate for the numpy-planes LSH ANN (whose bucket pipeline
+    has no SQL twin): recall@5 vs exact brute force must clear 0.5."""
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = cosine_topk_bruteforce(emb, queries, k=5).select("query_id", "vec_id")
+    approx = cosine_topk_lsh(emb, queries, dim=64, k=5, n_planes=4, n_tables=8).select(
+        "query_id", "vec_id"
+    )
+    return _recall_gate(approx, exact, "lsh_recall_at_5", 0.5)
+
+
+@case("q_sim_knn_ivf_recall", oracle=_RECALL_GATE_ORACLE.format(metric="ivf_recall_at_5"))
+def q_sim_knn_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall gate for fast-mode IVF ANN (numpy Lloyd, no SQL twin):
+    recall@5 vs exact brute force must clear 0.4 (nprobe 3 of 8)."""
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = cosine_topk_bruteforce(emb, queries, k=5).select("query_id", "vec_id")
+    approx = cosine_topk_ivf(emb, queries, dim=64, k=5, nlist=8, nprobe=3).select(
+        "query_id", "vec_id"
+    )
+    return _recall_gate(approx, exact, "ivf_recall_at_5", 0.4)
+
+
+@case("q_sim_knn_ivf", oracle=None)  # rows-only; gated by q_sim_knn_ivf_recall
 def q_sim_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-Flat ANN: trained coarse quantizer (deterministic seed + 2
     decimal-exact Lloyd steps), nprobe-cell probing. Rows-only check:
