@@ -29,7 +29,16 @@ be loaded without any third-party parser:
   including file; a missing non-required include merges nothing
   (HOCON semantics); include cycles are detected
 
-NOT supported (loud errors, not silent misparses): ``+=``,
+- ``key += value`` self-referential append (sugar for
+  ``key = ${?key} [value]``): appends to the key's current list across
+  duplicate-key merges and includes; a missing key starts a new list; a
+  substitution base (``a = ${defaults}`` then ``a += x``) concatenates
+  at resolve time; appending to a non-list is a loud error
+- triple-quoted strings follow the HOCON quirk: the string ends at the
+  LAST of a run of closing quotes (extra trailing quotes belong to the
+  string)
+
+NOT supported (loud errors, not silent misparses):
 ``include url(...)`` / ``classpath(...)``.
 """
 
@@ -127,7 +136,12 @@ class _Parser:
                 self.skip_ws(newlines=False)
                 value = self.parse_value()
             elif c == "+" and self.s.startswith("+=", self.i):
-                raise self._err("'+=' is not supported by this HOCON subset")
+                # `key += v` is HOCON sugar for `key = ${?key} [v]` —
+                # parsed into an _Append node so the self-reference
+                # combines correctly across duplicate-key merges
+                self.i += 2
+                self.skip_ws(newlines=False)
+                value = _Append([self.parse_value()])
             else:
                 raise self._err(f"expected ':', '=' or '{{' after key {key_path!r}")
             _assign(obj, key_path, value)
@@ -262,6 +276,10 @@ class _Parser:
         end = self.s.find('"""', self.i + 3)
         if end < 0:
             raise self._err('unterminated """ string')
+        # HOCON quirk: with >3 closing quotes, the extras belong to the
+        # string — it terminates at the LAST three of the run
+        while end + 3 < self.n and self.s[end + 3] == '"':
+            end += 1
         raw = self.s[self.i + 3 : end]
         self.i = end + 3
         return raw
@@ -336,6 +354,29 @@ class _Concat:
         self.seps = seps  # len(parts) - 1 inter-token whitespace runs
 
 
+class _Append:
+    """Pending `+=` items: combined with the key's existing value at
+    assign/merge time (list → extend, _Append → chain, substitution →
+    resolve-time list concat); a still-unclaimed _Append resolves to a
+    fresh list (the `${?key}`-is-missing case)."""
+
+    def __init__(self, items: list[Any]):
+        self.items = items
+
+
+def _combine_append(old: Any, app: "_Append") -> Any:
+    if old is None:
+        return app
+    if isinstance(old, _Append):
+        return _Append(old.items + app.items)
+    if isinstance(old, list):
+        return old + app.items
+    if isinstance(old, (_Subst, _Concat)):
+        # defer: ${base} [items] — list concatenation at resolve time
+        return _Concat([old, app], seps=[" "])
+    raise HoconError(f"'+=' requires a list target, found {type(old).__name__}")
+
+
 def _coerce(raw: str) -> Any:
     low = raw.lower()
     if low == "true":
@@ -364,7 +405,9 @@ def _assign(obj: dict[str, Any], path: list[str], value: Any) -> None:
         obj = nxt
     leaf = path[-1]
     old = obj.get(leaf)
-    if isinstance(old, dict) and isinstance(value, dict):
+    if isinstance(value, _Append):
+        obj[leaf] = _combine_append(old, value)
+    elif isinstance(old, dict) and isinstance(value, dict):
         _merge(old, value)
     else:
         obj[leaf] = value
@@ -372,7 +415,9 @@ def _assign(obj: dict[str, Any], path: list[str], value: Any) -> None:
 
 def _merge(dst: dict[str, Any], src: dict[str, Any]) -> None:
     for k, v in src.items():
-        if isinstance(dst.get(k), dict) and isinstance(v, dict):
+        if isinstance(v, _Append):
+            dst[k] = _combine_append(dst.get(k), v)
+        elif isinstance(dst.get(k), dict) and isinstance(v, dict):
             _merge(dst[k], v)
         else:
             dst[k] = v
@@ -408,6 +453,8 @@ def _resolve(node: Any, root: dict[str, Any], seen: frozenset = frozenset()) -> 
         # substitution, or an object/list whose members contain
         # substitutions (otherwise raw _Subst nodes leak into output)
         return _resolve(cur, root, seen | {key})
+    if isinstance(node, _Append):
+        return [_resolve(v, root, seen) for v in node.items]
     if isinstance(node, _Concat):
         vals = [_resolve(p, root, seen) for p in node.parts]
         if vals and all(isinstance(v, list) for v in vals):

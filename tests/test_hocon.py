@@ -103,8 +103,6 @@ def test_substitutions_full_value_and_optional():
 
 
 def test_subset_boundaries_error_loudly():
-    with pytest.raises(HoconError, match=r"\+="):
-        loads("xs: [1]\nxs += 2")
     with pytest.raises(HoconError, match="url/classpath"):
         loads('include url("http://x/y.conf")\nname: x')
     with pytest.raises(HoconError, match="end of input"):
@@ -192,3 +190,71 @@ def test_pipeline_config_from_conf_file(tmp_path):
     assert cfg.name == "demo"
     assert cfg.execution_order() == ["load", "agg"]
     assert cfg.get("load").params["format"] == "parquet"
+
+
+# ------------------------------------------------------------- `+=` append
+
+def test_append_to_existing_list():
+    assert loads("xs = [1, 2]\nxs += 3") == {"xs": [1, 2, 3]}
+
+
+def test_append_creates_missing_list():
+    assert loads("xs += 1\nxs += 2") == {"xs": [1, 2]}
+
+
+def test_append_across_merged_objects():
+    # duplicate-key object merge must chain the self-reference
+    text = """
+    a { xs = [1] }
+    a { xs += 2 }
+    a { xs += 3 }
+    """
+    assert loads(text) == {"a": {"xs": [1, 2, 3]}}
+
+
+def test_append_through_substitution_base():
+    text = """
+    defaults = [a, b]
+    jobs = ${defaults}
+    jobs += c
+    """
+    assert loads(text)["jobs"] == ["a", "b", "c"]
+
+
+def test_append_element_may_be_substitution():
+    text = """
+    extra = cleanup
+    steps = [build]
+    steps += ${extra}
+    """
+    assert loads(text)["steps"] == ["build", "cleanup"]
+
+
+def test_append_object_elements():
+    text = """
+    components += { name = one, op = sql }
+    components += { name = two, op = sql }
+    """
+    out = loads(text)
+    assert [c["name"] for c in out["components"]] == ["one", "two"]
+
+
+def test_append_to_scalar_is_loud():
+    with pytest.raises(HoconError, match="list target"):
+        loads("x = 5\nx += 6")
+
+
+# ------------------------------------------------------- multi-line strings
+
+def test_triple_quoted_multiline_preserved():
+    text = 'sql = """\nSELECT *\nFROM t -- # not a comment\n"""'
+    assert loads(text)["sql"] == "\nSELECT *\nFROM t -- # not a comment\n"
+
+
+def test_triple_quoted_trailing_quote_quirk():
+    # HOCON: extra closing quotes belong to the string
+    assert loads('s = """x""""') == {"s": 'x"'}
+
+
+def test_triple_quoted_no_escape_processing():
+    assert loads(r's = """a\nb"""') == {"s": r"a\nb"}
