@@ -93,6 +93,12 @@ def _read_source_df(spark: SparkSession, config: SourceConfig) -> DataFrame:
 
 def read_source(spark: SparkSession, config: SourceConfig) -> DataFrame:
     if config.nanos_ts_cols:
+        # the ntz→timestamp branch of _normalize_nanos_col reads
+        # spark.sql.session.timeZone at EXECUTION time; pin UTC here
+        # (exactly like table()) so an externally built non-UTC session
+        # can't shift instants — the bigint/timestamp_micros branch was
+        # already timezone-independent
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
         # scoped, not session-global: only THIS source's schema
         # resolution sees nanosAsLong — unrelated parquet reads in the
         # same session keep normal timestamp handling

@@ -33,3 +33,23 @@ def test_nanos_conf_scoped_to_read(spark, sf_dir):
     assert dict(ev.dtypes)["ts"] == "timestamp"
     assert spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None) is None
     assert ev.count() > 0  # lazy execution still works after restore
+
+
+def test_read_source_nanos_pins_utc(spark):
+    """ADVICE r2: a non-UTC session reading a nanos-ts source through
+    read_source must produce the same instants as table() — the ntz
+    branch may not be interpreted in the stray session timezone."""
+    from pyspark_pipeline_framework_spark.io.readers import SourceConfig, read_source, table
+
+    sf = "/root/testdata/sf0.001"
+    expected = [r.ts for r in table(spark, sf, "events").select("ts").orderBy("ts").limit(5).collect()]
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        got_df = read_source(
+            spark,
+            SourceConfig(path=f"{sf}/events.parquet", nanos_ts_cols=["ts"]),
+        )
+        got = [r.ts for r in got_df.select("ts").orderBy("ts").limit(5).collect()]
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    assert got == expected
