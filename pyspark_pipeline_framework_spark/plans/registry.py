@@ -188,3 +188,12 @@ def op_split_by_hash(
     from pyspark_pipeline_framework_spark.llm.packing import split_by_hash
 
     return catalog.put(output, split_by_hash(catalog.get(input), **params))
+
+
+@default_registry.register("pack_sequences")
+def op_pack_sequences(
+    spark: SparkSession, catalog: Catalog, *, output: str, input: str, **params
+) -> DataFrame:
+    from pyspark_pipeline_framework_spark.llm.packing import pack_sequences
+
+    return catalog.put(output, pack_sequences(catalog.get(input), **params))

@@ -39,3 +39,21 @@ def test_documents_quality_include_example(spark):
     assert out.count() > 0
     # full success cleared the checkpoint
     assert not [f for f in os.listdir(ckpt) if f.endswith(".checkpoint.json")]
+
+
+def test_llm_curation_example(spark):
+    """The round-3 showcase: config-only curation pipeline with hooks
+    block, per-component retry, `+=` component list, packing."""
+    import json
+
+    assert main([os.path.join(REPO, "examples", "llm_curation.conf")]) == 0
+    split = spark.read.parquet(os.path.join(REPO, ".scratch/examples/llm_curation/split"))
+    assert split.count() > 0
+    packed = spark.read.parquet(os.path.join(REPO, ".scratch/examples/llm_curation/packed"))
+    assert set(packed.columns) == {"doc_id", "shard", "pack_id", "n_tokens"}
+    # config-declared observers actually emitted
+    audit_path = os.path.join(REPO, ".scratch/examples/llm_curation_audit.jsonl")
+    events = [json.loads(l) for l in open(audit_path)]
+    assert any(e["action"] == "pipeline_end" and e["status"] == "success" for e in events)
+    metrics = json.load(open(os.path.join(REPO, ".scratch/examples/llm_curation_metrics.json")))
+    assert any("component_runs" in k for k in metrics["counters"])
