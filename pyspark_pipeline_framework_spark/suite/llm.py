@@ -44,6 +44,7 @@ from pyspark_pipeline_framework_spark.llm.text import (
     token_count_ws,
 )
 from pyspark_pipeline_framework_spark.suite import case
+from pyspark_pipeline_framework_spark.suite._util import shared_df
 
 
 @case(
@@ -190,6 +191,19 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(d, shingle_k=3, threshold=0.8, max_doc_freq=50)
 
 
+def _minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """xxhash64 MinHash-LSH candidate pairs, shared (fixture memo)
+    between q_dedup_minhash and q_dedup_minhash_verify — the signature
+    DAG is identical, so it materializes once per session."""
+    return shared_df(
+        spark,
+        ("minhash_cand", sf_dir, 64, 16, 3),
+        lambda: minhash_candidate_pairs(
+            table(spark, sf_dir, "documents"), num_hashes=64, bands=16, shingle_k=3
+        ),
+    )
+
+
 @case(
     "q_dedup_minhash_verify",
     # the scale composition: MinHash-LSH candidates → exact-Jaccard
@@ -210,14 +224,12 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_dedup_minhash_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
-    cand = minhash_candidate_pairs(d, num_hashes=64, bands=16, shingle_k=3)
-    return jaccard_verify(d, cand, shingle_k=3, threshold=0.8)
+    return jaccard_verify(d, _minhash_candidates(spark, sf_dir), shingle_k=3, threshold=0.8)
 
 
 @case("q_dedup_minhash", oracle=None)  # xxhash64 has no DuckDB twin → rows-only
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = table(spark, sf_dir, "documents")
-    return minhash_candidate_pairs(d, num_hashes=64, bands=16, shingle_k=3)
+    return _minhash_candidates(spark, sf_dir)
 
 
 @case(
@@ -388,15 +400,45 @@ _KNN_ORACLE = f"""
 """
 
 
-@case("q_sim_knn", oracle=_KNN_ORACLE)
-def q_sim_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = table(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") < 5).select(
+
+def _knn_queries(emb: DataFrame) -> DataFrame:
+    return emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return cosine_topk_bruteforce(emb, queries, k=5).select(
-        "query_id", "vec_id", "cos_sim", "rank"
+
+
+def _knn_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force cosine top-5, shared (fixture memo) between
+    q_sim_knn and the two recall gates that compare against it."""
+    emb = table(spark, sf_dir, "embeddings")
+    return shared_df(
+        spark,
+        ("knn_exact", sf_dir, 5),
+        lambda: cosine_topk_bruteforce(emb, _knn_queries(emb), k=5),
     )
+
+
+def _knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    return shared_df(
+        spark,
+        ("knn_lsh", sf_dir, 5, 4, 8),
+        lambda: cosine_topk_lsh(emb, _knn_queries(emb), dim=64, k=5, n_planes=4, n_tables=8),
+    )
+
+
+def _knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    return shared_df(
+        spark,
+        ("knn_ivf", sf_dir, 5, 8, 3),
+        lambda: cosine_topk_ivf(emb, _knn_queries(emb), dim=64, k=5, nlist=8, nprobe=3),
+    )
+
+
+@case("q_sim_knn", oracle=_KNN_ORACLE)
+def q_sim_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _knn_exact(spark, sf_dir).select("query_id", "vec_id", "cos_sim", "rank")
 
 
 _COS_AB = _o_cos("a.embedding", "b.embedding")
@@ -423,13 +465,7 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @case("q_sim_knn_lsh", oracle=None)  # rows-only; gated by q_sim_knn_lsh_recall
 def q_sim_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = table(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("query_id"), "embedding"
-    )
-    return cosine_topk_lsh(emb, queries, dim=64, k=5, n_planes=4, n_tables=8).select(
-        "query_id", "vec_id", "cos_sim", "rank"
-    )
+    return _knn_lsh(spark, sf_dir).select("query_id", "vec_id", "cos_sim", "rank")
 
 
 def _lsh_md5_oracle(dim: int = 64, n_planes: int = 4, n_tables: int = 8, k: int = 5) -> str:
@@ -531,14 +567,8 @@ _RECALL_GATE_ORACLE = (
 def q_sim_knn_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall gate for the numpy-planes LSH ANN (whose bucket pipeline
     has no SQL twin): recall@5 vs exact brute force must clear 0.5."""
-    emb = table(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("query_id"), "embedding"
-    )
-    exact = cosine_topk_bruteforce(emb, queries, k=5).select("query_id", "vec_id")
-    approx = cosine_topk_lsh(emb, queries, dim=64, k=5, n_planes=4, n_tables=8).select(
-        "query_id", "vec_id"
-    )
+    exact = _knn_exact(spark, sf_dir).select("query_id", "vec_id")
+    approx = _knn_lsh(spark, sf_dir).select("query_id", "vec_id")
     return _recall_gate(approx, exact, "lsh_recall_at_5", 0.5)
 
 
@@ -546,14 +576,8 @@ def q_sim_knn_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_sim_knn_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall gate for fast-mode IVF ANN (numpy Lloyd, no SQL twin):
     recall@5 vs exact brute force must clear 0.4 (nprobe 3 of 8)."""
-    emb = table(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("query_id"), "embedding"
-    )
-    exact = cosine_topk_bruteforce(emb, queries, k=5).select("query_id", "vec_id")
-    approx = cosine_topk_ivf(emb, queries, dim=64, k=5, nlist=8, nprobe=3).select(
-        "query_id", "vec_id"
-    )
+    exact = _knn_exact(spark, sf_dir).select("query_id", "vec_id")
+    approx = _knn_ivf(spark, sf_dir).select("query_id", "vec_id")
     return _recall_gate(approx, exact, "ivf_recall_at_5", 0.4)
 
 
@@ -562,13 +586,7 @@ def q_sim_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-Flat ANN: trained coarse quantizer (deterministic seed + 2
     decimal-exact Lloyd steps), nprobe-cell probing. Rows-only check:
     the returned neighbor set depends on the trained cells."""
-    emb = table(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("query_id"), "embedding"
-    )
-    return cosine_topk_ivf(emb, queries, dim=64, k=5, nlist=8, nprobe=3).select(
-        "query_id", "vec_id", "cos_sim", "rank"
-    )
+    return _knn_ivf(spark, sf_dir).select("query_id", "vec_id", "cos_sim", "rank")
 
 
 def _o_doti(x: str, y: str) -> str:
@@ -995,6 +1013,18 @@ _CLUSTER_ORACLE = r"""
     """
 
 
+def _cluster_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard >= 0.8 edge list, shared (fixture memo)
+    between the label-propagation and star-contraction cluster cases."""
+    return shared_df(
+        spark,
+        ("cluster_pairs", sf_dir, 3, 0.8),
+        lambda: ngram_jaccard_pairs(
+            table(spark, sf_dir, "documents"), shingle_k=3, threshold=0.8
+        ),
+    )
+
+
 @case("q_dedup_cluster", oracle=_CLUSTER_ORACLE)
 def q_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup canonicalization end-to-end: exact 3-gram Jaccard
@@ -1006,8 +1036,7 @@ def q_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark_pipeline_framework_spark.llm.dedup import dedup_clusters, ngram_jaccard_pairs
 
     d = table(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(d, shingle_k=3, threshold=0.8)
-    return dedup_clusters(d, pairs)
+    return dedup_clusters(d, _cluster_pairs(spark, sf_dir))
 
 
 @case("q_dedup_cluster_star", oracle=_CLUSTER_ORACLE)
@@ -1021,8 +1050,7 @@ def q_dedup_cluster_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark_pipeline_framework_spark.llm.dedup import dedup_clusters, ngram_jaccard_pairs
 
     d = table(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(d, shingle_k=3, threshold=0.8)
-    return dedup_clusters(d, pairs, algorithm="star")
+    return dedup_clusters(d, _cluster_pairs(spark, sf_dir), algorithm="star")
 
 
 def _pii_oracle() -> str:
