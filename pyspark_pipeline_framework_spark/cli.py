@@ -20,7 +20,7 @@ from pyspark_pipeline_framework_spark.plans.config import PipelineConfig, Pipeli
 from pyspark_pipeline_framework_spark.plans.runner import PipelineRunner
 from pyspark_pipeline_framework_spark.observability.config import build_hooks_from_config
 from pyspark_pipeline_framework_spark.observability.hooks import CompositeHooks, LoggingHooks
-from pyspark_pipeline_framework_spark.session import SparkConfig, build_session
+from pyspark_pipeline_framework_spark.session import build_session
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -77,7 +77,9 @@ def main(argv: list[str] | None = None) -> int:
         hook_parts.append(CheckpointHooks(store, config, completed=completed))
     hooks = hook_parts[0] if len(hook_parts) == 1 else CompositeHooks(*hook_parts)
 
-    spark = build_session(SparkConfig(app_name=f"ppfs:{config.name}"))
+    # the reference-style `spark { ... }` block (or defaults) decides
+    # the session; pipeline-level spark_conf merges in with precedence
+    spark = build_session(config.spark_session_config())
     runner = PipelineRunner(
         config, spark, hooks=hooks, fail_fast=not args.no_fail_fast
     )

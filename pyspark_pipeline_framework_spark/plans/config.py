@@ -111,10 +111,42 @@ class PipelineConfig:
     # observers by observability.config.build_hooks_from_config; the CLI
     # wires them automatically so a .conf run needs zero Python code.
     hooks: dict[str, Any] = field(default_factory=dict)
+    # reference-parity metadata + runtime blocks so an unmodified
+    # reference pipeline.conf loads (core/config/pipeline.py:32-45,
+    # core/config/spark.py, core/config/secrets.py): `spark` carries the
+    # session block (compiled by spark_session_config()), `secrets` the
+    # provider block (compiled by the CLI), environment/mode/tags are
+    # validated metadata.
+    environment: str = "dev"
+    mode: str = "batch"
+    tags: dict[str, str] = field(default_factory=dict)
+    spark: dict[str, Any] = field(default_factory=dict)
+    secrets: dict[str, Any] = field(default_factory=dict)
 
     def __post_init__(self) -> None:
         if not self.name or not self.name.strip():
             raise PipelineValidationError("pipeline name must be non-empty")
+        if self.environment not in ("dev", "staging", "prod", "test"):
+            raise PipelineValidationError(
+                f"environment must be dev|staging|prod|test, got {self.environment!r}"
+            )
+        if self.mode not in ("batch", "streaming"):
+            raise PipelineValidationError(
+                f"mode must be batch|streaming, got {self.mode!r}"
+            )
+        unknown_spark = set(self.spark) - {
+            "app_name", "master", "deploy_mode", "driver_memory", "driver_cores",
+            "executor_memory", "executor_cores", "num_executors",
+            "dynamic_allocation", "spark_conf", "connect_string",
+        }
+        if unknown_spark:
+            raise PipelineValidationError(f"unknown spark fields {sorted(unknown_spark)}")
+        unknown_sec = set(self.secrets) - {
+            "provider", "vault_url", "vault_token", "vault_namespace",
+            "aws_region", "secret_prefix", "cache_ttl_seconds",
+        }
+        if unknown_sec:
+            raise PipelineValidationError(f"unknown secrets fields {sorted(unknown_sec)}")
         from pyspark_pipeline_framework_spark.observability.config import (
             HooksConfigError,
             validate_hooks_config,
@@ -196,9 +228,91 @@ class PipelineConfig:
                 return c
         raise KeyError(name)
 
+    def spark_session_config(self):
+        """Compile the reference-style ``spark`` block into this repo's
+        :class:`~pyspark_pipeline_framework_spark.session.SparkConfig`.
+        Scalar cluster-sizing fields map to their Spark conf keys exactly
+        as the reference's ``to_spark_conf_dict``
+        (core/config/spark.py:60-83); ``spark.spark_conf`` and the
+        pipeline-level ``spark_conf`` merge into ``extra_conf`` (the
+        pipeline-level dict wins, matching runner precedence)."""
+        from pyspark_pipeline_framework_spark.session import SparkConfig
+
+        blk = self.spark
+        extra: dict[str, str] = {}
+        if blk.get("deploy_mode"):
+            extra["spark.submit.deployMode"] = str(blk["deploy_mode"])
+        for src, key in (
+            ("driver_memory", "spark.driver.memory"),
+            ("driver_cores", "spark.driver.cores"),
+            ("executor_memory", "spark.executor.memory"),
+            ("executor_cores", "spark.executor.cores"),
+        ):
+            if blk.get(src) is not None:
+                extra[key] = str(blk[src])
+        if blk.get("dynamic_allocation"):
+            extra["spark.dynamicAllocation.enabled"] = "true"
+        elif blk.get("num_executors") is not None:
+            extra["spark.executor.instances"] = str(blk["num_executors"])
+        extra.update({k: str(v) for k, v in blk.get("spark_conf", {}).items()})
+        extra.update({k: str(v) for k, v in self.spark_conf.items()})
+        return SparkConfig(
+            app_name=blk.get("app_name", f"ppfs:{self.name}"),
+            master=blk.get("master"),
+            connect_string=blk.get("connect_string"),
+            extra_conf=extra,
+        )
+
+    def secrets_resolver(self, audit_sink=None):
+        """Compile the reference-style ``secrets`` block
+        (core/config/secrets.py:8-42) into a configured
+        ``SecretsResolver``: provider choice (env built-in; aws/vault
+        import-gated), key prefix, cache TTL. Returns ``None`` when the
+        block is absent."""
+        if not self.secrets:
+            return None
+        from pyspark_pipeline_framework_spark.secrets import (
+            AwsSecretsManagerProvider,
+            EnvSecretsProvider,
+            SecretsResolver,
+            VaultKv2Provider,
+        )
+
+        blk = self.secrets
+        provider_name = blk.get("provider", "env")
+        prefix = blk.get("secret_prefix") or ""
+        if provider_name == "env":
+            provider = EnvSecretsProvider(prefix=prefix)
+        elif provider_name == "aws_secrets_manager":
+            provider = AwsSecretsManagerProvider(region=blk.get("aws_region") or "us-east-1")
+        elif provider_name == "vault":
+            if not blk.get("vault_url"):
+                raise PipelineValidationError("vault_url is required when provider is vault")
+            provider = VaultKv2Provider(
+                url=blk["vault_url"],
+                token=blk.get("vault_token") or "",
+            )
+        else:
+            raise PipelineValidationError(
+                f"unknown secrets provider {provider_name!r} (env | aws_secrets_manager | vault)"
+            )
+        return SecretsResolver(
+            providers=[provider],
+            ttl_s=float(blk.get("cache_ttl_seconds", 300)),
+            audit_sink=audit_sink,
+        )
+
     @classmethod
     def from_dict(cls, d: dict[str, Any]) -> "PipelineConfig":
-        comps = [ComponentConfig(**c) for c in d.get("components", [])]
+        comps = []
+        for c in d.get("components", []):
+            c = dict(c)
+            # reference spelling: the component's free-form settings
+            # live under `config` (core/config/component.py:26); this
+            # repo calls them `params` — accept either
+            if "config" in c and "params" not in c:
+                c["params"] = c.pop("config")
+            comps.append(ComponentConfig(**c))
         return cls(
             name=d.get("name", ""),
             components=comps,
@@ -206,6 +320,11 @@ class PipelineConfig:
             spark_conf=dict(d.get("spark_conf", {})),
             description=d.get("description", ""),
             hooks=dict(d.get("hooks", {})),
+            environment=str(d.get("environment", "dev")),
+            mode=str(d.get("mode", "batch")),
+            tags={k: str(v) for k, v in dict(d.get("tags", {})).items()},
+            spark=dict(d.get("spark", {})),
+            secrets=dict(d.get("secrets", {})),
         )
 
     @classmethod

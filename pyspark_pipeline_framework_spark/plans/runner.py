@@ -70,12 +70,17 @@ class PipelineRunner:
         fail_fast: bool = True,
         clock: Callable[[], float] = time.monotonic,
         sleep: Callable[[float], None] = time.sleep,
+        secrets=None,
     ):
         self.config = config
         self.spark = spark
         self.registry = registry or default_registry
         self.hooks = hooks or NoOpHooks()
         self.quality_gate = quality_gate
+        # config-declared secrets block (reference core/config/secrets.py):
+        # secret://provider/key params interpolate at component-invoke
+        # time through the configured resolver
+        self.secrets = secrets or config.secrets_resolver()
         self.resilience = resilience
         self.fail_fast = fail_fast
         self._clock = clock
@@ -271,7 +276,11 @@ class PipelineRunner:
 
         def invoke():
             fn = self._resolve(comp)
-            kwargs = dict(comp.params)
+            kwargs = (
+                self.secrets.interpolate(dict(comp.params))
+                if self.secrets
+                else dict(comp.params)
+            )
             # inject the component's output dataset name when the
             # operator declares an `output` parameter
             import inspect

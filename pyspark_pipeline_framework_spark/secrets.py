@@ -31,10 +31,16 @@ class SecretsProvider(Protocol):
 class EnvSecretsProvider:
     name = "env"
 
+    def __init__(self, prefix: str = ""):
+        # reference SecretsConfig.secret_prefix (core/config/secrets.py:27):
+        # every lookup key is namespaced, e.g. prefix PIPELINE_ + key
+        # DB_PASSWORD → env var PIPELINE_DB_PASSWORD
+        self.prefix = prefix
+
     def get_secret(self, key: str) -> str:
-        value = os.environ.get(key)
+        value = os.environ.get(self.prefix + key)
         if value is None:
-            raise SecretNotFoundError(f"env var {key!r} not set")
+            raise SecretNotFoundError(f"env var {self.prefix + key!r} not set")
         return value
 
 

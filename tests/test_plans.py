@@ -719,3 +719,84 @@ def test_component_resilience_from_hocon(spark, tmp_path):
     by = {c.name: c for c in result.components}
     assert by["flaky"].attempts == 2
     assert by["steady"].attempts == 1
+
+
+# ------------------------------------------- reference config-surface port
+
+def test_reference_pipeline_conf_loads_verbatim():
+    """The reference's own examples/pipeline.conf (spark block, hooks
+    block, secrets block, tags, per-component config/retry/
+    circuit_breaker) must load unmodified."""
+    cfg = PipelineConfig.from_file("/root/reference/examples/pipeline.conf")
+    assert cfg.name == "sample-etl-pipeline"
+    assert cfg.environment == "dev" and cfg.mode == "batch"
+    assert cfg.tags["team"] == "data-engineering"
+    assert [c.name for c in cfg.components] == [
+        "customer-source", "customer-transform", "customer-sink"
+    ]
+    src = cfg.get("customer-source")
+    assert src.params["format"] == "parquet"          # `config` → params
+    assert src.resilience_override().retry.max_attempts == 3
+    assert src.resilience_override().retry.retry_on == (IOError, TimeoutError)
+    xform = cfg.get("customer-transform")
+    assert xform.resilience_override().circuit_breaker.failure_threshold == 5
+    sc = cfg.spark_session_config()
+    assert sc.app_name == "Sample ETL Pipeline"
+    assert sc.extra_conf["spark.executor.memory"] == "4g"
+    assert sc.extra_conf["spark.executor.instances"] == "2"
+    assert sc.extra_conf["spark.sql.shuffle.partitions"] == "200"
+    assert cfg.secrets["secret_prefix"] == "PIPELINE_"
+
+
+def test_spark_block_dynamic_allocation_mapping():
+    cfg = PipelineConfig(
+        "p",
+        [comp("a")],
+        spark={"dynamic_allocation": True, "num_executors": 9, "driver_cores": 2},
+        spark_conf={"spark.sql.shuffle.partitions": "64"},
+    )
+    sc = cfg.spark_session_config()
+    assert sc.extra_conf["spark.dynamicAllocation.enabled"] == "true"
+    assert "spark.executor.instances" not in sc.extra_conf
+    assert sc.extra_conf["spark.driver.cores"] == "2"
+    assert sc.extra_conf["spark.sql.shuffle.partitions"] == "64"
+
+
+def test_pipeline_metadata_validation():
+    with pytest.raises(PipelineValidationError, match="environment"):
+        PipelineConfig("p", [comp("a")], environment="qa")
+    with pytest.raises(PipelineValidationError, match="mode"):
+        PipelineConfig("p", [comp("a")], mode="micro-batch")
+    with pytest.raises(PipelineValidationError, match="spark fields"):
+        PipelineConfig("p", [comp("a")], spark={"executors": 4})
+    with pytest.raises(PipelineValidationError, match="secrets fields"):
+        PipelineConfig("p", [comp("a")], secrets={"providr": "env"})
+
+
+def test_secrets_block_env_prefix_interpolation(spark, monkeypatch):
+    """Config-declared secrets: secret:// params resolve through the
+    block's provider + prefix at component-invoke time."""
+    from pyspark_pipeline_framework_spark.plans.registry import OperatorRegistry
+
+    monkeypatch.setenv("PIPE_API_TOKEN", "s3cr3t-value")
+    reg = OperatorRegistry()
+    seen = {}
+
+    @reg.register("grab")
+    def grab(spark_, catalog, *, token, **kw):
+        seen["token"] = token
+        return None
+
+    cfg = PipelineConfig.from_dict(
+        {
+            "name": "sec",
+            "secrets": {"provider": "env", "secret_prefix": "PIPE_"},
+            "components": [
+                {"name": "g", "op": "grab",
+                 "config": {"token": "secret://env/API_TOKEN"}},
+            ],
+        }
+    )
+    result = PipelineRunner(cfg, spark, registry=reg, resilience=NO_RETRY).run()
+    assert result.status == PipelineStatus.SUCCESS
+    assert seen["token"] == "s3cr3t-value"
