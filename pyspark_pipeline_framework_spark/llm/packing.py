@@ -238,3 +238,45 @@ def stratified_sample(
     h = F.conv(F.substring(F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt))), 1, 8), 16, 10)
     threshold = int(rate * (1 << 32))
     return df.filter(h.cast("bigint") < F.lit(threshold))
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+) -> DataFrame:
+    """Split documents into overlapping token-window chunks — the RAG /
+    long-context training prep step. Chunks start every
+    ``chunk_tokens - overlap`` tokens; the final chunk may be short;
+    a doc shorter than one window yields a single chunk.
+
+    Output: (id, chunk_id, n_chunk_tokens, chunk_text), chunk_id
+    0-based in token order.
+
+    Scale: pure column expressions (split → sequence → transform →
+    posexplode) — whole-stage codegen, no Python, no shuffle; the
+    explode multiplies rows by ~n_tokens/stride, which downstream
+    repartitioning handles like any fan-out scan. Engine-portable
+    construction (same slice semantics as DuckDB list_slice), so the
+    whole operator is SQL-oracle-able."""
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be < chunk_tokens")
+    stride = chunk_tokens - overlap
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    starts = F.expr(
+        f"sequence(1, greatest(size(split(trim({text_col}), '\\\\s+')) - {overlap}, 1), {stride})"
+    )
+    exploded = df.select(
+        F.col(id_col),
+        toks.alias("__toks"),
+        F.posexplode(starts).alias("chunk_id", "__start"),
+    )
+    chunk = F.slice(F.col("__toks"), F.col("__start"), chunk_tokens)
+    return exploded.select(
+        F.col(id_col),
+        F.col("chunk_id"),
+        F.size(chunk).cast("int").alias("n_chunk_tokens"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+    )

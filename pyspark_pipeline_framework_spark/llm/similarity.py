@@ -571,3 +571,42 @@ def embedding_centroids(
         ).alias("centroid"),
         F.count(F.lit(1)).alias("n_vectors"),
     )
+
+
+def quantize_embeddings(
+    df: DataFrame,
+    embedding_col: str = "embedding",
+    levels: int = 127,
+) -> DataFrame:
+    """Symmetric per-vector int8-style quantization: each component
+    maps to ``floor(x / max_abs * levels)`` clamped to
+    [-levels, levels], with the per-vector ``scale = max_abs / levels``
+    kept alongside for dequantization (x ≈ q * scale). An all-zero
+    vector quantizes to zeros with scale 0.
+
+    The training-data use case: embedding columns at 100 TB are mostly
+    storage — int8 + one double per vector is a ~4× shrink ahead of a
+    parquet sink, and the ANN operators in this module accept the
+    dequantized form.
+
+    Scale/portability: abs/max/divide/multiply/floor are all
+    correctly-rounded IEEE ops, so the quantized vectors are bit-equal
+    on any engine (the DuckDB oracle replays them exactly) — map-only
+    expressions, no shuffle, no Python."""
+    e = F.col(embedding_col)
+    max_abs = F.array_max(F.transform(e, lambda x: F.abs(x.cast("double"))))
+    q = F.when(max_abs == 0.0, F.transform(e, lambda x: F.lit(0))).otherwise(
+        F.transform(
+            e,
+            lambda x: F.greatest(
+                F.lit(-levels),
+                F.least(
+                    F.lit(levels),
+                    F.floor(x.cast("double") / max_abs * F.lit(float(levels))).cast("int"),
+                ),
+            ),
+        )
+    )
+    return df.withColumn("q_embedding", q).withColumn(
+        "q_scale", (max_abs / F.lit(float(levels))).alias("q_scale")
+    )

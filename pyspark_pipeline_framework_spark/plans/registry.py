@@ -197,3 +197,21 @@ def op_pack_sequences(
     from pyspark_pipeline_framework_spark.llm.packing import pack_sequences
 
     return catalog.put(output, pack_sequences(catalog.get(input), **params))
+
+
+@default_registry.register("chunk_documents")
+def op_chunk_documents(
+    spark: SparkSession, catalog: Catalog, *, output: str, input: str, **params
+) -> DataFrame:
+    from pyspark_pipeline_framework_spark.llm.packing import chunk_documents
+
+    return catalog.put(output, chunk_documents(catalog.get(input), **params))
+
+
+@default_registry.register("quantize_embeddings")
+def op_quantize_embeddings(
+    spark: SparkSession, catalog: Catalog, *, output: str, input: str, **params
+) -> DataFrame:
+    from pyspark_pipeline_framework_spark.llm.similarity import quantize_embeddings
+
+    return catalog.put(output, quantize_embeddings(catalog.get(input), **params))

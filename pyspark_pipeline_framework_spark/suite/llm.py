@@ -1252,3 +1252,63 @@ def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = table(spark, sf_dir, "documents")
     return corpus_stats(d, by="source")
+
+
+@case(
+    "q_text_chunks",
+    # Spark sequence(1,G,48) inclusive-stop ≡ DuckDB range(1,G+1,48)
+    # exclusive-stop; chunk_id recovered arithmetically from the start
+    # offset; slice/list_slice clamp identically at the tail
+    oracle=r"""
+    WITH words AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents
+    ), starts AS (
+      SELECT doc_id, w, unnest(range(1, greatest(len(w) - 16, 1) + 1, 48)) AS s
+      FROM words
+    )
+    SELECT doc_id,
+           CAST((s - 1) // 48 AS INT) AS chunk_id,
+           CAST(len(list_slice(w, s, s + 63)) AS INT) AS n_chunk_tokens,
+           array_to_string(list_slice(w, s, s + 63), ' ') AS chunk_text
+    FROM starts
+    """,
+)
+def q_text_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (64-token windows, 16-token
+    overlap) — the RAG / long-context prep step. Map-only codegen
+    expressions; the oracle recuts every chunk."""
+    from pyspark_pipeline_framework_spark.llm.packing import chunk_documents
+
+    d = table(spark, sf_dir, "documents")
+    return chunk_documents(d, chunk_tokens=64, overlap=16)
+
+
+@case(
+    "q_emb_quantize",
+    # abs/max/divide/multiply/floor are correctly-rounded IEEE ops —
+    # bit-equal across engines; FLOOR before the int cast (DuckDB CAST
+    # rounds, Spark truncates)
+    oracle="""
+    WITH m AS (
+      SELECT vec_id, embedding,
+             list_max(list_transform(embedding, x -> ABS(CAST(x AS DOUBLE)))) AS mx
+      FROM embeddings
+    )
+    SELECT vec_id,
+           CASE WHEN mx = 0 THEN list_transform(embedding, x -> 0)
+                ELSE list_transform(embedding,
+                       x -> GREATEST(-127, LEAST(127,
+                              CAST(FLOOR(CAST(x AS DOUBLE) / mx * 127.0) AS INT))))
+           END AS q_embedding,
+           mx / 127.0 AS q_scale
+    FROM m
+    """,
+)
+def q_emb_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization of the embeddings table
+    (~4x storage shrink ahead of a sink); oracle replays every
+    component exactly."""
+    from pyspark_pipeline_framework_spark.llm.similarity import quantize_embeddings
+
+    emb = table(spark, sf_dir, "embeddings")
+    return quantize_embeddings(emb).select("vec_id", "q_embedding", "q_scale")

@@ -495,3 +495,44 @@ def test_connected_components_star_path_graph_logsq_rounds(spark):
     roots = stars.select("v").distinct().collect()
     assert [r.v for r in roots] == [0]  # single component rooted at min id
     assert stars.select("u").distinct().count() == n - 1  # every non-root attached
+
+
+def test_chunk_documents_windows_and_overlap(spark):
+    from pyspark_pipeline_framework_spark.llm.packing import chunk_documents
+
+    text = " ".join(f"w{i}" for i in range(10))
+    df = spark.createDataFrame([(1, text), (2, "short text")], ["doc_id", "text"])
+    rows = {
+        (r.doc_id, r.chunk_id): (r.n_chunk_tokens, r.chunk_text)
+        for r in chunk_documents(df, chunk_tokens=4, overlap=2).collect()
+    }
+    # doc 1: 10 tokens, stride 2, starts 1,3,5,7 (greatest(10-2,1)=8)
+    assert rows[(1, 0)] == (4, "w0 w1 w2 w3")
+    assert rows[(1, 1)] == (4, "w2 w3 w4 w5")
+    assert rows[(1, 3)] == (4, "w6 w7 w8 w9")
+    assert max(c for d, c in rows if d == 1) == 3
+    # doc 2: 2 tokens -> one short chunk
+    assert rows[(2, 0)] == (2, "short text")
+    # consecutive chunks share exactly `overlap` tokens
+    assert rows[(1, 0)][1].split()[-2:] == rows[(1, 1)][1].split()[:2]
+    import pytest
+
+    with pytest.raises(ValueError, match="overlap"):
+        chunk_documents(df, chunk_tokens=4, overlap=4)
+
+
+def test_quantize_embeddings_roundtrip_and_zero(spark):
+    from pyspark_pipeline_framework_spark.llm.similarity import quantize_embeddings
+
+    df = spark.createDataFrame(
+        [(1, [1.0, -0.5, 0.25, 0.0]), (2, [0.0, 0.0, 0.0, 0.0])],
+        ["vec_id", "embedding"],
+    )
+    rows = {r.vec_id: r for r in quantize_embeddings(df).collect()}
+    assert rows[1].q_embedding == [127, -64, 31, 0]  # floor semantics
+    assert abs(rows[1].q_scale - 1.0 / 127) < 1e-15
+    assert rows[2].q_embedding == [0, 0, 0, 0] and rows[2].q_scale == 0.0
+    # dequantization error bounded by one quantization step
+    deq = [q * rows[1].q_scale for q in rows[1].q_embedding]
+    for orig, d in zip([1.0, -0.5, 0.25, 0.0], deq):
+        assert abs(orig - d) <= rows[1].q_scale + 1e-15
