@@ -114,3 +114,28 @@ def test_tpch_q22_scalar_subquery_is_single_row_broadcast(spark, sf_dir):
     # CORRECT shape here (broadcasting one row), anti join stays hashed
     assert "BroadcastNestedLoopJoin" in p
     assert "LeftAnti" in p
+
+
+def test_chunking_is_map_only(spark, sf_dir):
+    """chunk_documents: split→sequence→posexplode must stay a single
+    map-only stage — no Exchange, no Python, pruned scan."""
+    p = plan(spark, sf_dir, "q_text_chunks")
+    assert "Exchange" not in p
+    assert "Generate" in p  # posexplode
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    # only doc_id + text are read from the 6-column documents table
+    assert "ReadSchema" in p and "lang" not in p.split("ReadSchema")[1][:300]
+
+
+def test_quantize_is_map_only(spark, sf_dir):
+    p = plan(spark, sf_dir, "q_emb_quantize")
+    assert "Exchange" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_recall_gate_broadcasts_totals(spark, sf_dir):
+    """The recall gates join two one-row aggregates: the totals side
+    must broadcast, never sort-merge."""
+    p = plan(spark, sf_dir, "q_sim_knn_lsh_recall")
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
