@@ -99,3 +99,60 @@ def test_operators_on_empty_frames(spark):
         "ts", "rts", "0 SECOND", "1 MINUTE", 60,
     ).count() == 0
     assert salted_join(eleft, eright.select("k", "rv"), on=["k"]).count() == 0
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    n_tokens=st.integers(1, 40),
+    chunk=st.integers(2, 12),
+    overlap_frac=st.floats(0.0, 0.9),
+)
+def test_chunking_covers_and_reconstructs(spark, n_tokens, chunk, overlap_frac):
+    """Properties on random sizes: every token lands in >= 1 chunk;
+    stripping the overlap from chunks 1..n reconstructs the original
+    token stream exactly; all full chunks have exactly chunk_tokens."""
+    from pyspark_pipeline_framework_spark.llm.packing import chunk_documents
+
+    overlap = min(int(chunk * overlap_frac), chunk - 1)
+    stride = chunk - overlap
+    text = " ".join(f"t{i}" for i in range(n_tokens))
+    df = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    rows = sorted(
+        chunk_documents(df, chunk_tokens=chunk, overlap=overlap).collect(),
+        key=lambda r: r.chunk_id,
+    )
+    toks = text.split()
+    # reconstruction: first chunk whole, then drop each later chunk's
+    # overlapping prefix
+    rebuilt = rows[0].chunk_text.split()
+    for r in rows[1:]:
+        rebuilt.extend(r.chunk_text.split()[overlap:])
+    assert rebuilt == toks
+    # chunk starts advance by stride; every chunk except the last is full
+    for i, r in enumerate(rows[:-1]):
+        assert r.n_chunk_tokens == min(chunk, n_tokens - i * stride)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    vec=st.lists(
+        st.floats(-1e3, 1e3, allow_nan=False, allow_infinity=False, width=32),
+        min_size=1,
+        max_size=16,
+    )
+)
+def test_quantize_error_bound(spark, vec):
+    from pyspark_pipeline_framework_spark.llm.similarity import quantize_embeddings
+
+    df = spark.createDataFrame([(1, vec)], "vec_id int, embedding array<float>")
+    r = quantize_embeddings(df).collect()[0]
+    assert all(-127 <= q <= 127 for q in r.q_embedding)
+    if r.q_scale == 0.0:
+        assert all(q == 0 for q in r.q_embedding)
+    else:
+        for orig, q in zip(vec, r.q_embedding):
+            # float32 storage: compare against the float32-rounded input
+            import struct
+
+            orig32 = struct.unpack("f", struct.pack("f", orig))[0]
+            assert abs(orig32 - q * r.q_scale) <= r.q_scale * (1 + 1e-9)
