@@ -215,3 +215,16 @@ def op_quantize_embeddings(
     from pyspark_pipeline_framework_spark.llm.similarity import quantize_embeddings
 
     return catalog.put(output, quantize_embeddings(catalog.get(input), **params))
+
+
+@default_registry.register("stream")
+def op_stream(spark: SparkSession, catalog: Catalog, **params) -> None:
+    """Config-declared Structured Streaming pipeline (source →
+    optional SQL transform over view `stream` → sink); blocks until
+    the trigger completes (available_now/once = bounded batch-like
+    run). See streaming/config.py."""
+    from pyspark_pipeline_framework_spark.streaming.config import run_stream_component
+
+    params.pop("output", None)
+    run_stream_component(spark, **params)
+    return None

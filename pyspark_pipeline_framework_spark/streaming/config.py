@@ -1,0 +1,139 @@
+"""Config-declarable streaming pipelines.
+
+The reference declares streaming components in HOCON like batch ones
+(runtime/streaming adapters + mode="streaming" pipelines); this module
+gives the registry a ``stream`` operator with the same property: one
+config block names a source adapter, an optional SQL transform (over
+the view ``stream``), and a sink adapter, plus trigger / output mode /
+watermark / checkpoint — and runs the whole thing through
+:class:`~pyspark_pipeline_framework_spark.streaming.base.StreamingPipeline`
+with zero Python code.
+
+Blocking by design: the operator uses ``run`` (awaitTermination), so a
+``once`` / ``available_now`` trigger processes everything available and
+completes like a batch component — the shape a scheduled 100 TB
+ingestion job wants. Long-running ``processing_time`` streams belong in
+their own driver process, not inside a batch pipeline's component list;
+pass ``timeout_s`` when a bounded run of one is genuinely wanted.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+
+from pyspark_pipeline_framework_spark.streaming.base import (
+    OutputMode,
+    StreamingPipeline,
+    Trigger,
+    TriggerType,
+)
+from pyspark_pipeline_framework_spark.streaming import sinks as _sinks
+from pyspark_pipeline_framework_spark.streaming import sources as _sources
+
+SOURCE_TYPES = {
+    "kafka": _sources.KafkaStreamingSource,
+    "file": _sources.FileStreamingSource,
+    "delta": _sources.DeltaStreamingSource,
+    "iceberg": _sources.IcebergStreamingSource,
+    "rate": _sources.RateStreamingSource,
+    "eventhubs": _sources.EventHubsStreamingSource,
+    "kinesis": _sources.KinesisStreamingSource,
+}
+
+SINK_TYPES = {
+    "kafka": _sinks.KafkaStreamingSink,
+    "delta": _sinks.DeltaStreamingSink,
+    "console": _sinks.ConsoleStreamingSink,
+    "iceberg": _sinks.IcebergStreamingSink,
+    "file": _sinks.FileStreamingSink,
+    "cloud": _sinks.CloudStorageStreamingSink,
+    "memory": _sinks.MemoryStreamingSink,
+}
+
+
+class StreamingConfigError(ValueError):
+    pass
+
+
+def _build(kind: str, registry: dict, block: dict[str, Any]):
+    if not isinstance(block, dict) or "type" not in block:
+        raise StreamingConfigError(f"{kind} block must be a dict with a 'type' field")
+    d = dict(block)
+    t = d.pop("type")
+    cls = registry.get(t)
+    if cls is None:
+        raise StreamingConfigError(f"unknown {kind} type {t!r} (known: {sorted(registry)})")
+    try:
+        return cls(**d)
+    except TypeError as exc:
+        raise StreamingConfigError(f"{kind} {t!r}: {exc}") from exc
+
+
+def build_source(block: dict[str, Any]):
+    return _build("source", SOURCE_TYPES, block)
+
+
+def build_sink(block: dict[str, Any]):
+    return _build("sink", SINK_TYPES, block)
+
+
+def build_trigger(block: dict[str, Any] | str | None) -> Trigger | None:
+    if block is None:
+        return None
+    if isinstance(block, str):
+        block = {"type": block}
+    d = dict(block)
+    t = d.pop("type")
+    try:
+        ttype = TriggerType(t)
+    except ValueError:
+        raise StreamingConfigError(
+            f"unknown trigger type {t!r} (known: {[m.value for m in TriggerType]})"
+        ) from None
+    return Trigger(trigger_type=ttype, interval=d.pop("interval", None))
+
+
+def run_stream_component(
+    spark: SparkSession,
+    *,
+    source: dict[str, Any],
+    sink: dict[str, Any],
+    transform_sql: str | None = None,
+    output_mode: str = "append",
+    trigger: dict[str, Any] | str | None = "available_now",
+    watermark: dict[str, str] | None = None,        # {column, delay}
+    checkpoint: str | None = None,
+    query_name: str | None = None,
+    timeout_s: float | None = None,
+) -> None:
+    """Assemble + run one declarative streaming pipeline. The optional
+    ``transform_sql`` sees the (watermarked) stream as view ``stream``."""
+
+    def _transform(df: DataFrame) -> DataFrame:
+        if not transform_sql:
+            return df
+        df.createOrReplaceTempView("stream")
+        return spark.sql(transform_sql)
+
+    try:
+        mode = OutputMode(output_mode)
+    except ValueError:
+        raise StreamingConfigError(
+            f"unknown output_mode {output_mode!r} (known: {[m.value for m in OutputMode]})"
+        ) from None
+    wm = None
+    if watermark:
+        wm = (watermark["column"], watermark["delay"])
+    pipeline = StreamingPipeline(
+        source=build_source(source),
+        sink=build_sink(sink),
+        output_mode=mode,
+        trigger=build_trigger(trigger),
+        checkpoint_location=checkpoint,
+        query_name=query_name,
+        watermark=wm,
+        transform_fn=_transform,
+    ).set_spark_session(spark)
+    pipeline.run(timeout_s=timeout_s)

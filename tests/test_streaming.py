@@ -216,3 +216,79 @@ def test_stream_static_join_broadcast(spark, tmp_path):
     )
     q.awaitTermination(60)
     assert {(r.k, r.name) for r in spark.table("ss_static").collect()} == {(1, "one"), (2, "two")}
+
+
+def test_config_declared_stream_component(spark, tmp_path):
+    """`op: stream` — a config-only Structured Streaming pipeline:
+    file json source → SQL transform over view `stream` → parquet file
+    sink, available_now trigger (bounded, batch-like completion),
+    driven through the batch runner + CLI config path."""
+    import json as _json
+
+    from pyspark_pipeline_framework_spark.plans.config import PipelineConfig
+    from pyspark_pipeline_framework_spark.plans.result import PipelineStatus
+    from pyspark_pipeline_framework_spark.plans.runner import PipelineRunner
+    from pyspark_pipeline_framework_spark.resilience.presets import NO_RETRY
+
+    src_dir = tmp_path / "in"
+    src_dir.mkdir()
+    (src_dir / "a.json").write_text(
+        "\n".join(_json.dumps({"id": i, "v": i * 10}) for i in range(10))
+    )
+    out_dir = str(tmp_path / "out")
+    cfg = PipelineConfig.from_dict(
+        {
+            "name": "stream-demo",
+            "mode": "streaming",
+            "components": [
+                {
+                    "name": "ingest",
+                    "op": "stream",
+                    "component_type": "source",
+                    "params": {
+                        "source": {
+                            "type": "file",
+                            "path": str(src_dir),
+                            "file_format": "json",
+                            "schema": "id long, v long",
+                        },
+                        "transform_sql": "SELECT id, v FROM stream WHERE v >= 20",
+                        "sink": {"type": "file", "path": out_dir},
+                        "trigger": "available_now",
+                        "checkpoint": str(tmp_path / "ckpt"),
+                    },
+                }
+            ],
+        }
+    )
+    result = PipelineRunner(cfg, spark, resilience=NO_RETRY).run()
+    assert result.status == PipelineStatus.SUCCESS
+    out = spark.read.parquet(out_dir)
+    assert out.count() == 8
+    assert out.agg({"v": "min"}).collect()[0][0] == 20
+
+
+def test_stream_config_errors_are_loud(spark):
+    from pyspark_pipeline_framework_spark.streaming.config import (
+        StreamingConfigError,
+        build_sink,
+        build_source,
+        build_trigger,
+        run_stream_component,
+    )
+
+    with pytest.raises(StreamingConfigError, match="unknown source type"):
+        build_source({"type": "pulsar"})
+    with pytest.raises(StreamingConfigError, match="unknown sink type"):
+        build_sink({"type": "mq"})
+    with pytest.raises(StreamingConfigError, match="unknown trigger"):
+        build_trigger("sometimes")
+    with pytest.raises(StreamingConfigError, match="output_mode"):
+        run_stream_component(
+            spark,
+            source={"type": "rate"},
+            sink={"type": "console"},
+            output_mode="sideways",
+        )
+    with pytest.raises(StreamingConfigError, match="'type' field"):
+        build_source({"path": "/x"})
