@@ -31,7 +31,10 @@ def o_davg(expr: str, count_expr: str | None = None) -> str:
 
 # ---------------------------------------------------------------- fixtures
 
+import threading
+
 _SHARED_DF: dict[tuple, "object"] = {}
+_SHARED_LOCK = threading.Lock()
 
 
 def shared_df(spark, key: tuple, build):
@@ -47,8 +50,9 @@ def shared_df(spark, key: tuple, build):
     Results are bit-identical to recomputation — the memo only skips
     repeated work, never changes it."""
     full_key = (spark.sparkContext.applicationId,) + key
-    df = _SHARED_DF.get(full_key)
-    if df is None:
-        df = build().localCheckpoint(eager=True)
-        _SHARED_DF[full_key] = df
-    return df
+    with _SHARED_LOCK:
+        df = _SHARED_DF.get(full_key)
+        if df is None:
+            df = build().localCheckpoint(eager=True)
+            _SHARED_DF[full_key] = df
+        return df
