@@ -75,7 +75,18 @@ class PipelineRunner:
         self.config = config
         self.spark = spark
         self.registry = registry or default_registry
-        self.hooks = hooks or NoOpHooks()
+        if hooks is not None:
+            self.hooks = hooks
+        elif config.hooks:
+            # config-declared hooks block builds the observers when the
+            # caller didn't wire any (same contract as the CLI)
+            from pyspark_pipeline_framework_spark.observability.config import (
+                build_hooks_from_config,
+            )
+
+            self.hooks = build_hooks_from_config(config.hooks)
+        else:
+            self.hooks = NoOpHooks()
         self.quality_gate = quality_gate
         # config-declared secrets block (reference core/config/secrets.py):
         # secret://provider/key params interpolate at component-invoke

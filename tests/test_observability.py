@@ -211,3 +211,25 @@ def test_cli_config_declared_hooks_end_to_end(tmp_path, spark):
     assert any("component_duration_s" in k for k in metrics["timers"])
     log_lines = [json.loads(l) for l in log_path.read_text().splitlines()]
     assert all({"ts", "level", "logger", "message"} <= set(l) for l in log_lines)
+
+
+def test_runner_builds_hooks_from_config_block(tmp_path, spark):
+    """PipelineRunner (not just the CLI) honors the config's hooks
+    block when the caller passes none."""
+    from pyspark_pipeline_framework_spark.plans.config import PipelineConfig
+    from pyspark_pipeline_framework_spark.plans.runner import PipelineRunner
+    from pyspark_pipeline_framework_spark.plans.result import PipelineStatus
+
+    audit_path = tmp_path / "a.jsonl"
+    cfg = PipelineConfig.from_dict(
+        {
+            "name": "rh",
+            "hooks": {"audit": {"audit_trail_path": str(audit_path)}},
+            "components": [
+                {"name": "one", "op": "sql", "params": {"sql": "SELECT 1 AS x"}}
+            ],
+        }
+    )
+    assert PipelineRunner(cfg, spark).run().status == PipelineStatus.SUCCESS
+    events = [json.loads(l) for l in audit_path.read_text().splitlines()]
+    assert any(e["action"] == "pipeline_end" for e in events)
