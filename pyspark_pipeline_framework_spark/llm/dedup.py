@@ -9,11 +9,15 @@ executors, sessions, and retries.
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from pyspark_pipeline_framework_spark.llm.text import normalize_text
 from pyspark_pipeline_framework_spark.operators.partitioning import ensure_parallelism
+
+logger = logging.getLogger(__name__)
 
 
 def exact_text_dedup(
@@ -448,6 +452,8 @@ def _star_components(edges: DataFrame, max_iters: int) -> tuple[DataFrame, int]:
     (long, long) edges. Input must be oriented (u > v), self-loop-free,
     distinct. Returns (star edges as (u=node, v=root), rounds run)."""
     prev_stats = None
+    prev_edges: DataFrame | None = None
+    converged = False
     rounds = 0
     for rounds in range(1, max_iters + 1):
         sym = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
@@ -480,8 +486,21 @@ def _star_components(edges: DataFrame, max_iters: int) -> tuple[DataFrame, int]:
         ).first()
         edges = small
         if prev_stats is not None and tuple(stats) == tuple(prev_stats):
-            break
+            # the (count, Σu, Σv) match is a cheap necessary condition;
+            # confirm the fixpoint EXACTLY before declaring convergence
+            # so a sum collision can never yield wrong clusters (counts
+            # are equal, so one-sided multiset containment suffices)
+            if prev_edges is not None and small.exceptAll(prev_edges).isEmpty():
+                converged = True
+                break
         prev_stats = stats
+        prev_edges = small
+    if not converged:
+        logger.warning(
+            "star-contraction did not reach a fixpoint within max_iters=%d "
+            "rounds; cluster assignments may be incomplete — raise max_iters",
+            max_iters,
+        )
     return edges, rounds
 
 

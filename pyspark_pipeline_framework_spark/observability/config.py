@@ -191,10 +191,12 @@ def build_hooks_from_config(hooks_cfg: dict[str, Any]) -> PipelineHooks:
     _check_fields(hooks_cfg, {"logging", "metrics", "audit"}, "hooks")
     parts: list[PipelineHooks] = []
 
-    if "logging" in hooks_cfg:
-        lc = LoggingHooksConfig.from_dict(dict(hooks_cfg["logging"] or {}))
-        _configure_logging(lc)
-        parts.append(LoggingHooks())
+    # reference HooksConfig.__post_init__ (core/config/hooks.py:82-85):
+    # a hooks block ALWAYS carries a logging config — a block declaring
+    # only metrics/audit still gets default logging, never silence
+    lc = LoggingHooksConfig.from_dict(dict(hooks_cfg.get("logging") or {}))
+    _configure_logging(lc)
+    parts.append(LoggingHooks())
 
     if "metrics" in hooks_cfg:
         mc = MetricsHooksConfig.from_dict(dict(hooks_cfg["metrics"] or {}))

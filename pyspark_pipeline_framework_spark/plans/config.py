@@ -284,7 +284,13 @@ class PipelineConfig:
         if provider_name == "env":
             provider = EnvSecretsProvider(prefix=prefix)
         elif provider_name == "aws_secrets_manager":
-            provider = AwsSecretsManagerProvider(region=blk.get("aws_region") or "us-east-1")
+            # reference core/config/secrets.py:41-42: region is required
+            # for AWS — a silent default would look up the wrong region
+            if not blk.get("aws_region"):
+                raise PipelineValidationError(
+                    "aws_region is required when provider is aws_secrets_manager"
+                )
+            provider = AwsSecretsManagerProvider(region=blk["aws_region"])
         elif provider_name == "vault":
             if not blk.get("vault_url"):
                 raise PipelineValidationError("vault_url is required when provider is vault")

@@ -349,9 +349,13 @@ class _Subst:
 
 
 class _Concat:
-    def __init__(self, parts: list[Any], seps: list[str]):
+    def __init__(self, parts: list[Any], seps: list[str], is_append: bool = False):
         self.parts = parts
         self.seps = seps  # len(parts) - 1 inter-token whitespace runs
+        # True when built from a deferred `+=` over a substitution base:
+        # the base MUST resolve to a list (or stay missing) — anything
+        # else is the documented loud error, never string concatenation
+        self.is_append = is_append
 
 
 class _Append:
@@ -372,8 +376,9 @@ def _combine_append(old: Any, app: "_Append") -> Any:
     if isinstance(old, list):
         return old + app.items
     if isinstance(old, (_Subst, _Concat)):
-        # defer: ${base} [items] — list concatenation at resolve time
-        return _Concat([old, app], seps=[" "])
+        # defer: ${base} [items] — list concatenation at resolve time,
+        # tagged so a non-list base raises instead of string-joining
+        return _Concat([old, app], seps=[" "], is_append=True)
     raise HoconError(f"'+=' requires a list target, found {type(old).__name__}")
 
 
@@ -457,6 +462,15 @@ def _resolve(node: Any, root: dict[str, Any], seen: frozenset = frozenset()) -> 
         return [_resolve(v, root, seen) for v in node.items]
     if isinstance(node, _Concat):
         vals = [_resolve(p, root, seen) for p in node.parts]
+        if node.is_append:
+            base, items = vals
+            if base is None:
+                return items  # `a = ${?missing}` then `a += x`
+            if not isinstance(base, list):
+                raise HoconError(
+                    f"'+=' requires a list target, found {type(base).__name__}"
+                )
+            return base + items
         if vals and all(isinstance(v, list) for v in vals):
             return [x for v in vals for x in v]
         if vals and all(isinstance(v, dict) for v in vals):

@@ -85,6 +85,10 @@ def build_trigger(block: dict[str, Any] | str | None) -> Trigger | None:
     if isinstance(block, str):
         block = {"type": block}
     d = dict(block)
+    if "type" not in d:
+        raise StreamingConfigError(
+            f"trigger block must carry a 'type' field, got {sorted(d)}"
+        )
     t = d.pop("type")
     try:
         ttype = TriggerType(t)

@@ -244,6 +244,27 @@ def test_append_to_scalar_is_loud():
         loads("x = 5\nx += 6")
 
 
+def test_append_through_non_list_substitution_is_loud():
+    # deferred `+=` over a substitution that resolves to a string must
+    # raise the same loud error — never silently string-concatenate
+    with pytest.raises(HoconError, match="list target"):
+        loads('x = "scalar"\na = ${x}\na += y')
+
+
+def test_append_through_missing_optional_substitution_starts_list():
+    assert loads("a = ${?nope}\na += y")["a"] == ["y"]
+
+
+def test_chained_append_through_substitution_base():
+    text = """
+    defaults = [a]
+    jobs = ${defaults}
+    jobs += b
+    jobs += c
+    """
+    assert loads(text)["jobs"] == ["a", "b", "c"]
+
+
 # ------------------------------------------------------- multi-line strings
 
 def test_triple_quoted_multiline_preserved():

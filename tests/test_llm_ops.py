@@ -497,6 +497,22 @@ def test_connected_components_star_path_graph_logsq_rounds(spark):
     assert stars.select("u").distinct().count() == n - 1  # every non-root attached
 
 
+def test_star_components_warns_on_max_iters_exhaustion(spark, caplog):
+    """Exhausting max_iters without a confirmed fixpoint must warn loudly
+    instead of silently returning possibly-wrong clusters."""
+    from pyspark.sql import functions as F
+
+    from pyspark_pipeline_framework_spark.llm.dedup import _star_components
+
+    edges = (
+        spark.range(1, 64)
+        .select(F.col("id").alias("u"), (F.col("id") - 1).alias("v"))
+    )
+    with caplog.at_level("WARNING", logger="pyspark_pipeline_framework_spark.llm.dedup"):
+        _star_components(edges, max_iters=1)
+    assert any("did not reach a fixpoint" in r.message for r in caplog.records)
+
+
 def test_chunk_documents_windows_and_overlap(spark):
     from pyspark_pipeline_framework_spark.llm.packing import chunk_documents
 

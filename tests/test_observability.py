@@ -10,6 +10,7 @@ from pyspark_pipeline_framework_spark.observability.audit import (
 )
 from pyspark_pipeline_framework_spark.observability.hooks import (
     CompositeHooks,
+    LoggingHooks,
     MetricsHooks,
     NoOpHooks,
 )
@@ -154,9 +155,12 @@ def test_build_hooks_from_config_composes(tmp_path):
     hooks.on_pipeline_end("p", "success", 1.0)
     lines = [json.loads(l) for l in audit_path.read_text().splitlines()]
     assert [e["action"] for e in lines] == ["pipeline_start", "component_end", "pipeline_end"]
-    metrics = hooks.hooks[0]
+    metrics = next(h for h in hooks.hooks if isinstance(h, MetricsHooks))
     snap = metrics.registry.snapshot()
     assert any("component_runs" in k for k in snap["counters"])
+    # reference HooksConfig.__post_init__ (core/config/hooks.py:82-85):
+    # a hooks block without a logging section still defaults LoggingHooks
+    assert any(isinstance(h, LoggingHooks) for h in hooks.hooks)
 
 
 def test_metrics_backend_import_gated():

@@ -773,6 +773,16 @@ def test_pipeline_metadata_validation():
         PipelineConfig("p", [comp("a")], secrets={"providr": "env"})
 
 
+def test_secrets_aws_requires_region():
+    # reference core/config/secrets.py:41-42: aws_region is mandatory for
+    # aws_secrets_manager — a silent default region would mis-route lookups
+    cfg = PipelineConfig(
+        "p", [comp("a")], secrets={"provider": "aws_secrets_manager"}
+    )
+    with pytest.raises(PipelineValidationError, match="aws_region is required"):
+        cfg.secrets_resolver()
+
+
 def test_secrets_block_env_prefix_interpolation(spark, monkeypatch):
     """Config-declared secrets: secret:// params resolve through the
     block's provider + prefix at component-invoke time."""

@@ -283,6 +283,8 @@ def test_stream_config_errors_are_loud(spark):
         build_sink({"type": "mq"})
     with pytest.raises(StreamingConfigError, match="unknown trigger"):
         build_trigger("sometimes")
+    with pytest.raises(StreamingConfigError, match="'type' field"):
+        build_trigger({"interval": "5 seconds"})
     with pytest.raises(StreamingConfigError, match="output_mode"):
         run_stream_component(
             spark,
