@@ -294,3 +294,91 @@ def test_stream_config_errors_are_loud(spark):
         )
     with pytest.raises(StreamingConfigError, match="'type' field"):
         build_source({"path": "/x"})
+
+
+# ---------------------------------------------------- batch↔stream parity
+
+def _stream_windowed(spark, tmp_path, name: str, transform_sql: str):
+    """Drive the op:stream path (file parquet source → SQL window agg →
+    memory sink, complete mode, available_now) over the same events
+    table the batch cases read, and return the result table."""
+    import shutil as _sh
+
+    from pyspark_pipeline_framework_spark.streaming.config import run_stream_component
+
+    src_dir = tmp_path / "events_in"
+    src_dir.mkdir()
+    _sh.copy("/root/testdata/sf0.001/events.parquet", src_dir / "events.parquet")
+    run_stream_component(
+        spark,
+        source={
+            "type": "file",
+            "path": str(src_dir),
+            "file_format": "parquet",
+            "schema": (
+                "event_id long, ts timestamp, user_id long, "
+                "event_type string, value double, props string"
+            ),
+        },
+        transform_sql=transform_sql,
+        sink={"type": "memory", "table_name": name},
+        output_mode="complete",
+        trigger="available_now",
+        checkpoint=str(tmp_path / "ckpt"),
+    )
+    return spark.table(name)
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_stream_batch_parity_tumbling(spark, tmp_path):
+    """The batch-oracled tumbling-window aggregation and the identical
+    computation run as a stream must agree bit-for-bit (reference
+    pattern: tests/integration/test_streaming_spark.py:131-174)."""
+    from pyspark_pipeline_framework_spark.suite.windows import q_win_tumbling
+
+    batch = q_win_tumbling(spark, "/root/testdata/sf0.001")
+    streamed = _stream_windowed(
+        spark, tmp_path, "parity_tumbling",
+        """
+        SELECT window(ts, '1 day').start AS win_start, event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
+        FROM stream GROUP BY window(ts, '1 day'), event_type
+        """,
+    )
+    assert _rows(streamed) == _rows(batch)
+
+
+def test_stream_batch_parity_sliding(spark, tmp_path):
+    from pyspark_pipeline_framework_spark.suite.windows import q_win_sliding
+
+    batch = q_win_sliding(spark, "/root/testdata/sf0.001")
+    streamed = _stream_windowed(
+        spark, tmp_path, "parity_sliding",
+        """
+        SELECT window(ts, '1 day', '12 hours').start AS win_start,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM stream GROUP BY window(ts, '1 day', '12 hours')
+        """,
+    )
+    assert _rows(streamed) == _rows(batch)
+
+
+def test_stream_batch_parity_session(spark, tmp_path):
+    from pyspark_pipeline_framework_spark.suite.windows import q_win_session
+
+    batch = q_win_session(spark, "/root/testdata/sf0.001")
+    streamed = _stream_windowed(
+        spark, tmp_path, "parity_session",
+        """
+        SELECT user_id,
+               session_window(ts, '30 minutes').start AS session_start,
+               session_window(ts, '30 minutes').end AS session_end,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM stream GROUP BY user_id, session_window(ts, '30 minutes')
+        """,
+    )
+    assert _rows(streamed) == _rows(batch)

@@ -1,0 +1,398 @@
+"""Empirical scale-stress of the dedup/ANN family (VERDICT r3 item #1).
+
+The 100 TB design claims (shuffle-bounded candidate generation, O(log² n)
+connected-components rounds, bounded driver fetches) are argued from plan
+shape elsewhere; this tool PROVES the scaling behavior empirically on
+synthetic multiples of the sf0.1 testdata:
+
+- **Synthesis** (no new testdata): the ``documents`` / ``embeddings``
+  tables are unioned R times with a salted id remap
+  (``id + replica * 10_000_000``). Document text is word-prefixed per
+  replica (``r{i}_word``) so cross-replica shingle sets are DISJOINT —
+  each replica reproduces the original near-dup structure without
+  manufacturing R² cross-replica candidate pairs; corpus-wide work must
+  therefore scale ~linearly in R if the operators are scale-safe.
+  Embeddings keep their vectors (bucket/cell populations grow R×,
+  query count stays fixed — the production shape).
+
+- **Battery** per scale R ∈ {1, 3, 10}: exact dedup, SimHash, MinHash-LSH
+  candidates, exact-Jaccard verify, star-contraction connected
+  components (round count asserted), brute-force / LSH / IVF ANN.
+
+- **Assertions** (failures collected, reported, exit 1):
+  1. wall(R) ≤ R · SLACK · wall(1) + CONST  — no super-linear blowup;
+  2. per-stage peak shuffle-write(R) ≤ R · SLACK · peak(1) + 64 MiB
+     (via the Spark UI REST API when the session has a UI);
+  3. star-CC rounds ≤ ceil(log2(nodes)) + 3 at every scale (the
+     measured Kiveris bound incl. the fixpoint-confirmation round);
+  4. candidate-pair counts grow ≤ R · 1.5 + 10 (banding stays bounded);
+  5. driver JVM used-heap (post-GC) grows < 2 GiB from first to last
+     scale — no driver-side accumulation with data size.
+
+Writes a markdown report (default ``SCALECHECK.md``) and prints one JSON
+summary line. Usage::
+
+    python tools/scalecheck.py [--base /root/testdata/sf0.1]
+        [--scales 1,3,10] [--out SCALECHECK.md] [--skip-report]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import math
+import os
+import shutil
+import sys
+import tempfile
+import time
+import urllib.request
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from pyspark.sql import DataFrame, SparkSession  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+
+ID_STRIDE = 10_000_000
+TIME_SLACK = 2.0          # per-unit-scale wall-time multiplier allowance
+TIME_CONST_S = 3.0        # fixed overhead allowance (job setup, steal)
+SHUFFLE_SLACK = 2.0
+SHUFFLE_CONST = 64 << 20  # 64 MiB
+PAIR_SLACK = 1.5
+HEAP_GROWTH_LIMIT = 2 << 30  # 2 GiB
+
+
+def build_spark(cpus: int) -> SparkSession:
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        return active
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("scalecheck")
+        .config("spark.sql.shuffle.partitions", str(max(cpus, 16)))
+        .config("spark.ui.enabled", "true")          # REST stage metrics
+        .config("spark.ui.showConsoleProgress", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+        .getOrCreate()
+    )
+
+
+# --------------------------------------------------------------- synthesis
+
+def synth_documents(spark: SparkSession, base_dir: str, r: int, out: str) -> str:
+    """R salted replicas of documents; replica i>0 word-prefixes the text
+    so its shingles are disjoint from every other replica's."""
+    base = spark.read.parquet(os.path.join(base_dir, "documents.parquet"))
+    parts = []
+    for i in range(r):
+        rep = base.select(
+            (F.col("doc_id") + F.lit(i * ID_STRIDE)).alias("doc_id"),
+            (
+                F.col("text") if i == 0
+                else F.regexp_replace("text", r"(\S+)", f"r{i}_$1")
+            ).alias("text"),
+            "lang", "source", "n_chars",
+        )
+        parts.append(rep)
+    df = parts[0]
+    for p in parts[1:]:
+        df = df.unionByName(p)
+    path = os.path.join(out, f"documents_x{r}.parquet")
+    df.write.mode("overwrite").parquet(path)
+    return path
+
+
+def synth_embeddings(spark: SparkSession, base_dir: str, r: int, out: str) -> str:
+    base = spark.read.parquet(os.path.join(base_dir, "embeddings.parquet"))
+    parts = [
+        base.select(
+            (F.col("vec_id") + F.lit(i * ID_STRIDE)).alias("vec_id"),
+            "embedding", "label",
+        )
+        for i in range(r)
+    ]
+    df = parts[0]
+    for p in parts[1:]:
+        df = df.unionByName(p)
+    path = os.path.join(out, f"embeddings_x{r}.parquet")
+    df.write.mode("overwrite").parquet(path)
+    return path
+
+
+# ----------------------------------------------------------- stage metrics
+
+class StageMeter:
+    """Peak per-stage shuffle-write bytes between mark() and read(),
+    via the Spark UI REST API (None when the session has no UI)."""
+
+    def __init__(self, spark: SparkSession):
+        self.api = None
+        ui = spark.sparkContext.uiWebUrl
+        if ui:
+            self.api = f"{ui}/api/v1/applications/{spark.sparkContext.applicationId}/stages"
+        self.last_stage = -1
+
+    def _stages(self):
+        if not self.api:
+            return []
+        try:
+            with urllib.request.urlopen(self.api + "?status=complete", timeout=10) as f:
+                return json.load(f)
+        except Exception:
+            return []
+
+    def mark(self) -> None:
+        stages = self._stages()
+        self.last_stage = max((s["stageId"] for s in stages), default=-1)
+
+    def read(self) -> dict | None:
+        stages = [s for s in self._stages() if s["stageId"] > self.last_stage]
+        if not self.api:
+            return None
+        return {
+            "n_stages": len(stages),
+            "peak_shuffle_write": max((s.get("shuffleWriteBytes", 0) for s in stages), default=0),
+            "sum_shuffle_write": sum(s.get("shuffleWriteBytes", 0) for s in stages),
+        }
+
+
+def jvm_used_heap(spark: SparkSession) -> int:
+    rt = spark._jvm.java.lang.Runtime.getRuntime()  # type: ignore[attr-defined]
+    rt.gc()
+    time.sleep(0.3)
+    return int(rt.totalMemory() - rt.freeMemory())
+
+
+# ----------------------------------------------------------------- battery
+
+def run_battery(spark: SparkSession, docs_path: str, emb_path: str, meter: StageMeter) -> dict:
+    from pyspark_pipeline_framework_spark.llm.dedup import (
+        _star_components,
+        exact_text_dedup,
+        jaccard_verify,
+        minhash_candidate_pairs,
+        simhash,
+    )
+    from pyspark_pipeline_framework_spark.llm.similarity import (
+        cosine_topk_bruteforce,
+        cosine_topk_ivf,
+        cosine_topk_lsh,
+    )
+
+    docs = spark.read.parquet(docs_path)
+    emb = spark.read.parquet(emb_path)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+
+    out: dict[str, dict] = {}
+
+    def timed(name: str, fn):
+        meter.mark()
+        t0 = time.monotonic()
+        val = fn()
+        wall = time.monotonic() - t0
+        rec = {"wall_s": round(wall, 3), "rows": val if isinstance(val, int) else None}
+        stage = meter.read()
+        if stage:
+            rec.update(stage)
+        out[name] = rec
+        return val
+
+    timed("exact_dedup", lambda: exact_text_dedup(docs).count())
+    timed("simhash", lambda: simhash(docs).count())
+
+    cand = minhash_candidate_pairs(docs).localCheckpoint(eager=False)
+    n_pairs = timed("minhash_lsh_candidates", cand.count)
+    timed(
+        "minhash_verify",
+        lambda: jaccard_verify(docs, cand, threshold=0.5).count(),
+    )
+
+    # star-contraction CC with the round count surfaced
+    oriented = (
+        cand.select(
+            F.greatest(F.col("id_a").cast("long"), F.col("id_b").cast("long")).alias("u"),
+            F.least(F.col("id_a").cast("long"), F.col("id_b").cast("long")).alias("v"),
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    n_nodes = (
+        oriented.select(F.col("u").alias("id"))
+        .union(oriented.select(F.col("v").alias("id")))
+        .distinct()
+        .count()
+    )
+    meter.mark()
+    t0 = time.monotonic()
+    stars, rounds = _star_components(oriented, max_iters=25)
+    n_star_edges = stars.count()
+    rec = {
+        "wall_s": round(time.monotonic() - t0, 3),
+        "rows": n_star_edges,
+        "rounds": rounds,
+        "n_nodes": n_nodes,
+    }
+    stage = meter.read()
+    if stage:
+        rec.update(stage)
+    out["cluster_star"] = rec
+
+    timed("knn_brute", lambda: cosine_topk_bruteforce(emb, queries, k=5).count())
+    timed(
+        "knn_lsh",
+        lambda: cosine_topk_lsh(emb, queries, dim=64, k=5, n_planes=4, n_tables=8).count(),
+    )
+    timed(
+        "knn_ivf",
+        lambda: cosine_topk_ivf(emb, queries, dim=64, k=5, nlist=8, nprobe=3).count(),
+    )
+    out["_n_candidate_pairs"] = n_pairs
+    return out
+
+
+# ------------------------------------------------------------------ checks
+
+def check_results(results: dict[int, dict], heaps: dict[int, int]) -> list[str]:
+    problems: list[str] = []
+    scales = sorted(results)
+    base = results[scales[0]]
+    base_scale = scales[0]
+    for r in scales[1:]:
+        rel = r / base_scale
+        for op, rec in results[r].items():
+            if op.startswith("_"):
+                continue
+            b = base.get(op)
+            if not b:
+                continue
+            limit = rel * TIME_SLACK * b["wall_s"] + TIME_CONST_S
+            if rec["wall_s"] > limit:
+                problems.append(
+                    f"{op}@x{r}: wall {rec['wall_s']:.2f}s > linear bound "
+                    f"{limit:.2f}s (x{base_scale}: {b['wall_s']:.2f}s)"
+                )
+            if rec.get("peak_shuffle_write") is not None and b.get("peak_shuffle_write") is not None:
+                slimit = rel * SHUFFLE_SLACK * b["peak_shuffle_write"] + SHUFFLE_CONST
+                if rec["peak_shuffle_write"] > slimit:
+                    problems.append(
+                        f"{op}@x{r}: peak stage shuffle-write "
+                        f"{rec['peak_shuffle_write']} > bound {slimit:.0f}"
+                    )
+        # candidate growth must stay ~linear (banding bounded)
+        np_r, np_b = results[r]["_n_candidate_pairs"], base["_n_candidate_pairs"]
+        if np_r > rel * PAIR_SLACK * np_b + 10:
+            problems.append(
+                f"candidate pairs @x{r}: {np_r} vs {np_b} at x{base_scale} — super-linear"
+            )
+    for r in scales:
+        cs = results[r]["cluster_star"]
+        bound = math.ceil(math.log2(max(cs["n_nodes"], 2))) + 3
+        if cs["rounds"] > bound:
+            problems.append(
+                f"cluster_star@x{r}: {cs['rounds']} rounds > ceil(log2({cs['n_nodes']}))+3={bound}"
+            )
+    if heaps:
+        first, last = heaps[scales[0]], heaps[scales[-1]]
+        if last - first > HEAP_GROWTH_LIMIT:
+            problems.append(
+                f"driver used-heap grew {(last - first) >> 20} MiB from x{scales[0]} "
+                f"to x{scales[-1]} (> {HEAP_GROWTH_LIMIT >> 20} MiB)"
+            )
+    return problems
+
+
+def write_report(path: str, base_dir: str, results: dict[int, dict],
+                 heaps: dict[int, int], problems: list[str]) -> None:
+    scales = sorted(results)
+    ops = [k for k in results[scales[0]] if not k.startswith("_")]
+    lines = [
+        "# SCALECHECK — empirical scaling of the dedup/ANN family",
+        "",
+        f"Base data: `{base_dir}` (documents/embeddings), replicated with",
+        "disjoint-shingle salting (see `tools/scalecheck.py`). Wall seconds",
+        "per operator per scale; `shuf` = peak per-stage shuffle-write.",
+        "",
+        "| operator | " + " | ".join(f"x{r} wall / rows / shuf" for r in scales) + " |",
+        "|---|" + "|".join("---" for _ in scales) + "|",
+    ]
+    for op in ops:
+        cells = []
+        for r in scales:
+            rec = results[r][op]
+            shuf = rec.get("peak_shuffle_write")
+            shuf_s = f"{shuf / (1 << 20):.1f}M" if shuf is not None else "–"
+            extra = f", {rec['rounds']} rounds" if "rounds" in rec else ""
+            cells.append(f"{rec['wall_s']:.2f}s / {rec['rows']} / {shuf_s}{extra}")
+        lines.append(f"| {op} | " + " | ".join(cells) + " |")
+    lines += [
+        "",
+        "| scale | candidate pairs | driver used-heap (post-GC) |",
+        "|---|---|---|",
+    ]
+    for r in scales:
+        heap = heaps.get(r)
+        lines.append(
+            f"| x{r} | {results[r]['_n_candidate_pairs']} | "
+            f"{heap >> 20 if heap else '–'} MiB |"
+        )
+    lines += ["", "## Assertions", ""]
+    if problems:
+        lines += [f"- **FAIL** {p}" for p in problems]
+    else:
+        lines += [
+            f"- wall(R) ≤ R·{TIME_SLACK}·wall(1) + {TIME_CONST_S}s — all operators PASS",
+            f"- peak stage shuffle-write(R) ≤ R·{SHUFFLE_SLACK}·peak(1) + 64 MiB — PASS",
+            "- star-CC rounds ≤ ceil(log2(nodes)) + 3 at every scale — PASS",
+            f"- candidate pairs grow ≤ R·{PAIR_SLACK} — PASS",
+            "- driver used-heap growth < 2 GiB across the full sweep — PASS",
+        ]
+    with open(path, "w") as f:
+        f.write("\n".join(lines) + "\n")
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--base", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    ap.add_argument("--scales", default="1,3,10")
+    ap.add_argument("--out", default=os.path.join(REPO, "SCALECHECK.md"))
+    ap.add_argument("--skip-report", action="store_true")
+    ap.add_argument("--cpus", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    args = ap.parse_args(argv)
+    scales = sorted({int(s) for s in args.scales.split(",")})
+
+    spark = build_spark(args.cpus)
+    meter = StageMeter(spark)
+    tmp = tempfile.mkdtemp(prefix="scalecheck_")
+    results: dict[int, dict] = {}
+    heaps: dict[int, int] = {}
+    try:
+        for r in scales:
+            docs_path = synth_documents(spark, args.base, r, tmp)
+            emb_path = synth_embeddings(spark, args.base, r, tmp)
+            results[r] = run_battery(spark, docs_path, emb_path, meter)
+            heaps[r] = jvm_used_heap(spark)
+            print(f"# scale x{r}: " + ", ".join(
+                f"{op}={rec['wall_s']}s" for op, rec in results[r].items()
+                if not op.startswith("_")
+            ), file=sys.stderr)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    problems = check_results(results, heaps)
+    if not args.skip_report:
+        write_report(args.out, args.base, results, heaps, problems)
+    print(json.dumps({
+        "scales": scales,
+        "problems": problems,
+        "results": results,
+        "heap_mb": {r: h >> 20 for r, h in heaps.items()},
+    }, sort_keys=True))
+    return 1 if problems else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
