@@ -156,3 +156,63 @@ def test_quantize_error_bound(spark, vec):
 
             orig32 = struct.unpack("f", struct.pack("f", orig))[0]
             assert abs(orig32 - q * r.q_scale) <= r.q_scale * (1 + 1e-9)
+
+
+# ------------------------------------------------- skew robustness (r3 #3)
+
+@pytest.mark.parametrize("salt", [8, 16])
+def test_salted_join_spreads_pathological_skew(spark, salt):
+    """A 100:1 hot key must NOT land on one reducer under salted_join:
+    the max post-shuffle partition stays within ~2.5× the median
+    partition, and far below the unsalted hot-partition size. AQE and
+    broadcast are disabled so the raw shuffle partitioning is observable
+    (AQE's skew-join split is the production default for MODERATE skew;
+    salting is the explicit escape hatch for a single pathological key —
+    see README 'Skewed joins')."""
+    conf = spark.conf
+    saved = {
+        k: conf.get(k)
+        for k in (
+            "spark.sql.adaptive.enabled",
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.shuffle.partitions",
+        )
+    }
+    conf.set("spark.sql.adaptive.enabled", "false")
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    conf.set("spark.sql.shuffle.partitions", "64")
+    try:
+        n_keys, hot_rows, cold_rows = 200, 20_000, 100
+        left = (
+            spark.range(hot_rows).select(F.lit(0).alias("k"), F.col("id").alias("v"))
+            .unionByName(
+                spark.range(n_keys * cold_rows).select(
+                    (F.col("id") % (n_keys - 1) + 1).cast("long").alias("k"),
+                    F.col("id").alias("v"),
+                )
+            )
+        )
+        right = spark.range(n_keys).select(F.col("id").alias("k"), F.lit("dim").alias("name"))
+
+        def partition_sizes(df):
+            rows = (
+                df.withColumn("pid", F.spark_partition_id())
+                .groupBy("pid").count().collect()
+            )
+            return sorted(r["count"] for r in rows)
+
+        plain = partition_sizes(left.join(right, ["k"]))
+        salted = partition_sizes(salted_join(left, right, on=["k"], salt=salt))
+
+        assert sum(plain) == sum(salted)  # identical result cardinality
+        # the unsalted plan concentrates the whole hot key on one reducer
+        assert plain[-1] >= hot_rows
+        # salted: max task ≤ collision-factor × (ideal hot spread +
+        # mean background) — a hot partition may receive ~2 of the salt
+        # sub-keys by hash collision, never the whole key
+        ideal = hot_rows / salt + sum(salted) / len(salted)
+        assert salted[-1] <= 2.5 * ideal, (salted[-1], ideal)
+        assert salted[-1] <= plain[-1] / 3
+    finally:
+        for k, v in saved.items():
+            conf.set(k, v)
