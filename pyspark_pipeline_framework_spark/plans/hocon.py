@@ -15,10 +15,21 @@ be loaded without any third-party parser:
   unquoted dotted keys expand to nested objects (``a.b.c: 1``)
 - duplicate object keys deep-merge (later scalars win) — HOCON merge
 - ``${a.b}`` / ``${?a.b}`` substitutions resolved against the root
-  AFTER parsing and all includes (optional form resolves to None if
-  missing); substitution chains and substituted objects that
-  themselves contain substitutions resolve recursively, with cycle
-  detection
+  AFTER parsing and all includes, with the environment as fallback for
+  paths not in the file (HOCON env-variable rule); substitution chains
+  and substituted objects that themselves contain substitutions
+  resolve recursively, with cycle detection
+- missing ``${?optional}`` follows the spec: the FIELD IS OMITTED (not
+  null), a list element vanishes, a string-concat part becomes empty;
+  ``key = value`` then ``key = ${?maybe}`` keeps the previous value
+  when the substitution is undefined (the env-override idiom)
+- root-level **self-referential substitution** sees the key's previous
+  value: ``path = ${path}":/bin"``, ``a = ${a} [2]``,
+  ``a = ${a} {extra: 1}``, and duplicate-object chains like
+  ``a { xs = ${a.xs} [2] }``; a self-reference with NO previous value
+  is a loud unresolved-substitution/cycle error, and self-references
+  nested below a non-root object literal are out of subset (loud
+  cycle error)
 - value concatenation: ``"jdbc://"${host}":"${port}``, ``${base}/sub``,
   list concat ``${defaults} [x]``, object concat ``${base} {k: v}``;
   interior whitespace between tokens is preserved (HOCON string-
@@ -44,10 +55,22 @@ NOT supported (loud errors, not silent misparses):
 
 from __future__ import annotations
 
+import copy
 import os
 from typing import Any
 
 __all__ = ["HoconError", "loads", "load"]
+
+
+class _Missing:
+    """Sentinel for a missing ``${?optional}`` substitution — distinct
+    from an explicit ``null``: per the HOCON spec the FIELD is omitted,
+    a list element vanishes, and string concatenation drops the part."""
+
+    __repr__ = lambda self: "<missing>"  # noqa: E731
+
+
+_MISSING = _Missing()
 
 
 class HoconError(ValueError):
@@ -89,24 +112,27 @@ class _Parser:
     def parse_root(self) -> dict[str, Any]:
         self.skip_ws()
         if self.at() == "{":
-            obj = self.parse_object()
+            obj = self.parse_object(absolute=True)
         else:
-            obj = self.parse_members(root=True)
+            obj = self.parse_members(root=True, absolute=True)
         self.skip_ws()
         if self.i < self.n:
             raise self._err(f"trailing content: {self.s[self.i:self.i+20]!r}")
         return obj
 
-    def parse_object(self) -> dict[str, Any]:
+    def parse_object(self, absolute: bool = False) -> dict[str, Any]:
         assert self.at() == "{"
         self.i += 1
-        obj = self.parse_members(root=False)
+        obj = self.parse_members(root=False, absolute=absolute)
         if self.at() != "}":
             raise self._err("expected '}'")
         self.i += 1
         return obj
 
-    def parse_members(self, root: bool) -> dict[str, Any]:
+    def parse_members(self, root: bool, absolute: bool = False) -> dict[str, Any]:
+        # `absolute` = these members sit at the document root, so an
+        # assign path here IS the substitution-visible absolute path —
+        # the precondition for HOCON self-referential substitution
         obj: dict[str, Any] = {}
         while True:
             self.skip_ws()
@@ -121,7 +147,7 @@ class _Parser:
             if self._at_include():
                 included = self.parse_include()
                 if included:
-                    _merge(obj, included)
+                    _merge(obj, included, prefix=[] if absolute else None)
                 self.skip_ws(newlines=False)
                 if self.at() == ",":
                     self.i += 1
@@ -144,7 +170,7 @@ class _Parser:
                 value = _Append([self.parse_value()])
             else:
                 raise self._err(f"expected ':', '=' or '{{' after key {key_path!r}")
-            _assign(obj, key_path, value)
+            _assign(obj, key_path, value, absolute=absolute)
             self.skip_ws(newlines=False)
             if self.at() == ",":
                 self.i += 1
@@ -358,6 +384,16 @@ class _Concat:
         self.is_append = is_append
 
 
+class _Fallback:
+    """``key = <prev>`` later overridden by ``key = ${?maybe}``: per the
+    HOCON spec the field KEEPS its previous value when the optional
+    substitution is undefined (the standard env-override idiom)."""
+
+    def __init__(self, prev: Any, sub: "_Subst"):
+        self.prev = prev
+        self.sub = sub
+
+
 class _Append:
     """Pending `+=` items: combined with the key's existing value at
     assign/merge time (list → extend, _Append → chain, substitution →
@@ -382,6 +418,31 @@ def _combine_append(old: Any, app: "_Append") -> Any:
     raise HoconError(f"'+=' requires a list target, found {type(old).__name__}")
 
 
+def _snapshot_self(value: Any, path: list[str], old: Any) -> Any:
+    """HOCON self-referential substitution: in a root-level
+    ``key = ...${key}...`` the substitution sees the key's PREVIOUS
+    value (spec §self-referential substitutions; the mechanism behind
+    ``path = ${path}":/bin"`` and ``a = ${a} {extra: ...}``). Replaces
+    matching substitution nodes in the value expression with a deep
+    snapshot of the old value; a missing old value leaves the node for
+    normal resolution (optional → omitted, required → loud error).
+    Dict values are NOT descended — an inner-object self-reference is
+    out of subset and fails loudly as a substitution cycle."""
+    if isinstance(value, _Subst) and value.path == path:
+        return copy.deepcopy(old) if old is not None else value
+    if isinstance(value, _Concat):
+        return _Concat(
+            [_snapshot_self(p, path, old) for p in value.parts],
+            value.seps,
+            value.is_append,
+        )
+    if isinstance(value, _Append):
+        return _Append([_snapshot_self(v, path, old) for v in value.items])
+    if isinstance(value, list):
+        return [_snapshot_self(v, path, old) for v in value]
+    return value
+
+
 def _coerce(raw: str) -> Any:
     low = raw.lower()
     if low == "true":
@@ -401,7 +462,7 @@ def _coerce(raw: str) -> Any:
     return raw
 
 
-def _assign(obj: dict[str, Any], path: list[str], value: Any) -> None:
+def _assign(obj: dict[str, Any], path: list[str], value: Any, absolute: bool = False) -> None:
     for part in path[:-1]:
         nxt = obj.get(part)
         if not isinstance(nxt, dict):
@@ -410,27 +471,37 @@ def _assign(obj: dict[str, Any], path: list[str], value: Any) -> None:
         obj = nxt
     leaf = path[-1]
     old = obj.get(leaf)
+    if absolute:
+        value = _snapshot_self(value, path, old)
     if isinstance(value, _Append):
         obj[leaf] = _combine_append(old, value)
     elif isinstance(old, dict) and isinstance(value, dict):
-        _merge(old, value)
+        _merge(old, value, prefix=path if absolute else None)
+    elif isinstance(value, _Subst) and value.optional and old is not None:
+        obj[leaf] = _Fallback(old, value)
     else:
         obj[leaf] = value
 
 
-def _merge(dst: dict[str, Any], src: dict[str, Any]) -> None:
+def _merge(dst: dict[str, Any], src: dict[str, Any], prefix: list[str] | None = None) -> None:
+    # `prefix` = absolute path of dst when known (root-level merges) —
+    # enables previous-value snapshots for `a { x = ${a.x} ... }` chains
     for k, v in src.items():
+        if prefix is not None:
+            v = _snapshot_self(v, prefix + [k], dst.get(k))
         if isinstance(v, _Append):
             dst[k] = _combine_append(dst.get(k), v)
         elif isinstance(dst.get(k), dict) and isinstance(v, dict):
-            _merge(dst[k], v)
+            _merge(dst[k], v, prefix=prefix + [k] if prefix is not None else None)
+        elif isinstance(v, _Subst) and v.optional and dst.get(k) is not None:
+            dst[k] = _Fallback(dst[k], v)
         else:
             dst[k] = v
 
 
 def _concat_str(v: Any) -> str:
     if v is None:
-        return ""  # missing optional substitution vanishes in string concat
+        return "null"  # explicit null renders per HOCON value concat
     if v is True:
         return "true"
     if v is False:
@@ -450,44 +521,61 @@ def _resolve(node: Any, root: dict[str, Any], seen: frozenset = frozenset()) -> 
         cur: Any = root
         for part in node.path:
             if not isinstance(cur, dict) or part not in cur:
+                # HOCON fallback: a substitution unresolved in the file
+                # looks up the dotted path verbatim in the environment
+                env = os.environ.get(".".join(node.path))
+                if env is not None:
+                    return env
                 if node.optional:
-                    return None
+                    return _MISSING  # field/element omitted, not null
                 raise HoconError(f"unresolved substitution ${{{'.'.join(node.path)}}}")
             cur = cur[part]
         # recursively resolve WHATEVER the lookup returned — a chained
         # substitution, or an object/list whose members contain
         # substitutions (otherwise raw _Subst nodes leak into output)
         return _resolve(cur, root, seen | {key})
+    if isinstance(node, _Fallback):
+        v = _resolve(node.sub, root, seen)
+        return _resolve(node.prev, root, seen) if v is _MISSING else v
     if isinstance(node, _Append):
-        return [_resolve(v, root, seen) for v in node.items]
+        return [
+            v for v in (_resolve(x, root, seen) for x in node.items) if v is not _MISSING
+        ]
     if isinstance(node, _Concat):
         vals = [_resolve(p, root, seen) for p in node.parts]
         if node.is_append:
             base, items = vals
-            if base is None:
+            if base is _MISSING:
                 return items  # `a = ${?missing}` then `a += x`
             if not isinstance(base, list):
                 raise HoconError(
                     f"'+=' requires a list target, found {type(base).__name__}"
                 )
             return base + items
-        if vals and all(isinstance(v, list) for v in vals):
-            return [x for v in vals for x in v]
-        if vals and all(isinstance(v, dict) for v in vals):
+        present = [v for v in vals if v is not _MISSING]
+        if not present:
+            return _MISSING  # every part was a missing optional
+        if all(isinstance(v, list) for v in present):
+            return [x for v in present for x in v]
+        if all(isinstance(v, dict) for v in present):
             merged: dict[str, Any] = {}
-            for v in vals:
+            for v in present:
                 _merge(merged, v)
             return merged
         out: list[str] = []
         for idx, v in enumerate(vals):
             if idx:
                 out.append(node.seps[idx - 1])
-            out.append(_concat_str(v))
+            if v is not _MISSING:
+                out.append(_concat_str(v))
         return "".join(out)
     if isinstance(node, dict):
-        return {k: _resolve(v, root, seen) for k, v in node.items()}
+        resolved = {k: _resolve(v, root, seen) for k, v in node.items()}
+        return {k: v for k, v in resolved.items() if v is not _MISSING}
     if isinstance(node, list):
-        return [_resolve(v, root, seen) for v in node]
+        return [
+            v for v in (_resolve(x, root, seen) for x in node) if v is not _MISSING
+        ]
     return node
 
 

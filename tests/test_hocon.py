@@ -97,7 +97,9 @@ def test_substitutions_full_value_and_optional():
         """
     )
     assert d["input"] == "/data" and d["nested"]["also"] == "/data"
-    assert d["missing"] is None
+    # HOCON spec: a field whose value is a missing ${?optional} is
+    # OMITTED (distinct from an explicit null)
+    assert "missing" not in d
     with pytest.raises(HoconError, match="unresolved substitution"):
         loads("x: ${nope}")
 
@@ -279,3 +281,139 @@ def test_triple_quoted_trailing_quote_quirk():
 
 def test_triple_quoted_no_escape_processing():
     assert loads(r's = """a\nb"""') == {"s": r"a\nb"}
+
+
+# ------------------------------------------------------ conformance corpus
+# Table-driven fixtures modeled on the public HOCON spec and pyhocon's
+# test suite: self-referential substitution, ${?optional} edge cases,
+# object-merge chains, multi-line strings. Unsupported constructs must
+# raise a named HoconError, never silently misparse.
+
+CONFORMANCE = [
+    # --- self-referential substitution (previous value) ---
+    ("path-append", 'path = "/usr"\npath = ${path}":/bin"', {"path": "/usr:/bin"}),
+    ("self-list", "a = [1]\na = ${a} [2]", {"a": [1, 2]}),
+    ("self-object", "a = {x: 1}\na = ${a} {y: 2}", {"a": {"x": 1, "y": 2}}),
+    (
+        "self-chain",
+        'a = "x"\na = ${a}"y"\na = ${a}"z"',
+        {"a": "xyz"},
+    ),
+    (
+        "self-through-object-merge",
+        "a { xs = [1] }\na { xs = ${a.xs} [2] }",
+        {"a": {"xs": [1, 2]}},
+    ),
+    (
+        "braced-root-self",
+        '{ path = "/usr"\n  path = ${path}":/bin" }',
+        {"path": "/usr:/bin"},
+    ),
+    (
+        "self-dotted-key",
+        "a.b = [1]\na.b = ${a.b} [2]",
+        {"a": {"b": [1, 2]}},
+    ),
+    # --- ${?optional} edge cases ---
+    ("optional-missing-omits-field", "a = ${?nope}", {}),
+    ("optional-missing-nested", "a.b = ${?a.c}", {"a": {}}),
+    ("optional-missing-list-element", "xs = [1, ${?m}, 2]", {"xs": [1, 2]}),
+    (
+        "optional-missing-in-concat",
+        'url = "http://"${?host}"/"',
+        {"url": "http:///"},
+    ),
+    ("optional-all-missing-concat", "a = ${?m1}${?m2}", {}),
+    (
+        "optional-override-keeps-previous",
+        "port = 8080\nport = ${?NO_SUCH_ENV_VAR_XYZ}",
+        {"port": 8080},
+    ),
+    (
+        "optional-override-nested-keeps-previous",
+        "server { port = 8080\n  port = ${?NO_SUCH_ENV_VAR_XYZ} }",
+        {"server": {"port": 8080}},
+    ),
+    (
+        "optional-present-overrides",
+        "port = 8080\nhi = 9090\nport = ${?hi}",
+        {"port": 9090, "hi": 9090},
+    ),
+    ("null-is-not-missing", "a = null\nb = ${?a}", {"a": None, "b": None}),
+    # --- object merge / extension chains ---
+    (
+        "extends-chain",
+        "base = {timeout: 10}\ns1 = ${base} {a: 1}\ns2 = ${s1} {b: 2}",
+        {
+            "base": {"timeout": 10},
+            "s1": {"timeout": 10, "a": 1},
+            "s2": {"timeout": 10, "a": 1, "b": 2},
+        },
+    ),
+    (
+        "merge-later-scalar-wins",
+        "a { x = 1\n  y = 2 }\na { x = 9 }",
+        {"a": {"x": 9, "y": 2}},
+    ),
+    # --- multi-line strings ---
+    (
+        "triple-no-substitution",
+        's = """${not_a_subst}"""',
+        {"s": "${not_a_subst}"},
+    ),
+    (
+        "triple-embedded-quotes",
+        's = """say "hi" twice"""',
+        {"s": 'say "hi" twice'},
+    ),
+    (
+        "null-renders-in-concat",
+        "n = null\ns = \"v=\"${n}",
+        {"n": None, "s": "v=null"},
+    ),
+]
+
+
+@pytest.mark.parametrize("name,text,expected", CONFORMANCE, ids=[c[0] for c in CONFORMANCE])
+def test_hocon_conformance(name, text, expected):
+    assert loads(text) == expected
+
+
+def test_env_fallback_substitution(monkeypatch):
+    monkeypatch.setenv("PPFS_CONF_TEST_VAR", "from-env")
+    assert loads("v = ${PPFS_CONF_TEST_VAR}") == {"v": "from-env"}
+    assert loads("v = ${?PPFS_CONF_TEST_VAR}") == {"v": "from-env"}
+    monkeypatch.delenv("PPFS_CONF_TEST_VAR")
+    with pytest.raises(HoconError, match="unresolved substitution"):
+        loads("v = ${PPFS_CONF_TEST_VAR}")
+    assert loads("v = ${?PPFS_CONF_TEST_VAR}") == {}
+
+
+def test_env_override_idiom(monkeypatch):
+    monkeypatch.setenv("PPFS_CONF_PORT", "9999")
+    assert loads("port = 8080\nport = ${?PPFS_CONF_PORT}") == {"port": "9999"}
+
+
+CONFORMANCE_ERRORS = [
+    ("self-no-previous", "x = ${x}", "unresolved|cycle"),
+    ("mutual-cycle", "a = ${b}\nb = ${a}", "cycle"),
+    (
+        "nested-self-ref-out-of-subset",
+        "x { b = ${x.b} [1] }",
+        "cycle",
+    ),
+    ("append-to-object", "a = {x: 1}\na += 2", "list target"),
+    (
+        "concat-object-with-string",
+        'a = {x: 1}\nb = "s"${a}',
+        "string-concatenate",
+    ),
+]
+
+
+@pytest.mark.parametrize(
+    "name,text,pattern", CONFORMANCE_ERRORS, ids=[c[0] for c in CONFORMANCE_ERRORS]
+)
+def test_hocon_conformance_errors(name, text, pattern):
+    with pytest.raises(HoconError, match=pattern):
+        loads(text)
