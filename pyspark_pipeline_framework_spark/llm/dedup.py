@@ -77,6 +77,12 @@ def minhash_signature(
         hashed = exploded.select(F.col(id_col), F.xxhash64("__s").alias("__h"))
         perms = [F.min(F.xxhash64("__h", F.lit(i))).alias(f"__m{i}") for i in range(num_hashes)]
     elif hash_fn == "md5":
+        # measured (sf0.1, local[32]): computing the 64 permutation
+        # md5s inline per shingle OCCURRENCE beats a per-DISTINCT-hash
+        # precompute + join-back 2× — JVM md5 over 16-byte inputs is
+        # cheap enough that the extra shuffle/join materialization costs
+        # more than the 9.6× duplication it saves, and inline keeps the
+        # whole signature in one codegen stage with zero extra shuffles
         hashed = exploded.select(F.col(id_col), F.md5("__s").alias("__h"))
         perms = [
             F.min(
