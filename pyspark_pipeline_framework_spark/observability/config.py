@@ -55,6 +55,34 @@ def _check_fields(d: dict[str, Any], allowed: set[str], section: str) -> None:
         )
 
 
+def _section_dict(hooks_cfg: dict[str, Any], section: str) -> dict[str, Any]:
+    v = hooks_cfg.get(section)
+    if v is None:
+        return {}
+    if not isinstance(v, dict):
+        raise HooksConfigError(
+            f"hooks.{section} must be an object, got {type(v).__name__}"
+        )
+    return dict(v)
+
+
+def _check_types(d: dict[str, Any], spec: dict[str, type], section: str) -> None:
+    # bool is an int subclass — require exact bool for bool fields and
+    # exclude bool from int fields so `enabled: 1` / `retention_days: true`
+    # both fail loudly
+    for k, tp in spec.items():
+        v = d.get(k)
+        if v is None:
+            continue
+        ok = isinstance(v, bool) if tp is bool else (
+            isinstance(v, tp) and not isinstance(v, bool)
+        )
+        if not ok:
+            raise HooksConfigError(
+                f"hooks.{section}.{k} must be {tp.__name__}, got {type(v).__name__}"
+            )
+
+
 @dataclass(frozen=True)
 class LoggingHooksConfig:
     level: str = "INFO"
@@ -65,11 +93,12 @@ class LoggingHooksConfig:
     @classmethod
     def from_dict(cls, d: dict[str, Any]) -> "LoggingHooksConfig":
         _check_fields(d, {"level", "format", "output", "structured"}, "hooks.logging")
+        _check_types(d, {"level": str, "format": str, "output": str, "structured": bool}, "logging")
         cfg = cls(**d)
         if cfg.format not in ("text", "json"):
             raise HooksConfigError("hooks.logging.format must be 'text' or 'json'")
         if not hasattr(logging, cfg.level.upper()):
-            raise HooksConfigError(f"unknown log level {cfg.level!r}")
+            raise HooksConfigError(f"hooks.logging: unknown log level {cfg.level!r}")
         return cfg
 
 
@@ -101,9 +130,20 @@ class MetricsHooksConfig:
             {"enabled", "backend", "push_gateway_url", "export_interval_seconds", "dump_path"},
             "hooks.metrics",
         )
+        _check_types(
+            d,
+            {
+                "enabled": bool,
+                "backend": str,
+                "push_gateway_url": str,
+                "export_interval_seconds": int,
+                "dump_path": str,
+            },
+            "metrics",
+        )
         cfg = cls(**d)
         if cfg.export_interval_seconds < 1:
-            raise HooksConfigError("export_interval_seconds must be at least 1")
+            raise HooksConfigError("hooks.metrics.export_interval_seconds must be at least 1")
         if cfg.backend not in ("in_memory", "prometheus", "otel"):
             raise HooksConfigError(
                 f"unknown metrics backend {cfg.backend!r} (in_memory | prometheus | otel)"
@@ -125,9 +165,19 @@ class AuditHooksConfig:
             {"enabled", "audit_trail_path", "include_data_samples", "retention_days"},
             "hooks.audit",
         )
+        _check_types(
+            d,
+            {
+                "enabled": bool,
+                "audit_trail_path": str,
+                "include_data_samples": bool,
+                "retention_days": int,
+            },
+            "audit",
+        )
         cfg = cls(**d)
         if cfg.retention_days < 1:
-            raise HooksConfigError("retention_days must be at least 1")
+            raise HooksConfigError("hooks.audit.retention_days must be at least 1")
         return cfg
 
 
@@ -194,12 +244,12 @@ def build_hooks_from_config(hooks_cfg: dict[str, Any]) -> PipelineHooks:
     # reference HooksConfig.__post_init__ (core/config/hooks.py:82-85):
     # a hooks block ALWAYS carries a logging config — a block declaring
     # only metrics/audit still gets default logging, never silence
-    lc = LoggingHooksConfig.from_dict(dict(hooks_cfg.get("logging") or {}))
+    lc = LoggingHooksConfig.from_dict(_section_dict(hooks_cfg, "logging"))
     _configure_logging(lc)
     parts.append(LoggingHooks())
 
     if "metrics" in hooks_cfg:
-        mc = MetricsHooksConfig.from_dict(dict(hooks_cfg["metrics"] or {}))
+        mc = MetricsHooksConfig.from_dict(_section_dict(hooks_cfg, "metrics"))
         if mc.enabled:
             registry = build_metrics_registry(mc)
             if mc.backend == "in_memory" and mc.dump_path:
@@ -208,7 +258,7 @@ def build_hooks_from_config(hooks_cfg: dict[str, Any]) -> PipelineHooks:
                 parts.append(MetricsHooks(registry))
 
     if "audit" in hooks_cfg:
-        ac = AuditHooksConfig.from_dict(dict(hooks_cfg["audit"] or {}))
+        ac = AuditHooksConfig.from_dict(_section_dict(hooks_cfg, "audit"))
         if ac.enabled:
             sink = FileAuditSink(ac.audit_trail_path) if ac.audit_trail_path else LoggingAuditSink()
             parts.append(AuditHooks(sink))
@@ -225,10 +275,14 @@ def validate_hooks_config(hooks_cfg: dict[str, Any]) -> None:
     section without building observers (no filesystem side effects)."""
     if not hooks_cfg:
         return
+    if not isinstance(hooks_cfg, dict):
+        raise HooksConfigError(
+            f"hooks block must be an object, got {type(hooks_cfg).__name__}"
+        )
     _check_fields(hooks_cfg, {"logging", "metrics", "audit"}, "hooks")
     if "logging" in hooks_cfg:
-        LoggingHooksConfig.from_dict(dict(hooks_cfg["logging"] or {}))
+        LoggingHooksConfig.from_dict(_section_dict(hooks_cfg, "logging"))
     if "metrics" in hooks_cfg:
-        MetricsHooksConfig.from_dict(dict(hooks_cfg["metrics"] or {}))
+        MetricsHooksConfig.from_dict(_section_dict(hooks_cfg, "metrics"))
     if "audit" in hooks_cfg:
-        AuditHooksConfig.from_dict(dict(hooks_cfg["audit"] or {}))
+        AuditHooksConfig.from_dict(_section_dict(hooks_cfg, "audit"))

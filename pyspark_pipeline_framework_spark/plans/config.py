@@ -84,6 +84,16 @@ class ComponentConfig:
             )
         except ResilienceConfigError as exc:
             raise PipelineValidationError(f"component {self.name!r}: {exc}") from exc
+        if self.op == "stream":
+            from pyspark_pipeline_framework_spark.streaming.config import (
+                StreamingConfigError,
+                validate_stream_params,
+            )
+
+            try:
+                validate_stream_params(self.params)
+            except StreamingConfigError as exc:
+                raise PipelineValidationError(f"component {self.name!r}: {exc}") from exc
 
     def resilience_override(self):
         """Resolved per-component ``ComponentResilience`` or ``None``

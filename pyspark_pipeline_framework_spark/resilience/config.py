@@ -57,20 +57,30 @@ class ResilienceConfigError(ValueError):
 def _resolve_exception(name: str) -> type[BaseException]:
     """Resolve an exception by bare builtin name or dotted path
     (reference retry_on_exceptions is a list of class-name strings)."""
+    if not isinstance(name, str):
+        raise ResilienceConfigError(
+            f"retry_on entries must be exception-name strings, got {type(name).__name__}"
+        )
     if "." in name:
         mod, _, attr = name.rpartition(".")
         try:
             cls = getattr(importlib.import_module(mod), attr)
         except (ImportError, AttributeError) as exc:
-            raise ResilienceConfigError(f"cannot resolve exception {name!r}: {exc}") from exc
+            raise ResilienceConfigError(
+                f"retry_on: cannot resolve exception {name!r}: {exc}"
+            ) from exc
     else:
         cls = getattr(builtins, name, None)
     if not (isinstance(cls, type) and issubclass(cls, BaseException)):
-        raise ResilienceConfigError(f"{name!r} is not an exception type")
+        raise ResilienceConfigError(f"retry_on: {name!r} is not an exception type")
     return cls
 
 
 def _normalize(d: dict[str, Any], aliases: dict[str, str], allowed: set[str], what: str) -> dict[str, Any]:
+    if not isinstance(d, dict):
+        raise ResilienceConfigError(
+            f"{what} block must be a dict, got {type(d).__name__}"
+        )
     out: dict[str, Any] = {}
     for k, v in d.items():
         k = aliases.get(k, k)
@@ -80,6 +90,15 @@ def _normalize(d: dict[str, Any], aliases: dict[str, str], allowed: set[str], wh
     return out
 
 
+def _check_number(kw: dict[str, Any], fields: tuple[str, ...], what: str) -> None:
+    for f in fields:
+        v = kw.get(f)
+        if v is not None and (isinstance(v, bool) or not isinstance(v, (int, float))):
+            raise ResilienceConfigError(
+                f"{what} field {f!r} must be a number, got {type(v).__name__}"
+            )
+
+
 def retry_policy_from_dict(d: dict[str, Any]) -> RetryPolicy:
     kw = _normalize(
         d,
@@ -87,9 +106,15 @@ def retry_policy_from_dict(d: dict[str, Any]) -> RetryPolicy:
         {"max_attempts", "initial_delay_s", "multiplier", "max_delay_s", "jitter", "retry_on"},
         "retry",
     )
+    _check_number(kw, ("max_attempts", "initial_delay_s", "multiplier", "max_delay_s", "jitter"), "retry")
     if "retry_on" in kw:
+        if not isinstance(kw["retry_on"], (list, tuple)):
+            raise ResilienceConfigError("retry field 'retry_on' must be a list of exception names")
         kw["retry_on"] = tuple(_resolve_exception(n) for n in kw["retry_on"])
-    return RetryPolicy(**kw)
+    try:
+        return RetryPolicy(**kw)
+    except ValueError as exc:
+        raise ResilienceConfigError(f"retry: {exc}") from exc
 
 
 @dataclass(frozen=True)
@@ -118,6 +143,10 @@ def circuit_breaker_spec_from_dict(d: dict[str, Any]) -> CircuitBreakerSpec:
         d,
         _CB_ALIASES,
         {"failure_threshold", "success_threshold", "timeout_s", "half_open_max_calls"},
+        "circuit_breaker",
+    )
+    _check_number(
+        kw, ("failure_threshold", "success_threshold", "timeout_s", "half_open_max_calls"),
         "circuit_breaker",
     )
     spec = CircuitBreakerSpec(**kw)

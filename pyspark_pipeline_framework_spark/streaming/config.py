@@ -84,6 +84,10 @@ def build_trigger(block: dict[str, Any] | str | None) -> Trigger | None:
         return None
     if isinstance(block, str):
         block = {"type": block}
+    if not isinstance(block, dict):
+        raise StreamingConfigError(
+            f"trigger must be a name or dict, got {type(block).__name__}"
+        )
     d = dict(block)
     if "type" not in d:
         raise StreamingConfigError(
@@ -96,7 +100,49 @@ def build_trigger(block: dict[str, Any] | str | None) -> Trigger | None:
         raise StreamingConfigError(
             f"unknown trigger type {t!r} (known: {[m.value for m in TriggerType]})"
         ) from None
-    return Trigger(trigger_type=ttype, interval=d.pop("interval", None))
+    interval = d.pop("interval", None)
+    if d:
+        raise StreamingConfigError(
+            f"unknown trigger fields {sorted(d)} (allowed: type, interval)"
+        )
+    return Trigger(trigger_type=ttype, interval=interval)
+
+
+_STREAM_PARAMS = {
+    "source", "sink", "transform_sql", "output_mode", "trigger",
+    "watermark", "checkpoint", "query_name", "timeout_s", "output",
+}
+
+
+def validate_stream_params(params: dict[str, Any]) -> None:
+    """Load-time validation of an ``op: stream`` component's params —
+    every malformed block fails when the config is parsed, never
+    mid-run. Builds the source/sink/trigger specs (pure dataclasses, no
+    Spark) and checks output_mode/watermark shapes."""
+    unknown = set(params) - _STREAM_PARAMS
+    if unknown:
+        raise StreamingConfigError(
+            f"unknown stream params {sorted(unknown)} (allowed: {sorted(_STREAM_PARAMS)})"
+        )
+    if "source" not in params or "sink" not in params:
+        raise StreamingConfigError("stream component requires 'source' and 'sink' blocks")
+    build_source(params["source"])
+    build_sink(params["sink"])
+    build_trigger(params.get("trigger", "available_now"))
+    mode = params.get("output_mode", "append")
+    try:
+        OutputMode(mode)
+    except ValueError:
+        raise StreamingConfigError(
+            f"unknown output_mode {mode!r} (known: {[m.value for m in OutputMode]})"
+        ) from None
+    wm = params.get("watermark")
+    if wm is not None:
+        if not isinstance(wm, dict) or set(wm) != {"column", "delay"}:
+            raise StreamingConfigError(
+                "watermark block must be {'column': ..., 'delay': ...}, "
+                f"got {wm!r}"
+            )
 
 
 def run_stream_component(
