@@ -57,3 +57,22 @@ def test_llm_curation_example(spark):
     assert any(e["action"] == "pipeline_end" and e["status"] == "success" for e in events)
     metrics = json.load(open(os.path.join(REPO, ".scratch/examples/llm_curation_metrics.json")))
     assert any("component_runs" in k for k in metrics["counters"])
+
+
+def test_streaming_etl_example(spark):
+    """`op: stream` declared in config next to a batch chain, run with
+    level parallelism (--max-parallel 2)."""
+    import shutil
+
+    # a fresh stream checkpoint so repeated test runs re-drain the source
+    shutil.rmtree(os.path.join(REPO, ".scratch/examples/stream_docs_ckpt"), ignore_errors=True)
+    shutil.rmtree(os.path.join(REPO, ".scratch/examples/stream_docs"), ignore_errors=True)
+    assert main([
+        os.path.join(REPO, "examples", "streaming_etl.conf"),
+        "--max-parallel", "2",
+    ]) == 0
+    streamed = spark.read.parquet(os.path.join(REPO, ".scratch/examples/stream_docs"))
+    assert streamed.count() > 0
+    assert streamed.filter("n_chars < 200").count() == 0
+    rollup = spark.read.parquet(os.path.join(REPO, ".scratch/examples/stream_lang_counts"))
+    assert rollup.count() > 0 and set(rollup.columns) == {"lang", "n"}
