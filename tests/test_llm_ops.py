@@ -504,12 +504,22 @@ def test_star_components_warns_on_max_iters_exhaustion(spark, caplog):
 
     from pyspark_pipeline_framework_spark.llm.dedup import _star_components
 
+    import logging
+
     edges = (
         spark.range(1, 64)
         .select(F.col("id").alias("u"), (F.col("id") - 1).alias("v"))
     )
-    with caplog.at_level("WARNING", logger="pyspark_pipeline_framework_spark.llm.dedup"):
-        _star_components(edges, max_iters=1)
+    # hooks-config tests may have disabled propagation on the package
+    # logger (_configure_logging); caplog listens on the root logger
+    pkg = logging.getLogger("pyspark_pipeline_framework_spark")
+    saved = pkg.propagate
+    pkg.propagate = True
+    try:
+        with caplog.at_level("WARNING", logger="pyspark_pipeline_framework_spark.llm.dedup"):
+            _star_components(edges, max_iters=1)
+    finally:
+        pkg.propagate = saved
     assert any("did not reach a fixpoint" in r.message for r in caplog.records)
 
 
