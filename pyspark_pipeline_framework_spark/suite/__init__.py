@@ -84,6 +84,7 @@ def _load_all() -> None:
         setops,
         tpch,
         tpch2,
+        tpch3,
         udfs,
         windows,
     )

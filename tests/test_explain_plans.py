@@ -139,3 +139,36 @@ def test_recall_gate_broadcasts_totals(spark, sf_dir):
     p = plan(spark, sf_dir, "q_sim_knn_lsh_recall")
     assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
     assert "CartesianProduct" not in p
+
+
+def test_tpch_q2_rank_and_broadcast_no_cartesian(spark, sf_dir):
+    p = plan(spark, sf_dir, "q_tpch_q2")
+    assert "CartesianProduct" not in p
+    assert "BroadcastHashJoin" in p       # supplier-region dim broadcast
+    assert "RunningWindowFunction" in p or "Window" in p  # per-part rank
+
+
+def test_tpch_q9_broadcasts_dims_single_fact_shuffle(spark, sf_dir):
+    p = plan(spark, sf_dir, "q_tpch_q9")
+    assert "CartesianProduct" not in p
+    # part/supplier/nation all broadcast; only lineitem⋈orders shuffles
+    assert p.count("BroadcastHashJoin") >= 3
+    assert "HashAggregate" in p           # partial agg before (nation, year) shuffle
+
+
+def test_tpch_q11_total_is_broadcast_single_row(spark, sf_dir):
+    p = plan(spark, sf_dir, "q_tpch_q11")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" in p  # the one-row total cross join
+
+
+def test_tpch_q16_not_in_is_broadcast_anti(spark, sf_dir):
+    p = plan(spark, sf_dir, "q_tpch_q16")
+    assert "CartesianProduct" not in p
+    assert "LeftAnti" in p
+
+
+def test_tpch_q20_nested_in_is_semi_join(spark, sf_dir):
+    p = plan(spark, sf_dir, "q_tpch_q20")
+    assert "CartesianProduct" not in p
+    assert "LeftSemi" in p
