@@ -64,10 +64,6 @@ def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Minimum-cost supplier per part (Q2 shape): aggregate the
     partsupp proxy, broadcast the filtered supplier dim, rank within
     part. One shuffle for the proxy agg, one for the rank window."""
-    l = table(spark, sf_dir, "lineitem")
-    ps = l.groupBy("l_partkey", "l_suppkey").agg(
-        (dsum("l_extendedprice") / dsum("l_quantity")).alias("unit_cost")
-    )
     eur = (
         table(spark, sf_dir, "supplier")
         .join(F.broadcast(table(spark, sf_dir, "nation")),
@@ -75,6 +71,17 @@ def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")),
               F.col("n_regionkey") == F.col("r_regionkey"))
         .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    # push the supplier-region filter BELOW the unit-cost aggregate
+    # (broadcast semi-join): only EUROPE suppliers' rows feed the
+    # (part, supplier) groupBy — identical result, ~85% less agg input
+    l = table(spark, sf_dir, "lineitem").join(
+        F.broadcast(eur.select("s_suppkey")),
+        F.col("l_suppkey") == F.col("s_suppkey"),
+        "left_semi",
+    )
+    ps = l.groupBy("l_partkey", "l_suppkey").agg(
+        (dsum("l_extendedprice") / dsum("l_quantity")).alias("unit_cost")
     )
     p = table(spark, sf_dir, "part").filter(
         (F.col("p_type") == "PROMO") & (F.col("p_size") <= 25)
