@@ -382,3 +382,67 @@ def test_stream_batch_parity_session(spark, tmp_path):
         """,
     )
     assert _rows(streamed) == _rows(batch)
+
+
+def test_watermark_drops_late_data_across_restarts(spark, tmp_path):
+    """Append-mode windowed agg with watermark, driven as two
+    available_now runs over one checkpoint: the watermark persisted by
+    run 1 must (a) release the closed windows in run 2 and (b) DROP a
+    late event that arrives behind the watermark — the core late-data
+    contract a 100 TB streaming pipeline relies on."""
+    import json as _json
+
+    from pyspark_pipeline_framework_spark.streaming.config import run_stream_component
+
+    src_dir = tmp_path / "in"
+    src_dir.mkdir()
+    out_dir, ckpt = str(tmp_path / "out"), str(tmp_path / "ck")
+
+    def run_once():
+        run_stream_component(
+            spark,
+            source={
+                "type": "file",
+                "path": str(src_dir),
+                "file_format": "json",
+                "schema": "ts timestamp, kind string",
+            },
+            transform_sql="""
+              SELECT window(ts, '5 minutes').start AS win_start,
+                     CAST(COUNT(*) AS BIGINT) AS n
+              FROM stream
+              GROUP BY window(ts, '5 minutes')
+            """,
+            sink={"type": "file", "path": out_dir},
+            output_mode="append",
+            trigger="available_now",
+            watermark={"column": "ts", "delay": "1 minute"},
+            checkpoint=ckpt,
+        )
+
+    # run 1: 10 on-time events 10:00..10:09 → watermark persists at 10:08
+    (src_dir / "a.json").write_text(
+        "\n".join(
+            _json.dumps({"ts": f"2024-01-01T10:{m:02d}:00", "kind": "x"})
+            for m in range(10)
+        )
+    )
+    run_once()
+
+    # run 2: one event at 10:20 (advances the watermark, closing both
+    # 10:0x windows) and one LATE event at 09:00 (behind the persisted
+    # 10:08 watermark → must be dropped, its window never appears)
+    (src_dir / "b.json").write_text(
+        _json.dumps({"ts": "2024-01-01T10:20:00", "kind": "x"})
+        + "\n"
+        + _json.dumps({"ts": "2024-01-01T09:00:00", "kind": "late"})
+    )
+    run_once()
+
+    out = {
+        (r.win_start.hour, r.win_start.minute): r.n
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    assert out.get((10, 0)) == 5 and out.get((10, 5)) == 5  # closed windows emitted
+    assert (9, 0) not in out                                # late event dropped
+    assert (10, 20) not in out                              # open window not emitted
