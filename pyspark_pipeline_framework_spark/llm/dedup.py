@@ -182,10 +182,10 @@ def ngram_jaccard_pairs(
     if max_doc_freq is not None:
         freq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
         hot = freq.filter(F.col("df") > max_doc_freq).select("sh")
-        if log_dropped:
-            import logging
-
-            logging.getLogger(__name__).info(
+        # hot.count() is a full extra Spark job — only pay for it when
+        # the log line would actually be emitted.
+        if log_dropped and logger.isEnabledFor(logging.INFO):
+            logger.info(
                 "ngram_jaccard_pairs: max_doc_freq=%d dropped %d hot shingles",
                 max_doc_freq,
                 hot.count(),

@@ -18,7 +18,11 @@ be loaded without any third-party parser:
   AFTER parsing and all includes, with the environment as fallback for
   paths not in the file (HOCON env-variable rule); substitution chains
   and substituted objects that themselves contain substitutions
-  resolve recursively, with cycle detection
+  resolve recursively, with cycle detection. NOTE: env-fallback values
+  are raw **strings** (no bool/int/float coercion, matching HOCON —
+  the env has no types), while file values are coerced; config
+  consumers expecting ints from ``${PORT}``-style overrides should
+  validate/convert downstream (the schema ``_check_types`` helpers do)
 - missing ``${?optional}`` follows the spec: the FIELD IS OMITTED (not
   null), a list element vanishes, a string-concat part becomes empty;
   ``key = value`` then ``key = ${?maybe}`` keeps the previous value
@@ -404,18 +408,33 @@ class _Append:
         self.items = items
 
 
+def _type_name(v: Any) -> str:
+    """User-facing type description — never leaks internal node-class
+    names (``_Fallback``/``_Subst``/...) into error messages."""
+    if v is None:
+        return "null"
+    return {
+        _Subst: "substitution",
+        _Concat: "value concatenation",
+        _Fallback: "optional-substitution override",
+        _Append: "'+=' append",
+    }.get(type(v), type(v).__name__)
+
+
 def _combine_append(old: Any, app: "_Append") -> Any:
-    if old is None:
+    if old is _MISSING:
         return app
     if isinstance(old, _Append):
         return _Append(old.items + app.items)
     if isinstance(old, list):
         return old + app.items
-    if isinstance(old, (_Subst, _Concat)):
+    if isinstance(old, (_Subst, _Concat, _Fallback)):
         # defer: ${base} [items] — list concatenation at resolve time,
-        # tagged so a non-list base raises instead of string-joining
+        # tagged so a non-list base raises instead of string-joining.
+        # _Fallback covers the env-override-then-append idiom
+        # (`a = [1]; a = ${?ENV}; a += 2`).
         return _Concat([old, app], seps=[" "], is_append=True)
-    raise HoconError(f"'+=' requires a list target, found {type(old).__name__}")
+    raise HoconError(f"'+=' requires a list target, found {_type_name(old)}")
 
 
 def _snapshot_self(value: Any, path: list[str], old: Any) -> Any:
@@ -429,7 +448,10 @@ def _snapshot_self(value: Any, path: list[str], old: Any) -> Any:
     Dict values are NOT descended — an inner-object self-reference is
     out of subset and fails loudly as a substitution cycle."""
     if isinstance(value, _Subst) and value.path == path:
-        return copy.deepcopy(old) if old is not None else value
+        # _MISSING = no previous value at all; an explicit ``null``
+        # previous value IS a value per the spec (so `a = null;
+        # a = ${a} "x"` concatenates to "null x", not a cycle error)
+        return copy.deepcopy(old) if old is not _MISSING else value
     if isinstance(value, _Concat):
         return _Concat(
             [_snapshot_self(p, path, old) for p in value.parts],
@@ -470,14 +492,16 @@ def _assign(obj: dict[str, Any], path: list[str], value: Any, absolute: bool = F
             obj[part] = nxt
         obj = nxt
     leaf = path[-1]
-    old = obj.get(leaf)
+    # key-presence, not `is not None`: an explicit null previous value
+    # is still a previous value (spec previous-value semantics)
+    old = obj[leaf] if leaf in obj else _MISSING
     if absolute:
         value = _snapshot_self(value, path, old)
     if isinstance(value, _Append):
         obj[leaf] = _combine_append(old, value)
     elif isinstance(old, dict) and isinstance(value, dict):
         _merge(old, value, prefix=path if absolute else None)
-    elif isinstance(value, _Subst) and value.optional and old is not None:
+    elif isinstance(value, _Subst) and value.optional and old is not _MISSING:
         obj[leaf] = _Fallback(old, value)
     else:
         obj[leaf] = value
@@ -487,14 +511,15 @@ def _merge(dst: dict[str, Any], src: dict[str, Any], prefix: list[str] | None = 
     # `prefix` = absolute path of dst when known (root-level merges) —
     # enables previous-value snapshots for `a { x = ${a.x} ... }` chains
     for k, v in src.items():
+        old = dst[k] if k in dst else _MISSING  # explicit null ≠ absent
         if prefix is not None:
-            v = _snapshot_self(v, prefix + [k], dst.get(k))
+            v = _snapshot_self(v, prefix + [k], old)
         if isinstance(v, _Append):
-            dst[k] = _combine_append(dst.get(k), v)
-        elif isinstance(dst.get(k), dict) and isinstance(v, dict):
-            _merge(dst[k], v, prefix=prefix + [k] if prefix is not None else None)
-        elif isinstance(v, _Subst) and v.optional and dst.get(k) is not None:
-            dst[k] = _Fallback(dst[k], v)
+            dst[k] = _combine_append(old, v)
+        elif isinstance(old, dict) and isinstance(v, dict):
+            _merge(old, v, prefix=prefix + [k] if prefix is not None else None)
+        elif isinstance(v, _Subst) and v.optional and old is not _MISSING:
+            dst[k] = _Fallback(old, v)
         else:
             dst[k] = v
 
@@ -549,7 +574,7 @@ def _resolve(node: Any, root: dict[str, Any], seen: frozenset = frozenset()) -> 
                 return items  # `a = ${?missing}` then `a += x`
             if not isinstance(base, list):
                 raise HoconError(
-                    f"'+=' requires a list target, found {type(base).__name__}"
+                    f"'+=' requires a list target, found {_type_name(base)}"
                 )
             return base + items
         present = [v for v in vals if v is not _MISSING]

@@ -204,7 +204,15 @@ def q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("p_type") != "PROMO")
         & F.col("p_size").isin(1, 4, 9, 16, 25, 36, 49)
     )
-    complained = table(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    # NOT IN ≡ left_anti only when neither side's key is NULL (SQL NOT IN
+    # yields zero rows if the subquery contains a NULL). s_suppkey is the
+    # supplier PK and l_suppkey a FK — both non-null by TPC-H schema — and
+    # the isNotNull filter below makes the equivalence explicit anyway.
+    complained = (
+        table(spark, sf_dir, "supplier")
+        .filter((F.col("s_acctbal") < 0) & F.col("s_suppkey").isNotNull())
+        .select("s_suppkey")
+    )
     return (
         l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
         .join(F.broadcast(complained), l.l_suppkey == complained.s_suppkey, "left_anti")

@@ -417,3 +417,30 @@ CONFORMANCE_ERRORS = [
 def test_hocon_conformance_errors(name, text, pattern):
     with pytest.raises(HoconError, match=pattern):
         loads(text)
+
+
+def test_explicit_null_is_a_previous_value():
+    # spec previous-value semantics: explicit null != absent
+    assert loads('a = null\na = ${a} "x"') == {"a": "null x"}
+    assert loads("a = null\na = ${?missing_key_xyz}") == {"a": None}
+    assert loads("a = null\na = ${?missing_key_xyz}\nb = 1") == {
+        "a": None,
+        "b": 1,
+    }
+
+
+def test_append_after_optional_env_override(monkeypatch):
+    # the env-override idiom followed by +=: `a = [1]; a = ${?ENV}; a += 2`
+    monkeypatch.delenv("PPFS_CONF_LIST", raising=False)
+    assert loads("a = [1]\na = ${?PPFS_CONF_LIST}\na += 2") == {"a": [1, 2]}
+
+
+def test_append_to_null_is_loud_without_internal_names():
+    with pytest.raises(HoconError, match="list target, found null"):
+        loads("a = null\na += 2")
+    # internal node-class names must never leak into messages
+    for text in ("a = null\na += 2", "a = {x: 1}\na += 2"):
+        try:
+            loads(text)
+        except HoconError as e:
+            assert "_Fallback" not in str(e) and "_Subst" not in str(e)
