@@ -1,0 +1,84 @@
+"""CI smoke for the differential fuzzer (tools/fuzzcheck.py).
+
+The full gate is ``python tools/fuzzcheck.py --n 200`` at sf0.01
+(~80s, wired into the verify recipe); here we assert the generator is
+deterministic, both renderers stay in sync on a small seeded batch at
+sf0.001, and the SQL renderer emits parseable DuckDB for a wide spec
+sample without touching Spark.
+"""
+
+from __future__ import annotations
+
+import os
+import random
+import sys
+
+import duckdb
+import pytest
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools"))
+
+import fuzzcheck  # noqa: E402
+from fuzzcheck import Gen, spec_for, to_spark, to_sql  # noqa: E402
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in fuzzcheck.TABLES:
+        c.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
+    return c
+
+
+@pytest.fixture(scope="module")
+def stats(con):
+    return fuzzcheck.probe_stats(con)
+
+
+def test_generator_is_deterministic(stats):
+    a = [spec_for(42, i, stats) for i in range(25)]
+    b = [spec_for(42, i, stats) for i in range(25)]
+    assert a == b
+    assert [spec_for(7, i, stats) for i in range(5)] != a[:5]
+
+
+def test_sql_renderer_parses_in_duckdb(con, stats):
+    # 80 specs: every terminal kind should appear and every SQL must
+    # at least PREPARE (catches renderer syntax drift without Spark)
+    kinds = set()
+    for i in range(80):
+        spec = spec_for(1001, i, stats)
+        kinds.add(spec["terminal"]["op"])
+        con.execute(to_sql(spec)).fetchone()
+    assert {"agg", "window", "distinct", "sortlimit", "setop"} <= kinds
+
+
+def test_no_order_sensitive_terminal_without_total_order(stats):
+    # lineitem has no reliable PK in the synthetic data: row_number/
+    # lag/sort+limit must never be generated over an orderless base
+    for i in range(300):
+        spec = spec_for(555, i, stats)
+        t = spec["terminal"]
+        joined_from = spec["base"]
+        has_order = bool(fuzzcheck.TABLES[joined_from]["pk"])
+        if not has_order:
+            assert t["op"] != "sortlimit"
+            if t["op"] == "window":
+                assert t["fn"] not in ("row_number", "lag")
+
+
+def test_differential_batch_matches(spark, con, stats):
+    from selfcheck import _norm_df
+
+    mismatches = []
+    for i in range(20):
+        spec = spec_for(42, i, stats)
+        spdf = to_spark(spec, spark, SF).toPandas()
+        opdf = con.execute(to_sql(spec)).df()
+        spdf.columns = [c.lower() for c in spdf.columns]
+        opdf.columns = [c.lower() for c in opdf.columns]
+        if sorted(spdf.columns) != sorted(opdf.columns) or _norm_df(spdf) != _norm_df(opdf):
+            mismatches.append(i)
+    assert mismatches == []

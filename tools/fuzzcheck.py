@@ -1,0 +1,662 @@
+"""Differential query fuzzing of the operator algebra vs the DuckDB oracle.
+
+The 130-case suite is hand-written; this tool generates SEEDED random
+operator pipelines (derive → filter → join → agg/window/distinct/
+sort-limit/set-op over the star-schema parquet), renders each spec
+TWICE — once through the PySpark DataFrame API (the engine under
+test: Catalyst owns the plan) and once as nested ANSI SQL for DuckDB —
+and compares row count + name-sorted schema + order-insensitive
+values, exactly like the driver's correctness gate.
+
+What it exercises that the fixed suite structurally can't: random
+predicate/key/aggregate combinations, NULL-heavy derived columns as
+join keys / group keys / order keys (null-vs-null join semantics,
+NULL grouping, explicit NULLS FIRST/LAST ordering), join-type corner
+cases (semi/anti as EXISTS/NOT EXISTS), decimal-sum discipline over
+doubles, and set-operation duplicate semantics.
+
+Determinism rules (a fuzzer false positive is worse than no fuzzer):
+- every pipeline is reproducible from (seed, index) alone — pipeline i
+  uses ``random.Random(seed * 1_000_003 + i)``;
+- sort+limit only with a total order (PK tiebreak) and explicit
+  NULLS FIRST/LAST on both sides (Spark and DuckDB defaults differ);
+- row_number/lag/lead only over a PK total order; rank/dense_rank and
+  unordered partition aggregates are tie-deterministic by value;
+- SUM over double goes through DECIMAL(38,6) on both sides (float
+  accumulation order is not associative); SUM over int is cast to
+  BIGINT on both sides (DuckDB widens to HUGEINT, pandas would then
+  float it);
+- no AVG over double (Spark decimal-avg vs DuckDB double-avg types
+  diverge) — the fixed suite covers avg via sum/count.
+
+Usage:
+  python tools/fuzzcheck.py [--n 200] [--seed 42] [--sf /root/testdata/sf0.01]
+                            [--only 17,42] [--dump]
+Exit 0 iff zero mismatches.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import random
+import sys
+import time
+
+import duckdb
+
+TOOLS = os.path.dirname(os.path.abspath(__file__))
+REPO = os.path.dirname(TOOLS)
+sys.path.insert(0, REPO)
+sys.path.insert(0, TOOLS)
+
+from selfcheck import _norm_df  # noqa: E402
+
+# ---------------------------------------------------------------------------
+# Schema metadata (mirrors TESTDATA.md; kinds drive expression grammars)
+# ---------------------------------------------------------------------------
+
+TABLES: dict[str, dict] = {
+    "lineitem": {
+        # the synthetic generator emits duplicate (l_orderkey,
+        # l_linenumber) pairs (and at sf0.001 even the 4-key quadruple
+        # collides) — no reliable total order exists, so order-sensitive
+        # terminals (row_number/lag/sort+limit) are disabled for
+        # lineitem via the empty pk
+        "pk": [],
+        "cols": {
+            "l_orderkey": "int", "l_partkey": "int", "l_suppkey": "int",
+            "l_linenumber": "int", "l_quantity": "dbl", "l_extendedprice": "dbl",
+            "l_discount": "dbl", "l_tax": "dbl", "l_returnflag": "str",
+            "l_linestatus": "str", "l_shipdate": "ts",
+        },
+    },
+    "orders": {
+        "pk": ["o_orderkey"],
+        "cols": {
+            "o_orderkey": "int", "o_custkey": "int", "o_orderstatus": "str",
+            "o_totalprice": "dbl", "o_orderdate": "ts", "o_orderpriority": "str",
+        },
+    },
+    "customer": {
+        "pk": ["c_custkey"],
+        "cols": {
+            "c_custkey": "int", "c_name": "str", "c_nationkey": "int",
+            "c_acctbal": "dbl", "c_mktsegment": "str",
+        },
+    },
+    "part": {
+        "pk": ["p_partkey"],
+        "cols": {
+            "p_partkey": "int", "p_name": "str", "p_brand": "str",
+            "p_type": "str", "p_size": "int", "p_retailprice": "dbl",
+        },
+    },
+    "supplier": {
+        "pk": ["s_suppkey"],
+        "cols": {
+            "s_suppkey": "int", "s_name": "str", "s_nationkey": "int",
+            "s_acctbal": "dbl",
+        },
+    },
+    "events": {
+        "pk": ["event_id"],
+        "cols": {
+            "event_id": "int", "ts": "ts", "user_id": "int",
+            "event_type": "str", "value": "dbl",
+        },
+    },
+    "documents": {
+        "pk": ["doc_id"],
+        "cols": {
+            "doc_id": "int", "lang": "str", "source": "str", "n_chars": "int",
+        },
+    },
+}
+
+# FK edges the generator may join along (natural keys; it can also swap
+# in NULL-heavy derived keys on both sides)
+FK_JOINS = [
+    ("lineitem", "orders", "l_orderkey", "o_orderkey"),
+    ("lineitem", "part", "l_partkey", "p_partkey"),
+    ("lineitem", "supplier", "l_suppkey", "s_suppkey"),
+    ("orders", "customer", "o_custkey", "c_custkey"),
+    ("events", "customer", "user_id", "c_custkey"),
+]
+
+JOIN_TYPES = ["inner", "left", "right", "full", "semi", "anti"]
+
+
+# ---------------------------------------------------------------------------
+# Spec generation
+# ---------------------------------------------------------------------------
+
+class Gen:
+    """Generates one pipeline spec from a dedicated RNG. ``stats``
+    (per-table numeric/ts col min..max, probed once from DuckDB) makes
+    comparison literals land inside the data's range."""
+
+    def __init__(self, rng: random.Random, stats: dict):
+        self.r = rng
+        self.stats = stats
+
+    # -- scalar expression grammar (strings valid in BOTH Spark SQL and
+    # DuckDB: comparisons, %, nullif/coalesce, CASE, length/upper/lower/
+    # substr, IN, LIKE, BETWEEN, TIMESTAMP literals) -----------------------
+
+    def _lit(self, table: str, col: str, kind: str) -> str:
+        # column names are globally unique across the star schema, so
+        # stats are keyed by bare column name (post-join predicates may
+        # reference either side's columns)
+        lo, hi = self.stats.get(col, (0, 100))
+        if kind == "int":
+            return str(int(lo + self.r.random() * (hi - lo)))
+        if kind == "dbl":
+            return f"{lo + self.r.random() * (hi - lo):.4f}"
+        if kind == "ts":
+            frac = self.r.random()
+            t = lo + (hi - lo) * frac
+            return f"TIMESTAMP '{t.strftime('%Y-%m-%d %H:%M:%S')}'"
+        raise AssertionError(kind)
+
+    def pred(self, table: str, cols: list[tuple[str, str]]) -> str:
+        """One boolean term; caller may AND/OR several."""
+        name, kind = self.r.choice(cols)
+        r = self.r
+        if kind == "int":
+            return r.choice([
+                lambda: f"{name} {r.choice(['<', '<=', '>', '>='])} {self._lit(table, name, kind)}",
+                lambda: f"{name} % {r.randint(2, 10)} {r.choice(['=', '<>', '<'])} {r.randint(0, 3)}",
+                lambda: f"{name} BETWEEN {self._lit(table, name, kind)} AND {self._lit(table, name, kind)}",
+                lambda: f"{name} IS NOT NULL",
+                lambda: f"{name} IS NULL",
+            ])()
+        if kind == "dbl":
+            return f"{name} {r.choice(['<', '<=', '>', '>='])} {self._lit(table, name, kind)}"
+        if kind == "ts":
+            return f"{name} {r.choice(['<', '>='])} {self._lit(table, name, kind)}"
+        # str: domain-free predicates (no value knowledge needed)
+        return r.choice([
+            lambda: f"length({name}) {r.choice(['>', '<=', '='])} {r.randint(1, 12)}",
+            lambda: f"{name} LIKE '%{r.choice('aeiorstn')}%'",
+            lambda: f"upper({name}) {r.choice(['<', '>='])} '{r.choice('DHMQTW')}'",
+            lambda: f"substr({name}, 1, 1) IN ({', '.join(repr(c) for c in r.sample('abcdefgmprsw', 3))})",
+        ])()
+
+    def predicate(self, table: str, cols: list[tuple[str, str]]) -> str:
+        # biased toward 1-term / OR so most pipelines keep real data
+        # (an all-empty corpus of 0-row comparisons tests little)
+        nterms = self.r.choices([1, 2, 3], weights=[55, 30, 15])[0]
+        terms = [self.pred(table, cols) for _ in range(nterms)]
+        if len(terms) == 1:
+            return terms[0]
+        op = self.r.choices([" AND ", " OR "], weights=[40, 60])[0]
+        out = op.join(f"({t})" for t in terms)
+        if self.r.random() < 0.15:
+            out = f"NOT ({out})"
+        return out
+
+    def derive(self, table: str, cols: list[tuple[str, str]], name: str):
+        """A derived column, biased toward NULL-heavy ints (they become
+        join/group/order keys downstream)."""
+        ints = [c for c in cols if c[1] == "int"]
+        strs = [c for c in cols if c[1] == "str"]
+        r = self.r
+        choices = []
+        if ints:
+            c = r.choice(ints)[0]
+            k, m = r.randint(2, 8), 0
+            m = r.randint(0, k - 1)
+            choices += [
+                (f"nullif({c} % {k}, {m})", "int"),
+                (f"CASE WHEN {c} % {k} = {m} THEN NULL ELSE {c} % {r.randint(5, 50)} END", "int"),
+                (f"{c} % {r.randint(7, 97)}", "int"),
+            ]
+            if len(ints) >= 2:
+                a, b = r.sample(ints, 2)
+                choices.append((f"{a[0]} % 100 + {b[0]} % 11", "int"))
+        if strs:
+            c = r.choice(strs)[0]
+            choices += [
+                (f"CASE WHEN length({c}) % {r.randint(2, 5)} = 0 THEN NULL ELSE upper({c}) END", "str"),
+                (f"substr({c}, 1, {r.randint(1, 4)})", "str"),
+            ]
+        expr, kind = r.choice(choices)
+        return {"op": "derive", "name": name, "expr": expr, "kind": kind}
+
+    # -- pipeline ----------------------------------------------------------
+
+    def pipeline(self) -> dict:
+        r = self.r
+        if r.random() < 0.12:
+            return self.setop_pipeline()
+
+        base = r.choice(list(TABLES))
+        cols = list(TABLES[base]["cols"].items())
+        pk = list(TABLES[base]["pk"])
+        stages: list[dict] = []
+        nderived = 0
+
+        for _ in range(r.randint(0, 2)):
+            d = self.derive(base, cols, f"d{nderived}")
+            nderived += 1
+            stages.append(d)
+            cols.append((d["name"], d["kind"]))
+
+        if r.random() < 0.7:
+            stages.append({"op": "filter", "pred": self.predicate(base, cols)})
+
+        joined = False
+        if r.random() < 0.55:
+            edges = [e for e in FK_JOINS if e[0] == base]
+            if edges:
+                _, right, lk, rk = r.choice(edges)
+                jt = r.choice(JOIN_TYPES)
+                st: dict = {"op": "join", "type": jt, "right": right, "lk": lk, "rk": rk,
+                            "right_derive": None, "right_pred": None}
+                rcols = list(TABLES[right]["cols"].items())
+                # sometimes join on NULL-heavy derived keys on BOTH sides
+                # (exercises null-key join semantics: equi-join drops nulls)
+                if r.random() < 0.35:
+                    lints = [c for c in cols if c[1] == "int"]
+                    rints = [c for c in rcols if c[1] == "int"]
+                    if lints and rints:
+                        # SAME modulus on both sides so key domains
+                        # overlap ({0..k-1}) — many-to-many matches plus
+                        # NULL keys, not a trivially empty join. Modulus
+                        # is large and the right side is sampled hard so
+                        # |join| stays ~ |L| * |R|/(23*k) — bounded.
+                        k = r.randint(100, 999)
+                        lc, rc = r.choice(lints)[0], r.choice(rints)[0]
+                        shape = r.choice([
+                            lambda c: f"nullif({c} % {k}, {r.randint(0, k - 1)})",
+                            lambda c: f"{c} % {k}",
+                        ])
+                        dl = {"op": "derive", "name": f"d{nderived}",
+                              "expr": shape(lc), "kind": "int"}
+                        nderived += 1
+                        stages.append(dl)
+                        cols.append((dl["name"], "int"))
+                        st["right_derive"] = {"op": "derive", "name": "rd0",
+                                              "expr": shape(rc), "kind": "int"}
+                        st["lk"], st["rk"] = dl["name"], "rd0"
+                        rcols.append(("rd0", "int"))
+                        rpk0 = TABLES[right]["pk"][0]
+                        st["right_pred"] = f"{rpk0} % 23 <= {r.randint(0, 2)}"
+                if r.random() < 0.5:
+                    extra = self.predicate(right, rcols)
+                    st["right_pred"] = (extra if st["right_pred"] is None
+                                        else f"({st['right_pred']}) AND ({extra})")
+                stages.append(st)
+                joined = True
+                if jt in ("inner", "left", "right", "full"):
+                    cols += rcols
+                    # (left-pk, right-pk) is a total order only if the
+                    # LEFT side has one — each left row pairs with each
+                    # distinct right pk at most once
+                    pk = pk + list(TABLES[right]["pk"]) if pk else []
+                # semi/anti keep left columns only
+
+        if r.random() < 0.5 and stages and stages[-1]["op"] == "join":
+            stages.append({"op": "filter", "pred": self.predicate(base, cols)})
+
+        term_kind = r.choices(
+            ["agg", "window", "distinct", "sortlimit"],
+            weights=[40, 25, 20, 15 if not joined else 8],
+        )[0]
+        return {"base": base, "stages": stages,
+                "terminal": getattr(self, f"term_{term_kind}")(base, cols, pk, joined)}
+
+    def term_agg(self, base, cols, pk, joined) -> dict:
+        r = self.r
+        keyable = [c for c in cols if c[1] in ("int", "str")]
+        keys = [c[0] for c in r.sample(keyable, min(len(keyable), r.randint(0, 2)))]
+        aggs = []
+        for i in range(r.randint(1, 3)):
+            name, kind = r.choice(cols)
+            fn = r.choice({
+                "int": ["count_star", "count", "count_distinct", "min", "max", "sum_int"],
+                "dbl": ["count", "min", "max", "sum_dbl"],
+                "str": ["count", "count_distinct", "min", "max"],
+                "ts": ["count", "min", "max"],
+            }[kind])
+            aggs.append({"fn": fn, "col": name, "alias": f"a{i}"})
+        return {"op": "agg", "keys": keys, "aggs": aggs}
+
+    def term_window(self, base, cols, pk, joined) -> dict:
+        r = self.r
+        partable = [c[0] for c in cols if c[1] in ("int", "str")]
+        part = r.sample(partable, min(len(partable), r.randint(1, 2)))
+        have_total_order = bool(pk) and all(any(c[0] == p for c in cols) for p in pk)
+        fns = ["rank", "dense_rank", "cnt", "sum_int", "max_int"]
+        if have_total_order:
+            fns += ["row_number", "lag"]
+        fn = r.choice(fns)
+        ints = [c[0] for c in cols if c[1] == "int"]
+        spec = {"op": "window", "part": part, "fn": fn, "alias": "w0",
+                "order": [], "arg": r.choice(ints) if ints else None,
+                "keep": sorted(set(part + r.sample([c[0] for c in cols],
+                                                   min(len(cols), 2)))),
+                "topk": None}
+        # explicit NULLS FIRST/LAST everywhere: Spark defaults to
+        # ASC→nulls-first while DuckDB defaults to nulls-last
+        if fn in ("rank", "dense_rank"):
+            oc, ok = r.choice(cols)
+            spec["order"] = [[oc, r.choice(["ASC", "DESC"]), r.choice(["FIRST", "LAST"])]]
+            if r.random() < 0.5:
+                spec["topk"] = r.randint(1, 5)
+        elif fn in ("row_number", "lag"):
+            spec["order"] = [[p, "ASC", "LAST"] for p in pk]  # total order
+            if fn == "row_number" and r.random() < 0.5:
+                spec["topk"] = r.randint(1, 5)
+        if fn in ("sum_int", "max_int", "lag") and spec["arg"] is None:
+            spec["fn"] = "cnt"
+        return spec
+
+    def term_distinct(self, base, cols, pk, joined) -> dict:
+        picks = self.r.sample(cols, min(len(cols), self.r.randint(1, 3)))
+        return {"op": "distinct", "cols": sorted(c[0] for c in picks)}
+
+    def term_sortlimit(self, base, cols, pk, joined) -> dict:
+        r = self.r
+        oc, _ = r.choice(cols)
+        have_pk = bool(pk) and all(any(c[0] == p for c in cols) for p in pk)
+        order = [[oc, r.choice(["ASC", "DESC"]), r.choice(["FIRST", "LAST"])]]
+        if have_pk:
+            order += [[p, "ASC", "LAST"] for p in pk if p != oc]
+        else:
+            # no total order available → degrade to distinct (deterministic)
+            return self.term_distinct(base, cols, pk, joined)
+        keep = sorted({c[0] for c in r.sample(cols, min(len(cols), 3))} | set(pk) | {oc})
+        return {"op": "sortlimit", "cols": keep, "order": order,
+                "limit": r.randint(1, 50)}
+
+    def setop_pipeline(self) -> dict:
+        r = self.r
+        base = r.choice(list(TABLES))
+        cols = list(TABLES[base]["cols"].items())
+        picks = sorted(c[0] for c in r.sample(cols, min(len(cols), r.randint(1, 3))))
+        op = r.choice(["union_all", "intersect", "intersect_all", "except", "except_all"])
+        return {"base": base, "stages": [], "terminal": {
+            "op": "setop", "kind": op, "cols": picks,
+            "pred_a": self.predicate(base, cols),
+            "pred_b": self.predicate(base, cols),
+        }}
+
+
+# ---------------------------------------------------------------------------
+# Renderers — the SAME spec becomes a DataFrame plan and a DuckDB SQL string
+# ---------------------------------------------------------------------------
+
+AGG_SQL = {
+    "count_star": lambda c: "COUNT(*)",
+    "count": lambda c: f"COUNT({c})",
+    "count_distinct": lambda c: f"COUNT(DISTINCT {c})",
+    "min": lambda c: f"MIN({c})",
+    "max": lambda c: f"MAX({c})",
+    "sum_int": lambda c: f"CAST(SUM({c}) AS BIGINT)",
+    "sum_dbl": lambda c: f"CAST(SUM(CAST({c} AS DECIMAL(38,6))) AS DOUBLE)",
+}
+
+
+def to_sql(spec: dict) -> str:
+    t = spec["terminal"]
+    if t["op"] == "setop":
+        cols = ", ".join(t["cols"])
+        kw = {"union_all": "UNION ALL", "intersect": "INTERSECT",
+              "intersect_all": "INTERSECT ALL", "except": "EXCEPT",
+              "except_all": "EXCEPT ALL"}[t["kind"]]
+        return (f"SELECT {cols} FROM {spec['base']} WHERE {t['pred_a']} "
+                f"{kw} SELECT {cols} FROM {spec['base']} WHERE {t['pred_b']}")
+
+    sql = f"SELECT * FROM {spec['base']}"
+    for i, st in enumerate(spec["stages"]):
+        if st["op"] == "derive":
+            sql = f"SELECT *, {st['expr']} AS {st['name']} FROM ({sql}) s{i}"
+        elif st["op"] == "filter":
+            sql = f"SELECT * FROM ({sql}) s{i} WHERE {st['pred']}"
+        elif st["op"] == "join":
+            rsql = f"SELECT * FROM {st['right']}"
+            if st["right_derive"] is not None:
+                d = st["right_derive"]
+                rsql = f"SELECT *, {d['expr']} AS {d['name']} FROM ({rsql}) rr{i}"
+            if st["right_pred"] is not None:
+                rsql = f"SELECT * FROM ({rsql}) rf{i} WHERE {st['right_pred']}"
+            if st["type"] in ("inner", "left", "right", "full"):
+                jt = {"inner": "JOIN", "left": "LEFT JOIN",
+                      "right": "RIGHT JOIN", "full": "FULL JOIN"}[st["type"]]
+                sql = (f"SELECT * FROM ({sql}) L{i} {jt} ({rsql}) R{i} "
+                       f"ON L{i}.{st['lk']} = R{i}.{st['rk']}")
+            else:
+                ex = "EXISTS" if st["type"] == "semi" else "NOT EXISTS"
+                sql = (f"SELECT * FROM ({sql}) L{i} WHERE {ex} "
+                       f"(SELECT 1 FROM ({rsql}) R{i} WHERE R{i}.{st['rk']} = L{i}.{st['lk']})")
+
+    if t["op"] == "agg":
+        parts = [AGG_SQL[a["fn"]](a["col"]) + f" AS {a['alias']}" for a in t["aggs"]]
+        sel = ", ".join(t["keys"] + parts)
+        sql = f"SELECT {sel} FROM ({sql}) fin"
+        if t["keys"]:
+            sql += " GROUP BY " + ", ".join(t["keys"])
+        return sql
+    if t["op"] == "window":
+        over = "PARTITION BY " + ", ".join(t["part"])
+        if t["order"]:
+            over += " ORDER BY " + ", ".join(
+                f"{c} {d} NULLS {n}" for c, d, n in t["order"])
+        fn = t["fn"]
+        wexpr = {
+            "rank": "RANK()", "dense_rank": "DENSE_RANK()",
+            "row_number": "ROW_NUMBER()", "cnt": "COUNT(*)",
+        }.get(fn)
+        if wexpr is not None:
+            w = f"{wexpr} OVER ({over})"
+            if fn == "cnt":
+                w = f"CAST({w} AS BIGINT)"
+        elif fn == "sum_int":
+            w = f"CAST(SUM({t['arg']}) OVER ({over}) AS BIGINT)"
+        elif fn == "max_int":
+            w = f"MAX({t['arg']}) OVER ({over})"
+        elif fn == "lag":
+            w = f"LAG({t['arg']}) OVER ({over})"
+        sel = ", ".join(t["keep"]) + f", {w} AS {t['alias']}"
+        sql = f"SELECT {sel} FROM ({sql}) fin"
+        if t["topk"] is not None:
+            sql = f"SELECT * FROM ({sql}) tk WHERE {t['alias']} <= {t['topk']}"
+        return sql
+    if t["op"] == "distinct":
+        return f"SELECT DISTINCT {', '.join(t['cols'])} FROM ({sql}) fin"
+    if t["op"] == "sortlimit":
+        order = ", ".join(f"{c} {d} NULLS {n}" for c, d, n in t["order"])
+        return (f"SELECT {', '.join(t['cols'])} FROM ({sql}) fin "
+                f"ORDER BY {order} LIMIT {t['limit']}")
+    raise AssertionError(t["op"])
+
+
+def to_spark(spec: dict, spark, sf_dir: str):
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from pyspark_pipeline_framework_spark.io.readers import table
+
+    t = spec["terminal"]
+    if t["op"] == "setop":
+        base = table(spark, sf_dir, spec["base"])
+        a = base.filter(F.expr(t["pred_a"])).select(*t["cols"])
+        b = base.filter(F.expr(t["pred_b"])).select(*t["cols"])
+        return {
+            "union_all": a.unionAll, "intersect": a.intersect,
+            "intersect_all": a.intersectAll, "except": a.subtract,
+            "except_all": a.exceptAll,
+        }[t["kind"]](b)
+
+    df = table(spark, sf_dir, spec["base"])
+    for st in spec["stages"]:
+        if st["op"] == "derive":
+            df = df.withColumn(st["name"], F.expr(st["expr"]))
+        elif st["op"] == "filter":
+            df = df.filter(F.expr(st["pred"]))
+        elif st["op"] == "join":
+            r = table(spark, sf_dir, st["right"])
+            if st["right_derive"] is not None:
+                d = st["right_derive"]
+                r = r.withColumn(d["name"], F.expr(d["expr"]))
+            if st["right_pred"] is not None:
+                r = r.filter(F.expr(st["right_pred"]))
+            jt = {"inner": "inner", "left": "left", "right": "right",
+                  "full": "full", "semi": "left_semi", "anti": "left_anti"}[st["type"]]
+            df = df.join(r, F.col(st["lk"]) == F.col(st["rk"]), jt)
+
+    if t["op"] == "agg":
+        exprs = []
+        for a in t["aggs"]:
+            c, fn = a["col"], a["fn"]
+            e = {
+                "count_star": lambda c: F.count(F.lit(1)),
+                "count": F.count,
+                "count_distinct": F.countDistinct,
+                "min": F.min,
+                "max": F.max,
+                "sum_int": lambda c: F.sum(c).cast("bigint"),
+                "sum_dbl": lambda c: F.sum(F.col(c).cast("decimal(38,6)")).cast("double"),
+            }[fn](c)
+            exprs.append(e.alias(a["alias"]))
+        return df.groupBy(*t["keys"]).agg(*exprs) if t["keys"] else df.agg(*exprs)
+    if t["op"] == "window":
+        def ocol(c, d, n):
+            col = F.col(c)
+            if d == "ASC":
+                return col.asc_nulls_first() if n == "FIRST" else col.asc_nulls_last()
+            return col.desc_nulls_first() if n == "FIRST" else col.desc_nulls_last()
+
+        w = Window.partitionBy(*t["part"])
+        if t["order"]:
+            w = w.orderBy(*[ocol(*o) for o in t["order"]])
+        fn = t["fn"]
+        col = {
+            "rank": lambda: F.rank().over(w),
+            "dense_rank": lambda: F.dense_rank().over(w),
+            "row_number": lambda: F.row_number().over(w),
+            "cnt": lambda: F.count(F.lit(1)).over(w).cast("bigint"),
+            "sum_int": lambda: F.sum(t["arg"]).over(w).cast("bigint"),
+            "max_int": lambda: F.max(t["arg"]).over(w),
+            "lag": lambda: F.lag(t["arg"]).over(w),
+        }[fn]()
+        out = df.withColumn(t["alias"], col)
+        if t["topk"] is not None:
+            out = out.filter(F.col(t["alias"]) <= t["topk"])
+        return out.select(*t["keep"], t["alias"])
+    if t["op"] == "distinct":
+        return df.select(*t["cols"]).distinct()
+    if t["op"] == "sortlimit":
+        def oc(c, d, n):
+            col = F.col(c)
+            if d == "ASC":
+                return col.asc_nulls_first() if n == "FIRST" else col.asc_nulls_last()
+            return col.desc_nulls_first() if n == "FIRST" else col.desc_nulls_last()
+        return (df.orderBy(*[oc(*o) for o in t["order"]])
+                  .limit(t["limit"]).select(*t["cols"]))
+    raise AssertionError(t["op"])
+
+
+# ---------------------------------------------------------------------------
+# Harness
+# ---------------------------------------------------------------------------
+
+def probe_stats(con: duckdb.DuckDBPyConnection) -> dict:
+    stats = {}
+    for tname, meta in TABLES.items():
+        for c, k in meta["cols"].items():
+            if k in ("int", "dbl", "ts"):
+                lo, hi = con.execute(
+                    f"SELECT min({c}), max({c}) FROM {tname}").fetchone()
+                stats[c] = (lo, hi)
+    return stats
+
+
+def spec_for(seed: int, i: int, stats: dict) -> dict:
+    return Gen(random.Random(seed * 1_000_003 + i), stats).pipeline()
+
+
+def run(n: int, seed: int, sf_dir: str, only: set[int], dump: bool) -> int:
+    from pyspark_pipeline_framework_spark.io.readers import STAR_TABLES
+    from pyspark_pipeline_framework_spark.session import SparkConfig, build_session
+
+    spark = build_session(SparkConfig(master="local[8]", shuffle_partitions=8))
+    con = duckdb.connect()
+    for tname in STAR_TABLES:
+        p = f"{sf_dir}/{tname}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {tname} AS SELECT * FROM read_parquet('{p}')")
+    stats = probe_stats(con)
+
+    failures = []
+    t_start = time.time()
+    for i in range(n):
+        if only and i not in only:
+            continue
+        spec = spec_for(seed, i, stats)
+        sql = to_sql(spec)
+        if dump:
+            print(f"--- pipeline {i} ---")
+            print(json.dumps(spec, indent=1))
+            print(sql)
+        t0 = time.time()
+        try:
+            spdf = to_spark(spec, spark, sf_dir).toPandas()
+        except Exception as ex:
+            failures.append(i)
+            print(f"FAIL  #{i}: spark error: {ex}\n  spec={json.dumps(spec)}")
+            continue
+        try:
+            opdf = con.execute(sql).df()
+        except Exception as ex:
+            failures.append(i)
+            print(f"FAIL  #{i}: oracle error: {ex}\n  sql={sql}\n  spec={json.dumps(spec)}")
+            continue
+        scols, ocols = sorted(map(str.lower, spdf.columns)), sorted(map(str.lower, opdf.columns))
+        if scols != ocols:
+            failures.append(i)
+            print(f"FAIL  #{i}: columns spark={scols} oracle={ocols}\n  spec={json.dumps(spec)}")
+            continue
+        spdf.columns = [c.lower() for c in spdf.columns]
+        opdf.columns = [c.lower() for c in opdf.columns]
+        if len(spdf) != len(opdf):
+            failures.append(i)
+            print(f"FAIL  #{i}: rows spark={len(spdf)} oracle={len(opdf)}\n  sql={sql}\n  spec={json.dumps(spec)}")
+            continue
+        srows, orows = _norm_df(spdf), _norm_df(opdf)
+        if srows != orows:
+            failures.append(i)
+            bad = next(j for j, (a, b) in enumerate(zip(srows, orows)) if a != b)
+            print(f"FAIL  #{i}: values differ at sorted-row {bad}:")
+            print(f"      spark : {srows[bad]}")
+            print(f"      oracle: {orows[bad]}")
+            print(f"  sql={sql}\n  spec={json.dumps(spec)}")
+            continue
+        print(f"OK    #{i} {spec['terminal']['op']:<9} over {spec['base']:<9} "
+              f"({len(spdf)} rows, {time.time() - t0:.1f}s)")
+
+    ran = len(only) if only else n
+    print(f"\n{ran} pipelines, {len(failures)} mismatches, "
+          f"{time.time() - t_start:.0f}s (seed={seed})"
+          + (f": {failures}" if failures else ""))
+    return 1 if failures else 0
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    ap.add_argument("--n", type=int, default=200)
+    ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument("--sf", default=os.environ.get("SPARK_GRAFT_SF_DIR",
+                                                   "/root/testdata/sf0.01"))
+    ap.add_argument("--only", default="", help="comma-separated pipeline indices")
+    ap.add_argument("--dump", action="store_true")
+    a = ap.parse_args()
+    only = {int(x) for x in a.only.split(",") if x.strip()}
+    return run(a.n, a.seed, a.sf, only, a.dump)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
