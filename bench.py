@@ -39,6 +39,117 @@ def _steal_jiffies() -> int | None:
         return None
 
 
+def _sf1_section(spark, sf_dir: str, timings: dict[str, float]) -> dict:
+    """One order of magnitude above the bench point: replicate the sf
+    star schema 10× (keys shifted per replica so join cardinalities are
+    preserved; document text word-prefixed and embeddings rotated per
+    replica so dedup/ANN candidate sets stay LINEAR — identical copies
+    would manufacture ×R² pairs the operators rightly find), then run
+    the 10 most expensive suite queries once each. Guards against
+    driver-side drift the sf0.1 point can't see. Wall-capped via
+    SPARK_GRAFT_SF1_BUDGET_S; skipped entirely with SPARK_GRAFT_SF1=0."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from pyspark_pipeline_framework_spark.suite import all_cases
+
+    R = 10
+    STRIDE = 10_000_000
+    shift_keys = {
+        "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+        "orders": ["o_orderkey", "o_custkey"],
+        "customer": ["c_custkey"],
+        "part": ["p_partkey"],
+        "supplier": ["s_suppkey"],
+        "events": ["event_id", "user_id"],
+        "documents": ["doc_id"],
+        "embeddings": ["vec_id"],
+        "nation": [],
+        "region": [],
+    }
+    tmp = tempfile.mkdtemp(prefix="bench_sf1_")
+    t0 = time.perf_counter()
+    for tbl, keys in shift_keys.items():
+        src = f"{sf_dir}/{tbl}.parquet"
+        if not os.path.exists(src):
+            continue
+        base = spark.read.parquet(src)
+        if not keys:
+            df = base
+        else:
+            parts = []
+            for i in range(R):
+                rep = base.select(*[
+                    (F.col(c) + F.lit(i * STRIDE)).alias(c) if c in keys else F.col(c)
+                    for c in base.columns
+                ])
+                if tbl == "documents" and i > 0:
+                    rep = rep.withColumn(
+                        "text", F.regexp_replace("text", r"(\S+)", f"r{i}_$1")
+                    )
+                if tbl == "embeddings" and i > 0:
+                    e, n = F.col("embedding"), F.size("embedding")
+                    rep = rep.withColumn(
+                        "embedding",
+                        F.concat(F.slice(e, i + 1, n - i), F.slice(e, 1, i)),
+                    )
+                parts.append(rep)
+            df = parts[0]
+            for p in parts[1:]:
+                df = df.unionByName(p)
+        df.write.mode("overwrite").parquet(f"{tmp}/{tbl}.parquet")
+    build_s = time.perf_counter() - t0
+
+    meter = None
+    try:
+        sys.path.insert(0, os.path.join(REPO, "tools"))
+        from scalecheck import StageMeter
+
+        meter = StageMeter(spark)
+    except Exception:
+        pass
+
+    cases = all_cases()
+    top = [n for n, _ in sorted(timings.items(), key=lambda kv: -kv[1])
+           if n in cases][:10]
+    out: dict = {"replication": R, "build_sec": round(build_s, 1),
+                 "queries": {}, "peak_shuffle_write": {}}
+    budget_s = float(os.environ.get("SPARK_GRAFT_SF1_BUDGET_S", "240"))
+    spent = 0.0
+    for name in top:
+        if spent > budget_s:
+            out["queries"][name] = None  # budget-capped, not run
+            continue
+        if meter is not None:
+            meter.mark()
+        t0 = time.perf_counter()
+        try:
+            cases[name].spark_fn(spark, tmp).count()
+            w = time.perf_counter() - t0
+        except Exception as ex:  # record, don't kill the bench line
+            out["queries"][name] = f"error: {ex}"[:120]
+            continue
+        spent += w
+        out["queries"][name] = round(w, 3)
+        if meter is not None:
+            m = meter.read()
+            if m:
+                out["peak_shuffle_write"][name] = m["peak_shuffle_write"]
+        print(f"# sf1 {name}: {w:.3f}s (x{R} of sf0.1 {timings[name]:.3f}s)",
+              file=sys.stderr)
+    shutil.rmtree(tmp, ignore_errors=True)
+    # superlinear guard: a clean operator at ×10 data on fixed cores
+    # should stay within R · 2 · wall(sf0.1) + 3s (same envelope as
+    # tools/scalecheck.py)
+    out["superlinear"] = sorted(
+        n for n, w in out["queries"].items()
+        if isinstance(w, float) and w > R * 2 * timings[n] + 3
+    )
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -53,6 +164,13 @@ def main() -> None:
             master=f"local[{cpus}]",
             shuffle_partitions=int(cpus),
             app_name="ppfs-bench",
+            ui=True,  # REST stage metrics for the sf1 shuffle numbers
+            extra_conf={
+                # the 1g local default OOMs the ×10 (sf1) section's
+                # hash aggregates; same knob/default as tools/scalecheck
+                "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"),
+                "spark.ui.showConsoleProgress": "false",
+            },
         )
     )
 
@@ -85,6 +203,11 @@ def main() -> None:
     # rounds can be diffed query-by-query); the stdout line must stay
     # under the driver's 2000-byte tail buffer or it records parsed=null,
     # so it carries only the slowest queries.
+    # ×10 scale point (sf1 when benching sf0.1) — top-10 queries only
+    sf1 = {}
+    if os.environ.get("SPARK_GRAFT_SF1", "1") != "0" and sf_val == 0.1:
+        sf1 = _sf1_section(spark, sf_dir, timings)
+
     steal1 = _steal_jiffies()
     steal_s = round((steal1 - steal0) / 100.0, 1) if steal0 is not None else None
     full = {
@@ -95,6 +218,7 @@ def main() -> None:
         "sf": sf_val,
         "calib_sec": round(calib, 4),
         "steal_sec": steal_s,
+        "sf1": sf1,
         "queries": timings,
     }
     try:
@@ -115,6 +239,13 @@ def main() -> None:
         "queries_full": "BENCH_FULL.json",
         "queries": {},
     }
+    if sf1:
+        ran = [w for w in sf1["queries"].values() if isinstance(w, float)]
+        line_obj["sf1"] = {
+            "n": len(ran),
+            "total_sec": round(sum(ran), 2),
+            "superlinear": sf1["superlinear"],
+        }
     budget = 1900  # driver tail keeps the last 2000 bytes
     for name, t in sorted(timings.items(), key=lambda kv: -kv[1]):
         line_obj["queries"][name] = t

@@ -34,13 +34,67 @@ def exact_text_dedup(
     ).drop("__h", "__rn")
 
 
-def _shingles(text_col: str, k: int) -> Column:
-    """Distinct k-word shingles as strings."""
-    words = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+def _truncate(df: DataFrame, checkpoint_dir: str | None, eager: bool = False) -> DataFrame:
+    """Lineage truncation for iterative loops.
+
+    Default (``checkpoint_dir=None``): ``localCheckpoint`` — blocks
+    live on executors, no extra I/O, but an executor loss mid-loop
+    kills the job because truncated lineage cannot be recomputed.
+
+    With ``checkpoint_dir``: reliable ``checkpoint()`` into that
+    fault-tolerant path (HDFS/S3/DBFS on a real cluster) — every
+    round's state survives executor loss and preemption, the right
+    tradeoff for 100 TB runs where a multi-hour contraction must not
+    restart from zero. Costs one write+read of the (tiny: two longs
+    per edge) loop state per round."""
+    if checkpoint_dir is None:
+        return df.localCheckpoint(eager=eager)
+    sc = df.sparkSession.sparkContext
+    try:
+        current = sc.getCheckpointDir()
+    except Exception:
+        current = None
+    if current != checkpoint_dir:
+        sc.setCheckpointDir(checkpoint_dir)
+    return df.checkpoint(eager=eager)
+
+
+def _word_array(text_col: str) -> Column:
+    """Lower/trim/whitespace-split — the shared tokenization of every
+    shingle operator (oracles replicate it with the same regex)."""
+    return F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+
+
+def _shingles_from_words(words: Column, k: int) -> Column:
+    """Distinct k-word shingles over an ALREADY-MATERIALIZED word-array
+    column. ``words`` must reference a real column, not an inline
+    ``split``: ``transform`` is an interpreted HigherOrderFunction
+    (no whole-stage codegen / no subexpression elimination), so a split
+    embedded in the lambda re-runs the regex once per shingle —
+    measured 3.9× slower on the scalecheck ×10 corpus. CollapseProject
+    keeps the materialized column separate because it is referenced
+    more than once (size + every slice)."""
     n = F.size(words)
     idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
     return F.array_distinct(
         F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i, k)))
+    )
+
+
+def _shingles(text_col: str, k: int) -> Column:
+    """Distinct k-word shingles as strings (single-expression form —
+    prefer :func:`_exploded_shingles` in operators; see
+    :func:`_shingles_from_words` for why)."""
+    return _shingles_from_words(_word_array(text_col), k)
+
+
+def _exploded_shingles(df: DataFrame, keep: list, text_col: str, k: int,
+                       alias: str = "__s") -> DataFrame:
+    """(keep..., exploded shingle) rows with the word split materialized
+    once per input row."""
+    return (
+        df.withColumn("__words", _word_array(text_col))
+        .select(*keep, F.explode(_shingles_from_words(F.col("__words"), k)).alias(alias))
     )
 
 
@@ -69,9 +123,8 @@ def minhash_signature(
     # explode → 64 min-aggregates: flat columns keep whole-stage
     # codegen tight (64 nested array transforms per row do not), and the
     # partial agg collapses shingle rows before the doc_id shuffle
-    exploded = ensure_parallelism(df).select(
-        F.col(id_col),
-        F.explode(_shingles(text_col, shingle_k)).alias("__s"),
+    exploded = _exploded_shingles(
+        ensure_parallelism(df), [F.col(id_col)], text_col, shingle_k
     )
     if hash_fn == "xxhash64":
         hashed = exploded.select(F.col(id_col), F.xxhash64("__s").alias("__h"))
@@ -175,9 +228,9 @@ def ngram_jaccard_pairs(
     posting-list length: at 100 TB set the cap, or run
     :func:`minhash_candidate_pairs` first and :func:`jaccard_verify`
     on candidates only."""
-    sh = ensure_parallelism(df).select(
-        F.col(id_col).alias("id"),
-        F.explode(_shingles(text_col, shingle_k)).alias("shingle"),
+    sh = _exploded_shingles(
+        ensure_parallelism(df), [F.col(id_col).alias("id")], text_col, shingle_k,
+        alias="shingle",
     ).select("id", F.xxhash64("shingle").alias("sh"))
     if max_doc_freq is not None:
         freq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
@@ -235,6 +288,7 @@ def jaccard_verify(
     threshold: float = 0.5,
     method: str = "array",
     materialize_candidates: bool = True,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Exact-Jaccard verification of candidate pairs (id_a, id_b): the
     scale-correct composition is :func:`minhash_candidate_pairs` →
@@ -260,12 +314,13 @@ def jaccard_verify(
     pass — once per branch. An eager ``localCheckpoint`` computes it
     exactly once; candidates are bounded by construction (that is the
     point of LSH), so the checkpointed footprint is two longs per
-    pair."""
+    pair. ``checkpoint_dir`` upgrades it to a reliable ``checkpoint()``
+    (see :func:`_truncate`)."""
     cand = candidates.select(
         F.col("id_a").cast("long").alias("id_a"), F.col("id_b").cast("long").alias("id_b")
     ).distinct()
     if materialize_candidates:
-        cand = cand.localCheckpoint(eager=True)
+        cand = _truncate(cand, checkpoint_dir, eager=True)
     touched = (
         cand.select(F.col("id_a").alias("id"))
         .union(cand.select(F.col("id_b").alias("id")))
@@ -277,10 +332,13 @@ def jaccard_verify(
         .join(touched, "id", "left_semi")
     )
     if method == "array":
-        sets = pruned.select(
+        sets = pruned.withColumn("__words", _word_array("__t")).select(
             "id",
             F.array_distinct(
-                F.transform(_shingles("__t", shingle_k), lambda s: F.xxhash64(s))
+                F.transform(
+                    _shingles_from_words(F.col("__words"), shingle_k),
+                    lambda s: F.xxhash64(s),
+                )
             ).alias("__set"),
         )
         return (
@@ -302,7 +360,7 @@ def jaccard_verify(
         )
     if method != "join":
         raise ValueError(f"method must be 'array' or 'join', got {method!r}")
-    sh = pruned.select("id", F.explode(_shingles("__t", shingle_k)).alias("shingle")).select(
+    sh = _exploded_shingles(pruned, ["id"], "__t", shingle_k, alias="shingle").select(
         "id", F.xxhash64("shingle").alias("sh")
     )
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
@@ -412,38 +470,48 @@ def decontaminate(
     at least ``threshold`` of the training doc's shingles.
 
     Shape: the eval set's distinct shingle hashes are a bounded side —
-    broadcast them, count per-train-doc matches map-side-ish, and the
-    only wide op is the per-doc match aggregation. The 100 TB contract:
-    training text is scanned once, shuffled only as (doc_id, counts),
-    never as payload; eval shingles (benchmarks are ~MBs) broadcast.
+    broadcast them and tag each training shingle occurrence with a hit
+    marker via a broadcast LEFT join (ev is distinct on the hash, so no
+    row multiplication), then compute total AND matched counts in ONE
+    per-doc aggregation. The 100 TB contract: training text is scanned,
+    exploded, and hashed exactly once; the only wide op is a single
+    shuffle of (doc_id, counts) — never the payload; eval shingles
+    (benchmarks are ~MBs) broadcast. (The previous two-branch shape —
+    semi-join count joined against a separate total count — scanned the
+    training side twice and shuffled three times; it measured ~2× this
+    plan's wall at the ×10 scalecheck point.)
 
     Returns (id, n_shingles, n_matched, overlap_ratio, contaminated).
     """
-    tr = ensure_parallelism(train).select(
-        F.col(id_col).alias("id"),
-        F.explode(_shingles(text_col, shingle_k)).alias("__s"),
+    tr = _exploded_shingles(
+        ensure_parallelism(train), [F.col(id_col).alias("id")], text_col, shingle_k
     ).select("id", F.xxhash64("__s").alias("sh"))
     ev = (
-        eval_set.select(F.explode(_shingles(text_col, shingle_k)).alias("__s"))
+        _exploded_shingles(eval_set, [], text_col, shingle_k)
         .select(F.xxhash64("__s").alias("sh"))
         .distinct()
+        .withColumn("__hit", F.lit(1))
     )
-    matched = tr.join(F.broadcast(ev), "sh", "left_semi")
-    n_match = matched.groupBy("id").agg(F.count(F.lit(1)).alias("n_matched"))
-    n_total = tr.groupBy("id").agg(F.count(F.lit(1)).alias("n_shingles"))
     return (
-        n_total.join(n_match, "id", "left")
+        tr.join(F.broadcast(ev), "sh", "left")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.coalesce(F.sum("__hit"), F.lit(0)).cast("long").alias("n_matched"),
+        )
         .select(
             "id",
             "n_shingles",
-            F.coalesce("n_matched", F.lit(0)).alias("n_matched"),
-            (F.coalesce("n_matched", F.lit(0)) / F.col("n_shingles")).alias("overlap_ratio"),
+            "n_matched",
+            (F.col("n_matched") / F.col("n_shingles")).alias("overlap_ratio"),
         )
         .withColumn("contaminated", F.col("overlap_ratio") >= threshold)
     )
 
 
-def _star_components(edges: DataFrame, max_iters: int) -> tuple[DataFrame, int]:
+def _star_components(
+    edges: DataFrame, max_iters: int, checkpoint_dir: str | None = None
+) -> tuple[DataFrame, int]:
     """Two-phase star contraction (Kiveris et al., "Connected
     Components in MapReduce and Beyond", §3): alternate
 
@@ -472,8 +540,8 @@ def _star_components(edges: DataFrame, max_iters: int) -> tuple[DataFrame, int]:
             .where(F.col("v") > F.col("u"))
             .select(F.col("v").alias("u"), F.least(F.col("u"), F.col("mn")).alias("v"))
             .distinct()
-            .localCheckpoint(eager=False)
         )
+        large = _truncate(large, checkpoint_dir)
         # small-star on the oriented output: for each hub u, attach u
         # and all its (smaller) neighbors to their minimum
         mins = large.groupBy("u").agg(F.min("v").alias("m"))
@@ -483,8 +551,8 @@ def _star_components(edges: DataFrame, max_iters: int) -> tuple[DataFrame, int]:
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .union(mins.select("u", F.col("m").alias("v")))
             .distinct()
-            .localCheckpoint(eager=False)
         )
+        small = _truncate(small, checkpoint_dir)
         stats = small.agg(
             F.count(F.lit(1)),
             F.sum(F.col("u").cast("decimal(38,0)")),
@@ -516,6 +584,7 @@ def connected_components(
     dst_col: str = "id_b",
     max_iters: int = 25,
     algorithm: str = "label",
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Connected components over a candidate-pair edge list.
 
@@ -530,7 +599,11 @@ def connected_components(
     payloads. Convergence is detected from the monotone global label
     sum (labels only ever decrease), a one-row aggregate per round
     instead of a change-count join. Per-round ``localCheckpoint``
-    truncates the lineage so the plan doesn't grow with iterations.
+    truncates the lineage so the plan doesn't grow with iterations;
+    pass ``checkpoint_dir`` (a fault-tolerant path — HDFS/S3 on a
+    cluster) to switch every per-round truncation to a RELIABLE
+    ``checkpoint()`` that survives executor loss — see
+    :func:`_truncate` for the tradeoff.
 
     ``algorithm="star"`` is two-phase large-star/small-star contraction
     (Kiveris et al.) — O(log² n) rounds on ANY graph shape, the escape
@@ -545,13 +618,13 @@ def connected_components(
         raise ValueError(f"algorithm must be 'label' or 'star', got {algorithm!r}")
     e1 = pairs.select(F.col(src_col).cast("long").alias("u"), F.col(dst_col).cast("long").alias("v"))
     if algorithm == "star":
-        oriented = (
+        oriented = _truncate(
             e1.where(F.col("u") != F.col("v"))
             .select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
-            .distinct()
-            .localCheckpoint(eager=False)
+            .distinct(),
+            checkpoint_dir,
         )
-        stars, _ = _star_components(oriented, max_iters)
+        stars, _ = _star_components(oriented, max_iters, checkpoint_dir)
         nodes = (
             e1.select("u").union(e1.select(F.col("v").alias("u"))).distinct()
         )
@@ -560,21 +633,20 @@ def connected_components(
             nodes.join(parents, "u", "left")
             .select(F.col("u").alias("id"), F.coalesce("root", F.col("u")).alias("cluster_id"))
         )
-    edges = (
-        e1.union(e1.select(F.col("v").alias("u"), F.col("u").alias("v")))
-        .distinct()
-        .localCheckpoint(eager=False)
+    edges = _truncate(
+        e1.union(e1.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct(),
+        checkpoint_dir,
     )
     # fused round 1: with labels initialized to own ids, the first
     # propagation is just min(id, min neighbor id) — one groupBy over
     # the edge list instead of a join round. Seeding prev_sum with the
     # init labels' sum lets near-clique dedup graphs (diameter ≤ 2)
     # terminate after a single join round instead of three.
-    labels = (
+    labels = _truncate(
         edges.groupBy("u")
         .agg(F.min("v").alias("__mn"))
-        .select(F.col("u").alias("id"), F.least("u", "__mn").alias("label"))
-        .localCheckpoint(eager=False)
+        .select(F.col("u").alias("id"), F.least("u", "__mn").alias("label")),
+        checkpoint_dir,
     )
     prev_sum = labels.agg(F.sum(F.col("label").cast("decimal(38,0)"))).first()[0]
     for _ in range(max_iters):
@@ -583,13 +655,13 @@ def connected_components(
             .groupBy("u")
             .agg(F.min("label").alias("nbr_min"))
         )
-        labels = (
+        labels = _truncate(
             labels.join(nbr_min, labels.id == nbr_min.u, "left")
             .select(
                 "id",
                 F.least(F.col("label"), F.coalesce("nbr_min", F.col("label"))).alias("label"),
-            )
-            .localCheckpoint(eager=False)
+            ),
+            checkpoint_dir,
         )
         cur_sum = labels.agg(F.sum(F.col("label").cast("decimal(38,0)"))).first()[0]
         if prev_sum is not None and cur_sum == prev_sum:
@@ -603,6 +675,7 @@ def dedup_clusters(
     pairs: DataFrame,
     id_col: str = "doc_id",
     algorithm: str = "label",
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Canonicalize near-dup candidate pairs into keep/drop decisions:
     every document maps to the smallest id in its connected component
@@ -612,7 +685,7 @@ def dedup_clusters(
     One left join of the corpus against the (tiny relative to corpus)
     component labels; the corpus itself is never shuffled on anything
     but the join key."""
-    cc = connected_components(pairs, algorithm=algorithm)
+    cc = connected_components(pairs, algorithm=algorithm, checkpoint_dir=checkpoint_dir)
     return (
         df.select(F.col(id_col))
         .join(cc, F.col(id_col) == cc.id, "left")
@@ -648,7 +721,12 @@ def passage_dedup(
     boilerplate header) lands in one partition but carries only its
     tiny rows, and the first-occurrence rule needs exactly that
     grouping."""
-    words = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    if hash_fn not in ("md5", "xxhash64"):
+        raise ValueError(f"hash_fn must be 'md5' or 'xxhash64', got {hash_fn!r}")
+    # words materialized as a column — see _shingles_from_words: an
+    # inline split would re-run the regex once per passage inside the
+    # interpreted transform()
+    words = F.col("__words")
     n = F.size(words)
     starts = F.sequence(
         F.lit(1), F.greatest(n - (window - 1), F.lit(1)), F.lit(stride)
@@ -656,10 +734,8 @@ def passage_dedup(
     text_of = lambda i: F.concat_ws(" ", F.slice(words, i, window))  # noqa: E731
     if hash_fn == "md5":
         hash_of = lambda i: F.md5(text_of(i))  # noqa: E731
-    elif hash_fn == "xxhash64":
-        hash_of = lambda i: F.xxhash64(text_of(i)).cast("string")  # noqa: E731
     else:
-        raise ValueError(f"hash_fn must be 'md5' or 'xxhash64', got {hash_fn!r}")
+        hash_of = lambda i: F.xxhash64(text_of(i)).cast("string")  # noqa: E731
     passages = F.transform(
         starts,
         lambda i: F.struct(
@@ -668,6 +744,7 @@ def passage_dedup(
     )
     ex = (
         ensure_parallelism(df)
+        .withColumn("__words", _word_array(text_col))
         .select(F.col(id_col), F.explode(passages).alias("__p"))
         .select(F.col(id_col), F.col("__p.pos").alias("pos"), F.col("__p.passage_hash").alias("passage_hash"))
     )

@@ -562,3 +562,43 @@ def test_quantize_embeddings_roundtrip_and_zero(spark):
     deq = [q * rows[1].q_scale for q in rows[1].q_embedding]
     for orig, d in zip([1.0, -0.5, 0.25, 0.0], deq):
         assert abs(orig - d) <= rows[1].q_scale + 1e-15
+
+
+def test_reliable_checkpoint_matches_local_and_truncates(spark, tmp_path):
+    """checkpoint_dir= switches every per-round lineage truncation from
+    executor-resident localCheckpoint to a reliable checkpoint() that
+    survives executor loss (VERDICT r4 design nit): results must be
+    identical and checkpoint files must actually land in the dir."""
+    import os
+
+    from pyspark_pipeline_framework_spark.llm.dedup import connected_components
+
+    edges = [(1, 2), (2, 3), (7, 8), (10, 10), (4, 3)]
+    pairs = spark.createDataFrame(edges, ["id_a", "id_b"])
+    ckpt = str(tmp_path / "cc_ckpt")
+    for algo in ("label", "star"):
+        local = {r.id: r.cluster_id
+                 for r in connected_components(pairs, algorithm=algo).collect()}
+        reliable = {r.id: r.cluster_id
+                    for r in connected_components(
+                        pairs, algorithm=algo, checkpoint_dir=ckpt).collect()}
+        assert reliable == local
+    # reliable mode must have materialized state under the dir
+    found = [f for root, _, fs in os.walk(ckpt) for f in fs]
+    assert found, "no checkpoint files written under checkpoint_dir"
+
+
+def test_jaccard_verify_reliable_checkpoint(spark, sf_dir, tmp_path):
+    from pyspark_pipeline_framework_spark.llm.dedup import (
+        jaccard_verify,
+        minhash_candidate_pairs,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(120)
+    cand = minhash_candidate_pairs(docs)
+    a = {(r.id_a, r.id_b): round(r.jaccard, 9)
+         for r in jaccard_verify(docs, cand, threshold=0.3).collect()}
+    b = {(r.id_a, r.id_b): round(r.jaccard, 9)
+         for r in jaccard_verify(docs, cand, threshold=0.3,
+                                 checkpoint_dir=str(tmp_path / "jv")).collect()}
+    assert a == b
