@@ -111,6 +111,7 @@ def build_trigger(block: dict[str, Any] | str | None) -> Trigger | None:
 _STREAM_PARAMS = {
     "source", "sink", "transform_sql", "output_mode", "trigger",
     "watermark", "checkpoint", "query_name", "timeout_s", "output",
+    "dedup_keys",
 }
 
 
@@ -143,6 +144,18 @@ def validate_stream_params(params: dict[str, Any]) -> None:
                 "watermark block must be {'column': ..., 'delay': ...}, "
                 f"got {wm!r}"
             )
+    dk = params.get("dedup_keys")
+    if dk is not None:
+        if not isinstance(dk, list) or not dk or not all(isinstance(c, str) for c in dk):
+            raise StreamingConfigError(
+                f"dedup_keys must be a non-empty list of column names, got {dk!r}"
+            )
+        if wm is None:
+            raise StreamingConfigError(
+                "dedup_keys requires a watermark block — "
+                "dropDuplicatesWithinWatermark bounds its state by the "
+                "watermark (unbounded dedup state is a 100 TB outage)"
+            )
 
 
 def run_stream_component(
@@ -157,11 +170,19 @@ def run_stream_component(
     checkpoint: str | None = None,
     query_name: str | None = None,
     timeout_s: float | None = None,
+    dedup_keys: list[str] | None = None,
 ) -> None:
     """Assemble + run one declarative streaming pipeline. The optional
-    ``transform_sql`` sees the (watermarked) stream as view ``stream``."""
+    ``transform_sql`` sees the (watermarked, deduped) stream as view
+    ``stream``. ``dedup_keys`` inserts ``dropDuplicatesWithinWatermark``
+    (Spark 3.5+ native; the reference lists it as not-implemented,
+    SURVEY §2.6) between watermark and transform: first row per key
+    wins, suppression state expires with the watermark — state is
+    bounded by keys-per-watermark-window, not stream history."""
 
     def _transform(df: DataFrame) -> DataFrame:
+        if dedup_keys:
+            df = df.dropDuplicatesWithinWatermark(dedup_keys)
         if not transform_sql:
             return df
         df.createOrReplaceTempView("stream")

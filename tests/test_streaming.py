@@ -446,3 +446,86 @@ def test_watermark_drops_late_data_across_restarts(spark, tmp_path):
     assert out.get((10, 0)) == 5 and out.get((10, 5)) == 5  # closed windows emitted
     assert (9, 0) not in out                                # late event dropped
     assert (10, 20) not in out                              # open window not emitted
+
+
+def test_config_declared_dedup_within_watermark_parity(spark, tmp_path):
+    """Declarative dropDuplicatesWithinWatermark (`dedup_keys`): a file
+    stream with injected duplicate keys, run under available_now,
+    emits exactly the batch exact-dedup key set — one row per key —
+    and state is watermark-bounded by construction (SURVEY §2.6 lists
+    the op as not-implemented in the reference; Spark 3.5+ has it
+    native)."""
+    import json as _json
+
+    from pyspark_pipeline_framework_spark.plans.config import PipelineConfig
+    from pyspark_pipeline_framework_spark.plans.result import PipelineStatus
+    from pyspark_pipeline_framework_spark.plans.runner import PipelineRunner
+    from pyspark_pipeline_framework_spark.resilience.presets import NO_RETRY
+
+    src_dir = tmp_path / "in"
+    src_dir.mkdir()
+    # 30 rows over 10 keys (each key 3x, same event time ordering)
+    rows = [
+        {"k": i % 10, "v": i, "ts": f"2024-01-01T00:{i:02d}:00"}
+        for i in range(30)
+    ]
+    (src_dir / "a.json").write_text("\n".join(_json.dumps(r) for r in rows))
+    out_dir = str(tmp_path / "out")
+    cfg = PipelineConfig.from_dict(
+        {
+            "name": "stream-dedup",
+            "mode": "streaming",
+            "components": [
+                {
+                    "name": "dedup",
+                    "op": "stream",
+                    "component_type": "source",
+                    "params": {
+                        "source": {
+                            "type": "file",
+                            "path": str(src_dir),
+                            "file_format": "json",
+                            "schema": "k long, v long, ts timestamp",
+                        },
+                        "watermark": {"column": "ts", "delay": "10 minutes"},
+                        "dedup_keys": ["k"],
+                        "sink": {"type": "file", "path": out_dir},
+                        "trigger": "available_now",
+                        "checkpoint": str(tmp_path / "ckpt"),
+                    },
+                }
+            ],
+        }
+    )
+    result = PipelineRunner(cfg, spark, resilience=NO_RETRY).run()
+    assert result.status == PipelineStatus.SUCCESS
+    out = spark.read.parquet(out_dir)
+    # parity with batch exact dedup: one row per key, same key set
+    batch = spark.createDataFrame(
+        [(r["k"], r["v"]) for r in rows], "k long, v long"
+    ).dropDuplicates(["k"])
+    assert sorted(r.k for r in out.select("k").collect()) == sorted(
+        r.k for r in batch.select("k").collect()
+    )
+    assert out.count() == 10
+
+
+def test_dedup_keys_config_validation():
+    import pytest as _pytest
+
+    from pyspark_pipeline_framework_spark.streaming.config import (
+        StreamingConfigError,
+        validate_stream_params,
+    )
+
+    base = {
+        "source": {"type": "rate"},
+        "sink": {"type": "memory", "table_name": "q"},
+    }
+    with _pytest.raises(StreamingConfigError, match="requires a watermark"):
+        validate_stream_params({**base, "dedup_keys": ["k"]})
+    with _pytest.raises(StreamingConfigError, match="non-empty list"):
+        validate_stream_params(
+            {**base, "watermark": {"column": "ts", "delay": "1 minute"},
+             "dedup_keys": []}
+        )
