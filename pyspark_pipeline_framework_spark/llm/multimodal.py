@@ -13,6 +13,7 @@ executor-side and never visit the driver.
 
 from __future__ import annotations
 
+import struct as _struct
 from collections.abc import Iterator
 
 import pandas as pd
@@ -106,6 +107,88 @@ def extract_features(
             yield pd.DataFrame(out)
 
     return df.select(id_col, "payload").mapInPandas(batches, schema=schema)
+
+
+def sniff_media(payload: bytes) -> dict:
+    """REAL media-header decoding — no codec libraries required:
+    magic-byte format sniffing plus container-header dimensions /
+    duration for PNG, JPEG, GIF, BMP, and WAV. This is the part of
+    "decode" that needs only the spec, so it is implemented for real
+    (unlike pixel/sample decode, which stays behind the pluggable
+    ``decode_fn``):
+
+    - PNG: 8-byte signature, IHDR width/height (big-endian u32 @16/@20)
+    - JPEG: SOI then segment walk to the first SOFn (C0-CF minus
+      C4/C8/CC), height/width big-endian u16 at +5/+7
+    - GIF: GIF87a/GIF89a, logical-screen w/h little-endian u16 @6/@8
+    - BMP: 'BM', BITMAPINFOHEADER w/h little-endian i32 @18/@22
+      (height may be negative = top-down; absolute value reported)
+    - WAV: RIFF/WAVE chunk walk — duration_ms = data-chunk bytes /
+      fmt byte-rate
+
+    Unknown or truncated payloads degrade to None fields, never raise —
+    a 100 TB corpus always contains garbage rows and a prober that
+    throws poisons whole Arrow batches."""
+    out: dict = {"format": None, "width": None, "height": None, "duration_ms": None}
+    p = bytes(payload)
+    try:
+        if p[:8] == b"\x89PNG\r\n\x1a\n":
+            out["format"] = "png"
+            if len(p) >= 24 and p[12:16] == b"IHDR":
+                w, h = _struct.unpack(">II", p[16:24])
+                out["width"], out["height"] = int(w), int(h)
+        elif p[:2] == b"\xff\xd8":
+            out["format"] = "jpeg"
+            i = 2
+            while i + 9 < len(p) and p[i] == 0xFF:
+                marker = p[i + 1]
+                if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                    i += 2
+                    continue
+                seglen = _struct.unpack(">H", p[i + 2:i + 4])[0]
+                if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                    h, w = _struct.unpack(">HH", p[i + 5:i + 9])
+                    out["width"], out["height"] = int(w), int(h)
+                    break
+                i += 2 + seglen
+        elif p[:6] in (b"GIF87a", b"GIF89a"):
+            out["format"] = "gif"
+            w, h = _struct.unpack("<HH", p[6:10])
+            out["width"], out["height"] = int(w), int(h)
+        elif p[:2] == b"BM" and len(p) >= 26:
+            out["format"] = "bmp"
+            w, h = _struct.unpack("<ii", p[18:26])
+            out["width"], out["height"] = abs(int(w)), abs(int(h))
+        elif p[:4] == b"RIFF" and p[8:12] == b"WAVE":
+            out["format"] = "wav"
+            i, byte_rate, data_size = 12, None, None
+            while i + 8 <= len(p):
+                cid = p[i:i + 4]
+                csize = _struct.unpack("<I", p[i + 4:i + 8])[0]
+                if cid == b"fmt " and i + 20 <= len(p):
+                    byte_rate = _struct.unpack("<I", p[i + 16:i + 20])[0]
+                elif cid == b"data":
+                    data_size = csize
+                i += 8 + csize + (csize & 1)
+            if byte_rate and data_size is not None:
+                out["duration_ms"] = int(data_size) * 1000 // int(byte_rate)
+    except (_struct.error, IndexError):
+        pass  # truncated mid-header: keep the sniffed format, None dims
+    return out
+
+
+MEDIA_PROBE_SCHEMA = (
+    "doc_id long, format string, width int, height int, duration_ms long"
+)
+
+
+def probe_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Distributed media probing: :func:`sniff_media` plugged into the
+    same Arrow ``mapInPandas`` plumbing as :func:`extract_features` —
+    map-only, payloads never leave the executors."""
+    return extract_features(
+        df, id_col, decode_fn=sniff_media, feature_schema=MEDIA_PROBE_SCHEMA
+    )
 
 
 def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:

@@ -602,3 +602,54 @@ def test_jaccard_verify_reliable_checkpoint(spark, sf_dir, tmp_path):
          for r in jaccard_verify(docs, cand, threshold=0.3,
                                  checkpoint_dir=str(tmp_path / "jv")).collect()}
     assert a == b
+
+
+def _crafted_media() -> list[tuple[int, bytes]]:
+    import struct
+
+    png = (b"\x89PNG\r\n\x1a\n" + struct.pack(">I", 13) + b"IHDR"
+           + struct.pack(">II", 640, 480) + b"\x08\x06\x00\x00\x00")
+    jpeg = (b"\xff\xd8"                                       # SOI
+            + b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
+            + b"\xff\xc0" + struct.pack(">H", 17) + b"\x08"   # SOF0, 8-bit
+            + struct.pack(">HH", 480, 854) + b"\x03" + b"\x00" * 9)
+    gif = b"GIF89a" + struct.pack("<HH", 320, 200) + b"\x00" * 5
+    bmp = (b"BM" + struct.pack("<IHHI", 100, 0, 0, 54)
+           + struct.pack("<I", 40) + struct.pack("<ii", 800, -600) + b"\x00" * 8)
+    # 1 second of silence: 2ch 16-bit 8kHz -> byte_rate 32000, data 32000B
+    wav = (b"RIFF" + struct.pack("<I", 36 + 32000) + b"WAVE"
+           + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 2, 8000, 32000, 4, 16)
+           + b"data" + struct.pack("<I", 32000) + b"\x00" * 32000)
+    return [(1, png), (2, jpeg), (3, gif), (4, bmp), (5, wav),
+            (6, b"not media at all"), (7, b"\x89PNG\r\n\x1a\n")]  # truncated
+
+
+def test_sniff_media_crafted_bytes():
+    from pyspark_pipeline_framework_spark.llm.multimodal import sniff_media
+
+    by_id = {i: sniff_media(p) for i, p in _crafted_media()}
+    assert by_id[1] == {"format": "png", "width": 640, "height": 480, "duration_ms": None}
+    assert by_id[2] == {"format": "jpeg", "width": 854, "height": 480, "duration_ms": None}
+    assert by_id[3] == {"format": "gif", "width": 320, "height": 200, "duration_ms": None}
+    assert by_id[4] == {"format": "bmp", "width": 800, "height": 600, "duration_ms": None}
+    assert by_id[5] == {"format": "wav", "width": None, "height": None, "duration_ms": 1000}
+    assert by_id[6]["format"] is None
+    # truncated header: format sniffed, dimensions unknown, NO exception
+    assert by_id[7] == {"format": "png", "width": None, "height": None, "duration_ms": None}
+
+
+def test_probe_media_distributed(spark):
+    """The prober through the Arrow mapInPandas plumbing: same results
+    as driver-side sniffing, map-only plan (no shuffle)."""
+    from pyspark_pipeline_framework_spark.llm.multimodal import probe_media, sniff_media
+
+    rows = _crafted_media()
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r.doc_id: r.asDict() for r in probe_media(df).collect()}
+    for i, p in rows:
+        want = sniff_media(p)
+        rec = got[i]
+        assert (rec["format"], rec["width"], rec["height"], rec["duration_ms"]) == (
+            want["format"], want["width"], want["height"], want["duration_ms"])
+    plan = probe_media(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # map-only: payloads never shuffle
