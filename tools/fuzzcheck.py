@@ -233,6 +233,14 @@ class Gen:
                 (f"CASE WHEN length({c}) % {r.randint(2, 5)} = 0 THEN NULL ELSE upper({c}) END", "str"),
                 (f"substr({c}, 1, {r.randint(1, 4)})", "str"),
             ]
+        tss = [c for c in cols if c[1] == "ts"]
+        if tss:
+            c = r.choice(tss)[0]
+            choices += [
+                (f"year({c})", "int"),
+                (f"month({c})", "int"),
+                (f"day({c})", "int"),
+            ]
         expr, kind = r.choice(choices)
         return {"op": "derive", "name": name, "expr": expr, "kind": kind}
 
@@ -371,7 +379,8 @@ class Gen:
         have_total_order = bool(pk) and all(any(c[0] == p for c in cols) for p in pk)
         fns = ["rank", "dense_rank", "cnt", "sum_int", "max_int"]
         if have_total_order:
-            fns += ["row_number", "lag"]
+            # frame variants need a total order to be deterministic
+            fns += ["row_number", "lag", "sum_run", "sum_slide"]
         fn = r.choice(fns)
         ints = [c[0] for c in cols if c[1] == "int"]
         spec = {"op": "window", "part": part, "fn": fn, "alias": "w0",
@@ -386,11 +395,13 @@ class Gen:
             spec["order"] = [[oc, r.choice(["ASC", "DESC"]), r.choice(["FIRST", "LAST"])]]
             if r.random() < 0.5:
                 spec["topk"] = r.randint(1, 5)
-        elif fn in ("row_number", "lag"):
+        elif fn in ("row_number", "lag", "sum_run", "sum_slide"):
             spec["order"] = [[p, "ASC", "LAST"] for p in pk]  # total order
             if fn == "row_number" and r.random() < 0.5:
                 spec["topk"] = r.randint(1, 5)
-        if fn in ("sum_int", "max_int", "lag") and spec["arg"] is None:
+            if fn == "sum_slide":
+                spec["frame_n"] = r.randint(1, 4)  # N PRECEDING..CURRENT
+        if fn in ("sum_int", "max_int", "lag", "sum_run", "sum_slide") and spec["arg"] is None:
             spec["fn"] = "cnt"
         return spec
 
@@ -530,6 +541,12 @@ def to_sql(spec: dict) -> str:
             w = f"MAX({t['arg']}) OVER ({over})"
         elif fn == "lag":
             w = f"LAG({t['arg']}) OVER ({over})"
+        elif fn == "sum_run":
+            w = (f"CAST(SUM({t['arg']}) OVER ({over} ROWS BETWEEN UNBOUNDED "
+                 f"PRECEDING AND CURRENT ROW) AS BIGINT)")
+        elif fn == "sum_slide":
+            w = (f"CAST(SUM({t['arg']}) OVER ({over} ROWS BETWEEN {t['frame_n']} "
+                 f"PRECEDING AND CURRENT ROW) AS BIGINT)")
         sel = ", ".join(t["keep"]) + f", {w} AS {t['alias']}"
         sql = f"SELECT {sel} FROM ({sql}) fin"
         if t["topk"] is not None:
@@ -631,6 +648,12 @@ def to_spark(spec: dict, spark, sf_dir: str):
             "sum_int": lambda: F.sum(t["arg"]).over(w).cast("bigint"),
             "max_int": lambda: F.max(t["arg"]).over(w),
             "lag": lambda: F.lag(t["arg"]).over(w),
+            "sum_run": lambda: F.sum(t["arg"]).over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ).cast("bigint"),
+            "sum_slide": lambda: F.sum(t["arg"]).over(
+                w.rowsBetween(-t.get("frame_n", 1), Window.currentRow)
+            ).cast("bigint"),
         }[fn]()
         out = df.withColumn(t["alias"], col)
         if t["topk"] is not None:
