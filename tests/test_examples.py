@@ -65,8 +65,9 @@ def test_streaming_etl_example(spark):
     import shutil
 
     # a fresh stream checkpoint so repeated test runs re-drain the source
-    shutil.rmtree(os.path.join(REPO, ".scratch/examples/stream_docs_ckpt"), ignore_errors=True)
-    shutil.rmtree(os.path.join(REPO, ".scratch/examples/stream_docs"), ignore_errors=True)
+    for d in ("stream_docs_ckpt", "stream_docs",
+              "stream_user_firsts_ckpt", "stream_user_firsts"):
+        shutil.rmtree(os.path.join(REPO, f".scratch/examples/{d}"), ignore_errors=True)
     assert main([
         os.path.join(REPO, "examples", "streaming_etl.conf"),
         "--max-parallel", "2",
@@ -76,3 +77,7 @@ def test_streaming_etl_example(spark):
     assert streamed.filter("n_chars < 200").count() == 0
     rollup = spark.read.parquet(os.path.join(REPO, ".scratch/examples/stream_lang_counts"))
     assert rollup.count() > 0 and set(rollup.columns) == {"lang", "n"}
+    # declarative dropDuplicatesWithinWatermark: at most one row per user
+    firsts = spark.read.parquet(os.path.join(REPO, ".scratch/examples/stream_user_firsts"))
+    assert firsts.count() > 0
+    assert firsts.groupBy("user_id").count().filter("count > 1").count() == 0
