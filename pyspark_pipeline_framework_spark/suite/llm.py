@@ -847,6 +847,40 @@ def q_mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @case(
+    "q_mm_probe",
+    oracle="""
+    SELECT doc_id, 'png' AS format,
+           CAST(doc_id % 1000 AS INT) AS width,
+           CAST(n_chars % 800 + 1 AS INT) AS height
+    FROM documents
+    """,
+)
+def q_mm_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end REAL decode with an exact oracle: Spark BUILDS a valid
+    PNG header per document (magic + IHDR, width/height packed
+    big-endian from doc_id/n_chars via hex/unhex — pure column
+    expressions), then :func:`probe_media` PARSES the binary back in
+    Arrow batches on executors. The oracle never touches bytes — it
+    computes the expected dimensions arithmetically, so any drift in
+    either the builder or the parser is a hash mismatch.
+    Multimodal parity: the reference has no media ops at all
+    ([beyond-ref], SURVEY §2.8); decode beyond headers stays behind the
+    pluggable codec (:func:`extract_features`)."""
+    from pyspark_pipeline_framework_spark.llm.multimodal import probe_media
+
+    d = table(spark, sf_dir, "documents")
+    payload = F.expr(
+        "concat(X'89504E470D0A1A0A', unhex('0000000D'), encode('IHDR', 'utf-8'), "
+        "unhex(lpad(hex(doc_id % 1000), 8, '0')), "
+        "unhex(lpad(hex(n_chars % 800 + 1), 8, '0')), X'08')"
+    )
+    return (
+        probe_media(d.select("doc_id", payload.alias("payload")))
+        .select("doc_id", "format", "width", "height")
+    )
+
+
+@case(
     "q_sample_stratified",
     oracle="""
     SELECT doc_id, lang FROM documents

@@ -172,3 +172,30 @@ def test_tpch_q20_nested_in_is_semi_join(spark, sf_dir):
     p = plan(spark, sf_dir, "q_tpch_q20")
     assert "CartesianProduct" not in p
     assert "LeftSemi" in p
+
+
+def test_decontaminate_single_scan_single_shuffle(spark, sf_dir):
+    """decontaminate's r5 plan contract: train side scanned ONCE, eval
+    shingles broadcast, no sort-merge join of two aggregation branches.
+    Formatted explain lists each node twice (tree + numbered details) —
+    count the detail entries."""
+    import re
+
+    p = plan(spark, sf_dir, "q_decontaminate")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    # train + eval = exactly two scans (the old two-branch shape read
+    # the train side twice → 3 scans)
+    assert len(re.findall(r"^\(\d+\) Scan parquet", p, re.M)) == 2
+    # shuffles: ensure_parallelism repartition + tiny eval distinct +
+    # the one per-doc agg = ≤3 (the old shape needed 5: +1 extra agg,
+    # +1 agg-agg join shuffle)
+    assert len(re.findall(r"^\(\d+\) Exchange$", p, re.M)) <= 3
+
+
+def test_probe_media_is_map_only(spark, sf_dir):
+    """Media probing: Arrow python stage inherits scan partitioning —
+    payloads never shuffle."""
+    p = plan(spark, sf_dir, "q_mm_probe")
+    assert "Exchange" not in p
+    assert "MapInPandas" in p or "ArrowEvalPython" in p
