@@ -166,6 +166,10 @@ class Gen:
         if kind == "dbl":
             return f"{lo + self.r.random() * (hi - lo):.4f}"
         if kind == "ts":
+            if not hasattr(lo, "strftime"):  # derived ts col: no stats
+                import datetime as _dt
+
+                lo, hi = _dt.datetime(1992, 1, 1), _dt.datetime(1999, 1, 1)
             frac = self.r.random()
             t = lo + (hi - lo) * frac
             return f"TIMESTAMP '{t.strftime('%Y-%m-%d %H:%M:%S')}'"
@@ -240,8 +244,17 @@ class Gen:
                 (f"year({c})", "int"),
                 (f"month({c})", "int"),
                 (f"day({c})", "int"),
+                (f"date_trunc('{r.choice(['month', 'day', 'hour'])}', {c})", "ts"),
             ]
         expr, kind = r.choice(choices)
+        # sometimes route an int derivation through a vectorized
+        # pandas_udf on the Spark side (the SQL oracle stays pure
+        # arithmetic) — exercises the Arrow bridge incl. NULL passage
+        if ints and kind == "int" and self.r.random() < 0.15:
+            src = self.r.choice(ints)[0]
+            k = self.r.randint(2, 9)
+            return {"op": "derive_udf", "name": name, "src": src, "mul": 2,
+                    "mod": k, "kind": "int"}
         return {"op": "derive", "name": name, "expr": expr, "kind": kind}
 
     # -- pipeline ----------------------------------------------------------
@@ -487,6 +500,10 @@ def to_sql(spec: dict) -> str:
     for i, st in enumerate(spec["stages"]):
         if st["op"] == "derive":
             sql = f"SELECT *, {st['expr']} AS {st['name']} FROM ({sql}) s{i}"
+        elif st["op"] == "derive_udf":
+            # oracle side is the same arithmetic, no UDF
+            sql = (f"SELECT *, ({st['src']} % {st['mod']}) * {st['mul']} + 1 "
+                   f"AS {st['name']} FROM ({sql}) s{i}")
         elif st["op"] == "filter":
             sql = f"SELECT * FROM ({sql}) s{i} WHERE {st['pred']}"
         elif st["op"] == "join":
@@ -593,6 +610,15 @@ def to_spark(spec: dict, spark, sf_dir: str):
     for st in spec["stages"]:
         if st["op"] == "derive":
             df = df.withColumn(st["name"], F.expr(st["expr"]))
+        elif st["op"] == "derive_udf":
+            from pyspark.sql.functions import pandas_udf
+
+            mod_, mul_ = st["mod"], st["mul"]
+            # hint-free form: `from __future__ import annotations` turns
+            # pd.Series hints into strings Spark can't resolve against a
+            # function-local pandas import
+            _arith = pandas_udf(lambda s: (s % mod_) * mul_ + 1, "long")
+            df = df.withColumn(st["name"], _arith(F.col(st["src"])))
         elif st["op"] == "filter":
             df = df.filter(F.expr(st["pred"]))
         elif st["op"] == "join":
