@@ -82,3 +82,50 @@ def test_differential_batch_matches(spark, con, stats):
         if sorted(spdf.columns) != sorted(opdf.columns) or _norm_df(spdf) != _norm_df(opdf):
             mismatches.append(i)
     assert mismatches == []
+
+
+def test_framework_sql_path_matches_oracle(spark, con, stats):
+    """Randomized coverage of the CONFIG-DRIVEN path: each fuzz spec's
+    generated (engine-portable) SQL runs through the framework's
+    op:read → op:sql pipeline (registry, Catalog temp views, runner)
+    and must match the same SQL on DuckDB — so the SqlTransform glue
+    gets the same differential treatment as the DataFrame algebra."""
+    from selfcheck import _norm_df
+
+    from fuzzcheck import spec_tables
+    from pyspark_pipeline_framework_spark.plans.config import PipelineConfig
+    from pyspark_pipeline_framework_spark.plans.result import PipelineStatus
+    from pyspark_pipeline_framework_spark.plans.runner import PipelineRunner
+    from pyspark_pipeline_framework_spark.resilience.presets import NO_RETRY
+
+    mismatches = []
+    for i in range(12):
+        spec = spec_for(4242, i, stats)
+        sql = to_sql(spec)
+        tables = spec_tables(spec)
+        comps = [
+            {
+                "name": f"read_{t}", "op": "read", "output": t,
+                "params": {
+                    "format": "parquet", "path": f"{SF}/{t}.parquet",
+                    **({"nanos_ts_cols": ["ts"]} if t == "events" else {}),
+                },
+            }
+            for t in tables
+        ]
+        comps.append({
+            "name": "q", "op": "sql", "output": "result",
+            "depends_on": [f"read_{t}" for t in tables],
+            "params": {"sql": sql},
+        })
+        cfg = PipelineConfig.from_dict({"name": f"fuzz_fw_{i}", "components": comps})
+        runner = PipelineRunner(cfg, spark, resilience=NO_RETRY)
+        res = runner.run()
+        assert res.status == PipelineStatus.SUCCESS, f"#{i}: {res}"
+        spdf = runner.catalog.get("result").toPandas()
+        opdf = con.execute(sql).df()
+        spdf.columns = [c.lower() for c in spdf.columns]
+        opdf.columns = [c.lower() for c in opdf.columns]
+        if sorted(spdf.columns) != sorted(opdf.columns) or _norm_df(spdf) != _norm_df(opdf):
+            mismatches.append(i)
+    assert mismatches == []

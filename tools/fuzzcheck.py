@@ -702,6 +702,19 @@ def to_spark(spec: dict, spark, sf_dir: str):
 # Harness
 # ---------------------------------------------------------------------------
 
+def spec_tables(spec: dict) -> list[str]:
+    """All parquet tables a spec reads (base + join right sides +
+    cross-table set-op sides)."""
+    t = spec["terminal"]
+    if t["op"] == "setop2":
+        return sorted({t["a"]["table"], t["b"]["table"]})
+    out = {spec["base"]}
+    for st in spec["stages"]:
+        if st["op"] == "join":
+            out.add(st["right"])
+    return sorted(out)
+
+
 def probe_stats(con: duckdb.DuckDBPyConnection) -> dict:
     stats = {}
     for tname, meta in TABLES.items():
