@@ -316,6 +316,12 @@ class Gen:
                         rcols.append(("rd0", "int"))
                         rpk0 = TABLES[right]["pk"][0]
                         st["right_pred"] = f"{rpk0} % 23 <= {r.randint(0, 2)}"
+                        # null-safe equality: NULL keys MATCH each other
+                        # (Spark <=> vs SQL IS NOT DISTINCT FROM) — only
+                        # here, where the sampled right side bounds the
+                        # null-group cross product
+                        if jt in ("inner", "left") and r.random() < 0.4:
+                            st["nullsafe"] = True
                 if r.random() < 0.5:
                     extra = self.predicate(right, rcols)
                     st["right_pred"] = (extra if st["right_pred"] is None
@@ -516,8 +522,9 @@ def to_sql(spec: dict) -> str:
             if st["type"] in ("inner", "left", "right", "full"):
                 jt = {"inner": "JOIN", "left": "LEFT JOIN",
                       "right": "RIGHT JOIN", "full": "FULL JOIN"}[st["type"]]
+                op = ("IS NOT DISTINCT FROM" if st.get("nullsafe") else "=")
                 sql = (f"SELECT * FROM ({sql}) L{i} {jt} ({rsql}) R{i} "
-                       f"ON L{i}.{st['lk']} = R{i}.{st['rk']}")
+                       f"ON L{i}.{st['lk']} {op} R{i}.{st['rk']}")
             else:
                 ex = "EXISTS" if st["type"] == "semi" else "NOT EXISTS"
                 sql = (f"SELECT * FROM ({sql}) L{i} WHERE {ex} "
@@ -630,7 +637,9 @@ def to_spark(spec: dict, spark, sf_dir: str):
                 r = r.filter(F.expr(st["right_pred"]))
             jt = {"inner": "inner", "left": "left", "right": "right",
                   "full": "full", "semi": "left_semi", "anti": "left_anti"}[st["type"]]
-            df = df.join(r, F.col(st["lk"]) == F.col(st["rk"]), jt)
+            cond = (F.col(st["lk"]).eqNullSafe(F.col(st["rk"]))
+                    if st.get("nullsafe") else F.col(st["lk"]) == F.col(st["rk"]))
+            df = df.join(r, cond, jt)
 
     if t["op"] == "agg":
         exprs = []
