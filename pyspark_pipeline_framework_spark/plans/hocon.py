@@ -327,7 +327,30 @@ class _Parser:
                 if j + 1 >= self.n:
                     break
                 esc = self.s[j + 1]
-                mapped = {"n": "\n", "t": "\t", "r": "\r", '"': '"', "\\": "\\", "/": "/"}.get(esc)
+                if esc == "u":
+                    # JSON \uXXXX escape (HOCON strings are JSON strings);
+                    # surrogate pairs combine like json.loads does
+                    if j + 6 > self.n:
+                        raise self._err("truncated \\u escape")
+                    try:
+                        cp = int(self.s[j + 2 : j + 6], 16)
+                    except ValueError:
+                        raise self._err(
+                            f"invalid \\u escape \\u{self.s[j + 2:j + 6]}"
+                        ) from None
+                    j += 6
+                    if 0xD800 <= cp <= 0xDBFF and self.s[j : j + 2] == "\\u":
+                        try:
+                            lo = int(self.s[j + 2 : j + 6], 16)
+                        except ValueError:
+                            lo = -1
+                        if 0xDC00 <= lo <= 0xDFFF:
+                            cp = 0x10000 + ((cp - 0xD800) << 10) + (lo - 0xDC00)
+                            j += 6
+                    out.append(chr(cp))
+                    continue
+                mapped = {"n": "\n", "t": "\t", "r": "\r", '"': '"', "\\": "\\",
+                          "/": "/", "b": "\b", "f": "\f"}.get(esc)
                 if mapped is None:
                     raise self._err(f"unsupported escape \\{esc}")
                 out.append(mapped)

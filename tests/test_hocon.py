@@ -444,3 +444,47 @@ def test_append_to_null_is_loud_without_internal_names():
             loads(text)
         except HoconError as e:
             assert "_Fallback" not in str(e) and "_Subst" not in str(e)
+
+
+# ---------------------------------------------------------------------------
+# Generative JSON-superset conformance: every JSON document is valid
+# HOCON and must parse to the identical structure (spec: "HOCON is a
+# superset of JSON"). json.dumps(ensure_ascii=True) routes every
+# non-ASCII char and control char through \uXXXX escapes, so this also
+# pins the full JSON string-escape surface incl. surrogate pairs.
+# ---------------------------------------------------------------------------
+import json as _json
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_scalars = (
+    st.none()
+    | st.booleans()
+    | st.integers(min_value=-(2**53), max_value=2**53)
+    | st.floats(allow_nan=False, allow_infinity=False)
+    | st.text(max_size=20)
+)
+_json_vals = st.recursive(
+    _scalars,
+    lambda kids: st.lists(kids, max_size=4)
+    | st.dictionaries(st.text(min_size=1, max_size=10), kids, max_size=4),
+    max_leaves=20,
+)
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.dictionaries(st.text(min_size=1, max_size=10), _json_vals, max_size=5))
+def test_hocon_parses_any_json_document(doc):
+    assert loads(_json.dumps(doc)) == doc
+
+
+def test_unicode_escapes_and_surrogate_pairs():
+    # \uXXXX escape and raw unicode must agree
+    assert loads('a = "\\u00e9\\u4e2d"') == {"a": "\u00e9\u4e2d"}
+    assert loads('a = "\u00e9\u4e2d"') == {"a": "\u00e9\u4e2d"}
+    # astral char as a JSON surrogate pair (how json.dumps emits it)
+    assert loads('a = "\\ud83d\\ude00"') == {"a": "\U0001f600"}
+    assert loads('a = "\\b\\f"') == {"a": "\b\f"}
+    with pytest.raises(HoconError, match="u escape"):
+        loads('a = "\\uZZZZ"')
