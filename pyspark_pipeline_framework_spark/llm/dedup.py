@@ -54,7 +54,11 @@ def _truncate(df: DataFrame, checkpoint_dir: str | None, eager: bool = False) ->
         current = sc.getCheckpointDir()
     except Exception:
         current = None
-    if current != checkpoint_dir:
+    # setCheckpointDir creates a fresh random SUBDIR under the given
+    # path and getCheckpointDir returns that subdir (often with a
+    # file:/ scheme) — containment check, or every round would spawn a
+    # new directory tree
+    if current is None or checkpoint_dir.rstrip("/") not in current:
         sc.setCheckpointDir(checkpoint_dir)
     return df.checkpoint(eager=eager)
 
