@@ -203,10 +203,16 @@ def main() -> None:
     # rounds can be diffed query-by-query); the stdout line must stay
     # under the driver's 2000-byte tail buffer or it records parsed=null,
     # so it carries only the slowest queries.
-    # ×10 scale point (sf1 when benching sf0.1) — top-10 queries only
+    # ×10 scale point (sf1 when benching sf0.1) — top-10 queries only.
+    # Never let it cost the primary metric: any failure (disk, OOM)
+    # degrades to an error note in the JSON, not a lost bench line.
     sf1 = {}
     if os.environ.get("SPARK_GRAFT_SF1", "1") != "0" and sf_val == 0.1:
-        sf1 = _sf1_section(spark, sf_dir, timings)
+        try:
+            sf1 = _sf1_section(spark, sf_dir, timings)
+        except Exception as ex:
+            sf1 = {"error": f"{ex}"[:200]}
+            print(f"# sf1 section failed: {ex}", file=sys.stderr)
 
     steal1 = _steal_jiffies()
     steal_s = round((steal1 - steal0) / 100.0, 1) if steal0 is not None else None
@@ -239,13 +245,15 @@ def main() -> None:
         "queries_full": "BENCH_FULL.json",
         "queries": {},
     }
-    if sf1:
+    if sf1 and "queries" in sf1:
         ran = [w for w in sf1["queries"].values() if isinstance(w, float)]
         line_obj["sf1"] = {
             "n": len(ran),
             "total_sec": round(sum(ran), 2),
             "superlinear": sf1["superlinear"],
         }
+    elif sf1:
+        line_obj["sf1"] = sf1  # error note
     budget = 1900  # driver tail keeps the last 2000 bytes
     for name, t in sorted(timings.items(), key=lambda kv: -kv[1]):
         line_obj["queries"][name] = t
