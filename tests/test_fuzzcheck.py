@@ -129,3 +129,49 @@ def test_framework_sql_path_matches_oracle(spark, con, stats):
         if sorted(spdf.columns) != sorted(opdf.columns) or _norm_df(spdf) != _norm_df(opdf):
             mismatches.append(i)
     assert mismatches == []
+
+
+def test_stream_batch_differential_random_aggs(spark, con, stats):
+    """Batch↔stream differential over RANDOM aggregations: qualifying
+    fuzz specs (single-table, plain grouped agg) run twice — once as a
+    batch DataFrame plan and once as an available_now Structured
+    Streaming query (readStream over the same parquet, complete-mode
+    memory sink) — and the results must be identical multisets."""
+    import fuzzcheck as fz
+
+    # collect qualifying specs from the seeded stream
+    specs = []
+    i = 0
+    while len(specs) < 6 and i < 400:
+        spec = spec_for(31337, i, stats)
+        i += 1
+        t = spec["terminal"]
+        if (t["op"] == "agg" and t.get("grouping") == "plain"
+                and not t.get("having") and t["keys"]
+                # streaming can't do COUNT(DISTINCT)
+                and all(a["fn"] != "count_distinct" for a in t["aggs"])
+                and not any(s["op"] == "join" for s in spec["stages"])
+                and spec["base"] != "events"):  # nanos-ts needs table()'s conf
+            specs.append(spec)
+    assert len(specs) == 6, f"only {len(specs)} qualifying specs in 400"
+
+    from selfcheck import _norm_df
+
+    mismatches = []
+    for n, spec in enumerate(specs):
+        batch = to_spark(spec, spark, SF).toPandas()
+        schema = spark.read.parquet(f"{SF}/{spec['base']}.parquet").schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", f"{spec['base']}.parquet")
+            .parquet(SF)
+        )
+        out = to_spark(spec, spark, SF, base_df=stream)
+        qname = f"fuzz_stream_{n}"
+        q = (out.writeStream.format("memory").queryName(qname)
+             .outputMode("complete").trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        got = spark.sql(f"SELECT * FROM {qname}").toPandas()
+        if _norm_df(batch) != _norm_df(got):
+            mismatches.append(n)
+    assert mismatches == []

@@ -585,7 +585,11 @@ def to_sql(spec: dict) -> str:
     raise AssertionError(t["op"])
 
 
-def to_spark(spec: dict, spark, sf_dir: str):
+def to_spark(spec: dict, spark, sf_dir: str, base_df=None):
+    """Render the spec through the DataFrame API. ``base_df`` swaps the
+    base-table scan for an injected DataFrame (e.g. a readStream of the
+    same parquet for batch↔stream differentials) — single-table specs
+    only."""
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
@@ -613,7 +617,7 @@ def to_spark(spec: dict, spark, sf_dir: str):
             "except_all": a.exceptAll,
         }[t["kind"]](b)
 
-    df = table(spark, sf_dir, spec["base"])
+    df = table(spark, sf_dir, spec["base"]) if base_df is None else base_df
     for st in spec["stages"]:
         if st["op"] == "derive":
             df = df.withColumn(st["name"], F.expr(st["expr"]))
