@@ -139,7 +139,13 @@ def minhash_signature(
         # precompute + join-back 2× — JVM md5 over 16-byte inputs is
         # cheap enough that the extra shuffle/join materialization costs
         # more than the 9.6× duplication it saves, and inline keeps the
-        # whole signature in one codegen stage with zero extra shuffles
+        # whole signature in one codegen stage with zero extra shuffles.
+        # REJECTED alternative (r5, measured): Kirsch-Mitzenmacher
+        # double hashing (perm_i = a + i·b from two md5s) cuts 65 md5s
+        # to 3 but CORRELATES adjacent permutations — the same dominant
+        # shingle wins whole bands, and the sf0.01 candidate set blew up
+        # 25 → 182 pairs (7× false-positive candidates). Independent
+        # per-permutation hashes are the price of bounded buckets.
         hashed = exploded.select(F.col(id_col), F.md5("__s").alias("__h"))
         perms = [
             F.min(
