@@ -46,6 +46,34 @@ def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @case(
+    "q_agg_approx_distinct_bound",
+    # oracle-gated twin for the HLL estimate: the output carries the
+    # EXACT per-group distinct count plus a boolean asserting the HLL
+    # estimate landed within its documented default error (rsd=0.05;
+    # gate at 3x = 15%). The oracle computes the exact count and
+    # expects TRUE — if Spark's sketch ever drifts outside the bound,
+    # the boolean flips and the value hash mismatches.
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+           TRUE AS approx_ok
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_agg_approx_distinct_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    est = F.approx_count_distinct("l_partkey")
+    exact = F.countDistinct("l_partkey").cast("bigint")
+    return (
+        table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            exact.alias("exact_parts"),
+            (F.abs(est - exact) <= 0.15 * exact).alias("approx_ok"),
+        )
+    )
+
+
+@case(
     "q_agg_rollup",
     oracle="""
     SELECT l_returnflag, l_linestatus,
