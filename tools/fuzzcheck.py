@@ -246,6 +246,12 @@ class Gen:
                 (f"day({c})", "int"),
                 (f"date_trunc('{r.choice(['month', 'day', 'hour'])}', {c})", "ts"),
             ]
+        # events carries a JSON props column: extract its int key
+        # (engine-specific rendering — Spark get_json_object vs DuckDB
+        # json_extract_string — so this is its own op, not a shared expr)
+        if table == "events" and r.random() < 0.25:
+            return {"op": "derive_json", "name": name, "src": "props",
+                    "key": "k", "kind": "int"}
         expr, kind = r.choice(choices)
         # sometimes route an int derivation through a vectorized
         # pandas_udf on the Spark side (the SQL oracle stays pure
@@ -510,6 +516,9 @@ def to_sql(spec: dict) -> str:
             # oracle side is the same arithmetic, no UDF
             sql = (f"SELECT *, ({st['src']} % {st['mod']}) * {st['mul']} + 1 "
                    f"AS {st['name']} FROM ({sql}) s{i}")
+        elif st["op"] == "derive_json":
+            sql = (f"SELECT *, CAST(json_extract_string({st['src']}, "
+                   f"'$.{st['key']}') AS BIGINT) AS {st['name']} FROM ({sql}) s{i}")
         elif st["op"] == "filter":
             sql = f"SELECT * FROM ({sql}) s{i} WHERE {st['pred']}"
         elif st["op"] == "join":
@@ -630,6 +639,11 @@ def to_spark(spec: dict, spark, sf_dir: str, base_df=None):
             # function-local pandas import
             _arith = pandas_udf(lambda s: (s % mod_) * mul_ + 1, "long")
             df = df.withColumn(st["name"], _arith(F.col(st["src"])))
+        elif st["op"] == "derive_json":
+            df = df.withColumn(
+                st["name"],
+                F.get_json_object(st["src"], f"$.{st['key']}").cast("long"),
+            )
         elif st["op"] == "filter":
             df = df.filter(F.expr(st["pred"]))
         elif st["op"] == "join":
