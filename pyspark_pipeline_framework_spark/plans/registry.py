@@ -208,6 +208,17 @@ def op_chunk_documents(
     return catalog.put(output, chunk_documents(catalog.get(input), **params))
 
 
+@default_registry.register("media_probe")
+def op_media_probe(
+    spark: SparkSession, catalog: Catalog, *, output: str, input: str, **params
+) -> DataFrame:
+    """Magic-byte media probing over a binary `payload` column
+    (format + dimensions/duration) — see llm/multimodal.py."""
+    from pyspark_pipeline_framework_spark.llm.multimodal import probe_media
+
+    return catalog.put(output, probe_media(catalog.get(input), **params))
+
+
 @default_registry.register("quantize_embeddings")
 def op_quantize_embeddings(
     spark: SparkSession, catalog: Catalog, *, output: str, input: str, **params

@@ -653,3 +653,33 @@ def test_probe_media_distributed(spark):
             want["format"], want["width"], want["height"], want["duration_ms"])
     plan = probe_media(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan  # map-only: payloads never shuffle
+
+
+def test_media_probe_registry_op(spark, tmp_path, sf_dir):
+    """media_probe is config-declarable like the other LLM ops: read →
+    transform (attach payload) → media_probe through the runner."""
+    from pyspark_pipeline_framework_spark.plans.config import PipelineConfig
+    from pyspark_pipeline_framework_spark.plans.result import PipelineStatus
+    from pyspark_pipeline_framework_spark.plans.runner import PipelineRunner
+    from pyspark_pipeline_framework_spark.resilience.presets import NO_RETRY
+
+    cfg = PipelineConfig.from_dict({
+        "name": "probe-demo",
+        "components": [
+            {"name": "load", "op": "read", "output": "docs",
+             "params": {"format": "parquet", "path": f"{sf_dir}/documents.parquet"}},
+            {"name": "payload", "op": "transform", "depends_on": ["load"],
+             "output": "payloads",
+             "params": {"input": "docs",
+                        "with_columns": {"payload": "encode(text, 'utf-8')"},
+                        "select": ["doc_id", "payload"]}},
+            {"name": "probe", "op": "media_probe", "depends_on": ["payload"],
+             "output": "probed", "params": {"input": "payloads"}},
+        ],
+    })
+    runner = PipelineRunner(cfg, spark, resilience=NO_RETRY)
+    assert runner.run().status == PipelineStatus.SUCCESS
+    out = runner.catalog.get("probed")
+    assert out.count() > 0
+    # utf-8 text payloads are not media: format must be NULL, not a guess
+    assert out.filter("format IS NOT NULL").count() == 0
