@@ -175,3 +175,19 @@ def test_stream_batch_differential_random_aggs(spark, con, stats):
         if _norm_df(batch) != _norm_df(got):
             mismatches.append(n)
     assert mismatches == []
+
+
+def test_random_pipelines_never_plan_cartesian(spark, stats):
+    """Plan-quality property over the RANDOM algebra: no fuzz spec may
+    compile to a CartesianProduct or BroadcastNestedLoopJoin — every
+    generated join is an equi/null-safe-equi join Catalyst can hash."""
+    bad = []
+    for i in range(40):
+        spec = spec_for(90210, i, stats)
+        df = to_spark(spec, spark, SF)
+        p = df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+            df._jdf.queryExecution(), "simple"
+        )
+        if "CartesianProduct" in p or "BroadcastNestedLoopJoin" in p:
+            bad.append(i)
+    assert bad == []
