@@ -269,6 +269,8 @@ class Gen:
         r = self.r
         if r.random() < 0.12:
             return self.setop_pipeline()
+        if r.random() < 0.10:
+            return self.selfjoin_pipeline()
 
         base = r.choice(list(TABLES))
         cols = list(TABLES[base]["cols"].items())
@@ -448,6 +450,25 @@ class Gen:
         return {"op": "sortlimit", "cols": keep, "order": order,
                 "limit": r.randint(1, 50)}
 
+    def selfjoin_pipeline(self) -> dict:
+        """Aliased self-join (the dedup pair-join shape): both sides are
+        the SAME table joined on a shared-modulus derived key with the
+        pk< pk orientation, then aggregated/deduped. Restricted to the
+        small tables so |t|²/k stays bounded."""
+        r = self.r
+        base = r.choice(["customer", "supplier", "part", "documents", "events"])
+        meta = TABLES[base]
+        pk = meta["pk"][0]
+        ints = [c for c, k in meta["cols"].items() if k == "int"]
+        k = r.randint(200, 999)
+        key = r.choice(ints)
+        keep = r.choice([c for c, kk in meta["cols"].items() if kk in ("int", "str")])
+        term = r.choice(["agg", "distinct"])
+        return {"kind": "selfjoin", "base": base, "pk": pk, "key": key,
+                "mod": k, "keep": keep, "term": term,
+                "pred": self.predicate(base, list(meta["cols"].items())),
+                "stages": [], "terminal": {"op": f"selfjoin_{term}"}}
+
     def setop_pipeline(self) -> dict:
         r = self.r
         op = r.choice(["union_all", "intersect", "intersect_all", "except", "except_all"])
@@ -498,6 +519,18 @@ SETOP_KW = {"union_all": "UNION ALL", "intersect": "INTERSECT",
 
 def to_sql(spec: dict) -> str:
     t = spec["terminal"]
+    if spec.get("kind") == "selfjoin":
+        pk, key, mod, keep = spec["pk"], spec["key"], spec["mod"], spec["keep"]
+        pairs = (
+            f"SELECT a.{pk} AS a_id, b.{pk} AS b_id, a.{keep} AS a_val "
+            f"FROM (SELECT * FROM {spec['base']} WHERE {spec['pred']}) a "
+            f"JOIN (SELECT * FROM {spec['base']} WHERE {spec['pred']}) b "
+            f"ON a.{key} % {mod} = b.{key} % {mod} AND a.{pk} < b.{pk}"
+        )
+        if spec["term"] == "agg":
+            return (f"SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs, "
+                    f"MIN(a_id) AS min_a FROM ({pairs}) p")
+        return f"SELECT DISTINCT a_id, b_id, a_val FROM ({pairs}) p"
     if t["op"] == "setop2":
         a, b = t["a"], t["b"]
         return (f"SELECT {a['col']} AS {t['alias']} FROM {a['table']} WHERE {a['pred']} "
@@ -605,6 +638,27 @@ def to_spark(spec: dict, spark, sf_dir: str, base_df=None):
     from pyspark_pipeline_framework_spark.io.readers import table
 
     t = spec["terminal"]
+    if spec.get("kind") == "selfjoin":
+        pk, key, mod, keep = spec["pk"], spec["key"], spec["mod"], spec["keep"]
+        f = table(spark, sf_dir, spec["base"]).filter(F.expr(spec["pred"]))
+        a, b = f.alias("a"), f.alias("b")
+        sel = (
+            a.join(
+                b,
+                (F.expr(f"a.{key} % {mod}") == F.expr(f"b.{key} % {mod}"))
+                & (F.col(f"a.{pk}") < F.col(f"b.{pk}")),
+            )
+            .select(
+                F.col(f"a.{pk}").alias("a_id"),
+                F.col(f"b.{pk}").alias("b_id"),
+                F.col(f"a.{keep}").alias("a_val"),
+            )
+        )
+        if spec["term"] == "agg":
+            return sel.agg(
+                F.count(F.lit(1)).alias("n_pairs"), F.min("a_id").alias("min_a")
+            )
+        return sel.distinct()
     if t["op"] == "setop2":
         ta, tb = t["a"], t["b"]
         a = (table(spark, sf_dir, ta["table"]).filter(F.expr(ta["pred"]))
