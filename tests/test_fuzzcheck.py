@@ -191,3 +191,51 @@ def test_random_pipelines_never_plan_cartesian(spark, stats):
         if "CartesianProduct" in p or "BroadcastNestedLoopJoin" in p:
             bad.append(i)
     assert bad == []
+
+
+def test_harness_detects_injected_bugs(spark, con, stats):
+    """Mutation check: the differential gate must FAIL when the Spark
+    side computes something else — otherwise '0 mismatches' proves
+    nothing. Inject semantic mutations (join type flip, aggregate fn
+    swap, dropped filter) into the Spark rendering only and assert the
+    compare flags each one for at least one seeded spec."""
+    import copy
+
+    from selfcheck import _norm_df
+
+    def differs(spec, mutated) -> bool:
+        a = to_spark(mutated, spark, SF).toPandas()
+        o = con.execute(to_sql(spec)).df()
+        a.columns = [c.lower() for c in a.columns]
+        o.columns = [c.lower() for c in o.columns]
+        return len(a) != len(o) or _norm_df(a) != _norm_df(o)
+
+    caught = {"join_flip": False, "agg_swap": False, "filter_drop": False}
+    for i in range(300):
+        if all(caught.values()):
+            break
+        spec = spec_for(777, i, stats)
+        if spec.get("kind") == "selfjoin":
+            continue
+        t = spec["terminal"]
+        joins = [s for s in spec["stages"] if s["op"] == "join"]
+        if not caught["join_flip"] and any(j["type"] == "left" for j in joins):
+            m = copy.deepcopy(spec)
+            next(s for s in m["stages"]
+                 if s["op"] == "join" and s["type"] == "left")["type"] = "inner"
+            if differs(spec, m):
+                caught["join_flip"] = True
+        if not caught["agg_swap"] and t["op"] == "agg":
+            swaps = [a for a in t["aggs"] if a["fn"] in ("min", "max")]
+            if swaps:
+                m = copy.deepcopy(spec)
+                a0 = next(a for a in m["terminal"]["aggs"] if a["fn"] in ("min", "max"))
+                a0["fn"] = "max" if a0["fn"] == "min" else "min"
+                if differs(spec, m):
+                    caught["agg_swap"] = True
+        if not caught["filter_drop"] and any(s["op"] == "filter" for s in spec["stages"]):
+            m = copy.deepcopy(spec)
+            m["stages"] = [s for s in m["stages"] if s["op"] != "filter"]
+            if differs(spec, m):
+                caught["filter_drop"] = True
+    assert all(caught.values()), f"harness failed to catch: {caught}"
