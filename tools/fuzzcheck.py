@@ -271,6 +271,8 @@ class Gen:
             return self.setop_pipeline()
         if r.random() < 0.10:
             return self.selfjoin_pipeline()
+        if r.random() < 0.08:
+            return self.pivot_pipeline()
 
         base = r.choice(list(TABLES))
         cols = list(TABLES[base]["cols"].items())
@@ -469,6 +471,32 @@ class Gen:
                 "pred": self.predicate(base, list(meta["cols"].items())),
                 "stages": [], "terminal": {"op": f"selfjoin_{term}"}}
 
+    # low-cardinality string columns with a known domain (probed from
+    # the data at fuzz start would be nicer, but a fixed safe domain
+    # keeps specs reproducible across SFs: missing values yield NULL
+    # columns in BOTH engines)
+    PIVOTABLE = {
+        "lineitem": ("l_returnflag", ["A", "N", "R"]),
+        "orders": ("o_orderstatus", ["O", "F", "P"]),
+    }
+
+    def pivot_pipeline(self) -> dict:
+        r = self.r
+        base = r.choice(list(self.PIVOTABLE))
+        pc, domain = self.PIVOTABLE[base]
+        cols = list(TABLES[base]["cols"].items())
+        keyables = [c for c, k in cols if k in ("int", "str") and c != pc]
+        ints = [c for c, k in cols if k == "int"]
+        return {"kind": "pivot", "base": base, "pivot_col": pc,
+                "values": domain, "key": r.choice(keyables),
+                "agg_col": r.choice(ints),
+                # sum/min only: both are NULL for an empty pivot cell in
+                # BOTH engines; COUNT would be 0 in conditional-agg SQL
+                # but NULL in Spark's pivot
+                "agg": r.choice(["sum", "min"]),
+                "pred": self.predicate(base, cols),
+                "stages": [], "terminal": {"op": "pivot"}}
+
     def setop_pipeline(self) -> dict:
         r = self.r
         op = r.choice(["union_all", "intersect", "intersect_all", "except", "except_all"])
@@ -519,6 +547,16 @@ SETOP_KW = {"union_all": "UNION ALL", "intersect": "INTERSECT",
 
 def to_sql(spec: dict) -> str:
     t = spec["terminal"]
+    if spec.get("kind") == "pivot":
+        x, pc = spec["agg_col"], spec["pivot_col"]
+        cells = []
+        for v in spec["values"]:
+            inner = f"CASE WHEN {pc} = '{v}' THEN {x} END"
+            e = {"sum": f"CAST(SUM({inner}) AS BIGINT)",
+                 "min": f"MIN({inner})"}[spec["agg"]]
+            cells.append(f'{e} AS "{v}"')
+        return (f"SELECT {spec['key']}, {', '.join(cells)} "
+                f"FROM {spec['base']} WHERE {spec['pred']} GROUP BY {spec['key']}")
     if spec.get("kind") == "selfjoin":
         pk, key, mod, keep = spec["pk"], spec["key"], spec["mod"], spec["keep"]
         pairs = (
@@ -638,6 +676,11 @@ def to_spark(spec: dict, spark, sf_dir: str, base_df=None):
     from pyspark_pipeline_framework_spark.io.readers import table
 
     t = spec["terminal"]
+    if spec.get("kind") == "pivot":
+        f = table(spark, sf_dir, spec["base"]).filter(F.expr(spec["pred"]))
+        x = spec["agg_col"]
+        aggc = {"sum": F.sum(x).cast("bigint"), "min": F.min(x)}[spec["agg"]]
+        return f.groupBy(spec["key"]).pivot(spec["pivot_col"], spec["values"]).agg(aggc)
     if spec.get("kind") == "selfjoin":
         pk, key, mod, keep = spec["pk"], spec["key"], spec["mod"], spec["keep"]
         f = table(spark, sf_dir, spec["base"]).filter(F.expr(spec["pred"]))
