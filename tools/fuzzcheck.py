@@ -554,7 +554,9 @@ def to_sql(spec: dict) -> str:
             inner = f"CASE WHEN {pc} = '{v}' THEN {x} END"
             e = {"sum": f"CAST(SUM({inner}) AS BIGINT)",
                  "min": f"MIN({inner})"}[spec["agg"]]
-            cells.append(f'{e} AS "{v}"')
+            # unquoted alias: valid in BOTH dialects (the compare
+            # lowercases column names, absorbing DuckDB's case folding)
+            cells.append(f"{e} AS {v}")
         return (f"SELECT {spec['key']}, {', '.join(cells)} "
                 f"FROM {spec['base']} WHERE {spec['pred']} GROUP BY {spec['key']}")
     if spec.get("kind") == "selfjoin":
