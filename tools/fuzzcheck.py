@@ -273,6 +273,8 @@ class Gen:
             return self.selfjoin_pipeline()
         if r.random() < 0.08:
             return self.pivot_pipeline()
+        if r.random() < 0.07:
+            return self.unpivot_pipeline()
 
         base = r.choice(list(TABLES))
         cols = list(TABLES[base]["cols"].items())
@@ -497,6 +499,29 @@ class Gen:
                 "pred": self.predicate(base, cols),
                 "stages": [], "terminal": {"op": "pivot"}}
 
+    def unpivot_pipeline(self) -> dict:
+        """Wide→long melt: 2-3 same-kind numeric columns unpivoted to
+        (id, name, val); oracle = UNION ALL branches (portable)."""
+        r = self.r
+        # the id is only a payload column (the compare is multiset) —
+        # no uniqueness needed, so orderless lineitem qualifies too
+        candidates = []
+        for tname, meta in TABLES.items():
+            ints = [c for c, k in meta["cols"].items() if k == "int"]
+            if not ints:
+                continue
+            for kind in ("int", "dbl"):
+                ks = [c for c, k in meta["cols"].items()
+                      if k == kind and c != ints[0]]
+                if len(ks) >= 2:
+                    candidates.append((tname, ints[0], ks))
+        tname, idc, ks = r.choice(candidates)
+        cols = r.sample(ks, min(len(ks), r.randint(2, 3)))
+        return {"kind": "unpivot", "base": tname, "id": idc,
+                "cols": sorted(cols),
+                "pred": self.predicate(tname, list(TABLES[tname]["cols"].items())),
+                "stages": [], "terminal": {"op": "unpivot"}}
+
     def setop_pipeline(self) -> dict:
         r = self.r
         op = r.choice(["union_all", "intersect", "intersect_all", "except", "except_all"])
@@ -559,6 +584,13 @@ def to_sql(spec: dict) -> str:
             cells.append(f"{e} AS {v}")
         return (f"SELECT {spec['key']}, {', '.join(cells)} "
                 f"FROM {spec['base']} WHERE {spec['pred']} GROUP BY {spec['key']}")
+    if spec.get("kind") == "unpivot":
+        branches = [
+            f"SELECT {spec['id']} AS id, '{c}' AS name, {c} AS val "
+            f"FROM {spec['base']} WHERE {spec['pred']}"
+            for c in spec["cols"]
+        ]
+        return " UNION ALL ".join(branches)
     if spec.get("kind") == "selfjoin":
         pk, key, mod, keep = spec["pk"], spec["key"], spec["mod"], spec["keep"]
         pairs = (
@@ -683,6 +715,13 @@ def to_spark(spec: dict, spark, sf_dir: str, base_df=None):
         x = spec["agg_col"]
         aggc = {"sum": F.sum(x).cast("bigint"), "min": F.min(x)}[spec["agg"]]
         return f.groupBy(spec["key"]).pivot(spec["pivot_col"], spec["values"]).agg(aggc)
+    if spec.get("kind") == "unpivot":
+        f = table(spark, sf_dir, spec["base"]).filter(F.expr(spec["pred"]))
+        return (
+            f.select(F.col(spec["id"]).alias("id"), *spec["cols"])
+            .unpivot(ids=["id"], values=spec["cols"],
+                     variableColumnName="name", valueColumnName="val")
+        )
     if spec.get("kind") == "selfjoin":
         pk, key, mod, keep = spec["pk"], spec["key"], spec["mod"], spec["keep"]
         f = table(spark, sf_dir, spec["base"]).filter(F.expr(spec["pred"]))
