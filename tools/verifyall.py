@@ -1,0 +1,80 @@
+"""One-command verification driver: the full evidence chain in order.
+
+Runs (each independently fatal):
+  1. entry-contract smoke from a foreign cwd (driver protocol)
+  2. tools/selfcheck.py — all suite cases vs DuckDB at sf0.01
+  3. tools/fuzzcheck.py — N random pipelines per seed (default 3 seeds)
+  4. pytest tests/ (CI)
+
+Usage: python tools/verifyall.py [--fast] [--skip-pytest]
+  --fast: fuzz 1 seed x 60 at sf0.001 and skip pytest — a ~2 min
+          smoke for mid-iteration sanity.
+Exit 0 iff every stage passes.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import subprocess
+import sys
+import time
+
+TOOLS = os.path.dirname(os.path.abspath(__file__))
+REPO = os.path.dirname(TOOLS)
+
+ENTRY_SNIPPET = """
+import importlib.util
+spec = importlib.util.spec_from_file_location('__spark_entry__', {entry!r})
+m = importlib.util.module_from_spec(spec); spec.loader.exec_module(m)
+from pyspark.sql import SparkSession
+spark = (SparkSession.builder.master('local[4]')
+         .config('spark.ui.enabled', 'false').getOrCreate())
+rows = len(m.entry(spark).collect())
+q, o = len(m.queries()), len(m.oracle_sql())
+assert rows > 0 and q >= o > 0, (rows, q, o)
+print(f'entry ok: {{rows}} rows, {{q}} queries, {{o}} oracles')
+"""
+
+
+def run(name: str, cmd: list[str], cwd: str | None = None) -> bool:
+    t0 = time.monotonic()
+    print(f"==> {name}: {' '.join(cmd)}", flush=True)
+    r = subprocess.run(cmd, cwd=cwd or REPO)
+    ok = r.returncode == 0
+    print(f"<== {name}: {'PASS' if ok else 'FAIL'} ({time.monotonic() - t0:.0f}s)",
+          flush=True)
+    return ok
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    ap.add_argument("--fast", action="store_true")
+    ap.add_argument("--skip-pytest", action="store_true")
+    a = ap.parse_args()
+
+    sf = "/root/testdata/sf0.001" if a.fast else "/root/testdata/sf0.01"
+    seeds = [42] if a.fast else [42, 7, 99]
+    n = 60 if a.fast else 200
+
+    stages: list[tuple[str, list[str], str | None]] = [
+        ("entry-smoke",
+         [sys.executable, "-c",
+          ENTRY_SNIPPET.format(entry=os.path.join(REPO, "__spark_entry__.py"))],
+         "/tmp"),
+        ("selfcheck", [sys.executable, os.path.join(TOOLS, "selfcheck.py"), sf], None),
+    ]
+    for s in seeds:
+        stages.append((f"fuzzcheck-seed{s}",
+                       [sys.executable, os.path.join(TOOLS, "fuzzcheck.py"),
+                        "--n", str(n), "--seed", str(s), "--sf", sf], None))
+    if not (a.fast or a.skip_pytest):
+        stages.append(("pytest", [sys.executable, "-m", "pytest", "tests/", "-q"], None))
+
+    failed = [name for name, cmd, cwd in stages if not run(name, cmd, cwd)]
+    print(f"\n{'ALL PASS' if not failed else 'FAILED: ' + ', '.join(failed)}")
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
