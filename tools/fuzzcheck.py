@@ -411,7 +411,8 @@ class Gen:
         fns = ["rank", "dense_rank", "cnt", "sum_int", "max_int"]
         if have_total_order:
             # frame variants need a total order to be deterministic
-            fns += ["row_number", "lag", "sum_run", "sum_slide"]
+            fns += ["row_number", "lag", "sum_run", "sum_slide",
+                    "first_val", "last_val"]
         fn = r.choice(fns)
         ints = [c[0] for c in cols if c[1] == "int"]
         spec = {"op": "window", "part": part, "fn": fn, "alias": "w0",
@@ -426,13 +427,15 @@ class Gen:
             spec["order"] = [[oc, r.choice(["ASC", "DESC"]), r.choice(["FIRST", "LAST"])]]
             if r.random() < 0.5:
                 spec["topk"] = r.randint(1, 5)
-        elif fn in ("row_number", "lag", "sum_run", "sum_slide"):
+        elif fn in ("row_number", "lag", "sum_run", "sum_slide",
+                    "first_val", "last_val"):
             spec["order"] = [[p, "ASC", "LAST"] for p in pk]  # total order
             if fn == "row_number" and r.random() < 0.5:
                 spec["topk"] = r.randint(1, 5)
             if fn == "sum_slide":
                 spec["frame_n"] = r.randint(1, 4)  # N PRECEDING..CURRENT
-        if fn in ("sum_int", "max_int", "lag", "sum_run", "sum_slide") and spec["arg"] is None:
+        if fn in ("sum_int", "max_int", "lag", "sum_run", "sum_slide",
+                  "first_val", "last_val") and spec["arg"] is None:
             spec["fn"] = "cnt"
         return spec
 
@@ -685,6 +688,13 @@ def to_sql(spec: dict) -> str:
         elif fn == "sum_slide":
             w = (f"CAST(SUM({t['arg']}) OVER ({over} ROWS BETWEEN {t['frame_n']} "
                  f"PRECEDING AND CURRENT ROW) AS BIGINT)")
+        elif fn == "first_val":
+            w = f"FIRST_VALUE({t['arg']}) OVER ({over})"
+        elif fn == "last_val":
+            # default frame ends at CURRENT ROW (last == self) — use the
+            # full-partition frame so the value is actually interesting
+            w = (f"LAST_VALUE({t['arg']}) OVER ({over} ROWS BETWEEN UNBOUNDED "
+                 f"PRECEDING AND UNBOUNDED FOLLOWING)")
         sel = ", ".join(t["keep"]) + f", {w} AS {t['alias']}"
         sql = f"SELECT {sel} FROM ({sql}) fin"
         if t["topk"] is not None:
@@ -845,6 +855,10 @@ def to_spark(spec: dict, spark, sf_dir: str, base_df=None):
             "sum_slide": lambda: F.sum(t["arg"]).over(
                 w.rowsBetween(-t.get("frame_n", 1), Window.currentRow)
             ).cast("bigint"),
+            "first_val": lambda: F.first(t["arg"]).over(w),
+            "last_val": lambda: F.last(t["arg"]).over(
+                w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+            ),
         }[fn]()
         out = df.withColumn(t["alias"], col)
         if t["topk"] is not None:
