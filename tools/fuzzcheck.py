@@ -408,11 +408,14 @@ class Gen:
         partable = [c[0] for c in cols if c[1] in ("int", "str")]
         part = r.sample(partable, min(len(partable), r.randint(1, 2)))
         have_total_order = bool(pk) and all(any(c[0] == p for c in cols) for p in pk)
-        fns = ["rank", "dense_rank", "cnt", "sum_int", "max_int"]
+        # percent_rank/cume_dist are tie-deterministic BY VALUE like
+        # rank, so any order column works; ntile needs a total order
+        fns = ["rank", "dense_rank", "cnt", "sum_int", "max_int",
+               "percent_rank", "cume_dist"]
         if have_total_order:
             # frame variants need a total order to be deterministic
             fns += ["row_number", "lag", "sum_run", "sum_slide",
-                    "first_val", "last_val"]
+                    "first_val", "last_val", "ntile"]
         fn = r.choice(fns)
         ints = [c[0] for c in cols if c[1] == "int"]
         spec = {"op": "window", "part": part, "fn": fn, "alias": "w0",
@@ -422,18 +425,20 @@ class Gen:
                 "topk": None}
         # explicit NULLS FIRST/LAST everywhere: Spark defaults to
         # ASC→nulls-first while DuckDB defaults to nulls-last
-        if fn in ("rank", "dense_rank"):
+        if fn in ("rank", "dense_rank", "percent_rank", "cume_dist"):
             oc, ok = r.choice(cols)
             spec["order"] = [[oc, r.choice(["ASC", "DESC"]), r.choice(["FIRST", "LAST"])]]
-            if r.random() < 0.5:
+            if fn in ("rank", "dense_rank") and r.random() < 0.5:
                 spec["topk"] = r.randint(1, 5)
         elif fn in ("row_number", "lag", "sum_run", "sum_slide",
-                    "first_val", "last_val"):
+                    "first_val", "last_val", "ntile"):
             spec["order"] = [[p, "ASC", "LAST"] for p in pk]  # total order
             if fn == "row_number" and r.random() < 0.5:
                 spec["topk"] = r.randint(1, 5)
             if fn == "sum_slide":
                 spec["frame_n"] = r.randint(1, 4)  # N PRECEDING..CURRENT
+            if fn == "ntile":
+                spec["ntile_n"] = r.randint(2, 7)
         if fn in ("sum_int", "max_int", "lag", "sum_run", "sum_slide",
                   "first_val", "last_val") and spec["arg"] is None:
             spec["fn"] = "cnt"
@@ -671,6 +676,7 @@ def to_sql(spec: dict) -> str:
         wexpr = {
             "rank": "RANK()", "dense_rank": "DENSE_RANK()",
             "row_number": "ROW_NUMBER()", "cnt": "COUNT(*)",
+            "percent_rank": "PERCENT_RANK()", "cume_dist": "CUME_DIST()",
         }.get(fn)
         if wexpr is not None:
             w = f"{wexpr} OVER ({over})"
@@ -688,6 +694,8 @@ def to_sql(spec: dict) -> str:
         elif fn == "sum_slide":
             w = (f"CAST(SUM({t['arg']}) OVER ({over} ROWS BETWEEN {t['frame_n']} "
                  f"PRECEDING AND CURRENT ROW) AS BIGINT)")
+        elif fn == "ntile":
+            w = f"NTILE({t['ntile_n']}) OVER ({over})"
         elif fn == "first_val":
             w = f"FIRST_VALUE({t['arg']}) OVER ({over})"
         elif fn == "last_val":
@@ -855,6 +863,9 @@ def to_spark(spec: dict, spark, sf_dir: str, base_df=None):
             "sum_slide": lambda: F.sum(t["arg"]).over(
                 w.rowsBetween(-t.get("frame_n", 1), Window.currentRow)
             ).cast("bigint"),
+            "percent_rank": lambda: F.percent_rank().over(w),
+            "cume_dist": lambda: F.cume_dist().over(w),
+            "ntile": lambda: F.ntile(t.get("ntile_n", 4)).over(w),
             "first_val": lambda: F.first(t["arg"]).over(w),
             "last_val": lambda: F.last(t["arg"]).over(
                 w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
