@@ -10,6 +10,9 @@ executors, sessions, and retries.
 from __future__ import annotations
 
 import logging
+import os
+import posixpath as _posixpath
+from urllib.parse import urlparse as _urlparse
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -56,11 +59,32 @@ def _truncate(df: DataFrame, checkpoint_dir: str | None, eager: bool = False) ->
         current = None
     # setCheckpointDir creates a fresh random SUBDIR under the given
     # path and getCheckpointDir returns that subdir (often with a
-    # file:/ scheme) — containment check, or every round would spawn a
-    # new directory tree
-    if current is None or checkpoint_dir.rstrip("/") not in current:
+    # file:/ scheme) — compare the subdir's PARENT path components
+    # against the requested root (a substring test would false-match
+    # /data/ck against /data/ck-old or /data/ck2/..., silently landing
+    # checkpoints in the wrong directory), or every round would spawn a
+    # new directory tree. Note: setCheckpointDir is global SparkContext
+    # state — callers sharing a context share the checkpoint root.
+    if current is None or not _same_checkpoint_root(current, checkpoint_dir):
         sc.setCheckpointDir(checkpoint_dir)
     return df.checkpoint(eager=eager)
+
+
+def _same_checkpoint_root(current_subdir: str, requested: str) -> bool:
+    """True when ``current_subdir`` (the random subdir returned by
+    ``getCheckpointDir``, possibly ``file:/``-schemed) lives DIRECTLY
+    under the ``requested`` checkpoint root — exact path-component
+    comparison of the subdir's parent, never substring matching."""
+    cur = _urlparse(current_subdir)
+    req = _urlparse(requested)
+    cur_parent = _posixpath.dirname(cur.path.rstrip("/"))
+    req_path = req.path.rstrip("/") or "/"
+    if req.scheme in ("", "file"):
+        return cur.scheme in ("", "file") and os.path.abspath(
+            cur_parent
+        ) == os.path.abspath(req_path)
+    # remote FS (hdfs/s3a/...): scheme + authority + exact parent path
+    return (cur.scheme, cur.netloc, cur_parent) == (req.scheme, req.netloc, req_path)
 
 
 def _word_array(text_col: str) -> Column:

@@ -140,17 +140,27 @@ def sniff_media(payload: bytes) -> dict:
         elif p[:2] == b"\xff\xd8":
             out["format"] = "jpeg"
             i = 2
-            while i + 9 < len(p) and p[i] == 0xFF:
-                marker = p[i + 1]
-                if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
-                    i += 2
-                    continue
-                seglen = _struct.unpack(">H", p[i + 2:i + 4])[0]
-                if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
-                    h, w = _struct.unpack(">HH", p[i + 5:i + 9])
-                    out["width"], out["height"] = int(w), int(h)
+            while i + 1 < len(p) and p[i] == 0xFF:
+                # spec: any number of 0xFF fill bytes may pad a marker
+                while i < len(p) and p[i] == 0xFF:
+                    i += 1
+                if i >= len(p):
                     break
-                i += 2 + seglen
+                marker = p[i]
+                i += 1
+                if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                    continue  # standalone markers carry no length
+                if marker in (0xDA, 0xD9):
+                    break  # SOS/EOI: entropy-coded data follows, stop
+                if i + 2 > len(p):
+                    break
+                seglen = _struct.unpack(">H", p[i:i + 2])[0]
+                if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                    if i + 7 <= len(p):
+                        h, w = _struct.unpack(">HH", p[i + 3:i + 7])
+                        out["width"], out["height"] = int(w), int(h)
+                    break
+                i += seglen  # seglen counts its own 2 bytes
         elif p[:6] in (b"GIF87a", b"GIF89a"):
             out["format"] = "gif"
             w, h = _struct.unpack("<HH", p[6:10])
@@ -185,10 +195,12 @@ MEDIA_PROBE_SCHEMA = (
 def probe_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Distributed media probing: :func:`sniff_media` plugged into the
     same Arrow ``mapInPandas`` plumbing as :func:`extract_features` —
-    map-only, payloads never leave the executors."""
-    return extract_features(
-        df, id_col, decode_fn=sniff_media, feature_schema=MEDIA_PROBE_SCHEMA
-    )
+    map-only, payloads never leave the executors. The output schema
+    leads with ``id_col`` at its ACTUAL input type (looked up from
+    ``df.schema``), so any id column name/type works."""
+    id_type = df.schema[id_col].dataType.simpleString()
+    schema = f"{id_col} {id_type}, format string, width int, height int, duration_ms long"
+    return extract_features(df, id_col, decode_fn=sniff_media, feature_schema=schema)
 
 
 def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:

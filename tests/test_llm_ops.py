@@ -683,3 +683,84 @@ def test_media_probe_registry_op(spark, tmp_path, sf_dir):
     assert out.count() > 0
     # utf-8 text payloads are not media: format must be NULL, not a guess
     assert out.filter("format IS NOT NULL").count() == 0
+
+
+def test_sniff_media_jpeg_padded_and_sos():
+    """Spec-legal JPEG variants (ADVICE r5): 0xFF fill bytes may pad any
+    marker, and the segment walk must stop at SOS — entropy-coded data
+    after SOS is not a marker stream."""
+    import struct
+
+    from pyspark_pipeline_framework_spark.llm.multimodal import sniff_media
+
+    # fill bytes (extra 0xFF) before both APP0 and SOF0 markers
+    padded = (b"\xff\xd8"
+              + b"\xff\xff\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
+              + b"\xff\xff\xc0" + struct.pack(">H", 17) + b"\x08"
+              + struct.pack(">HH", 240, 320) + b"\x03" + b"\x00" * 9)
+    assert sniff_media(padded) == {
+        "format": "jpeg", "width": 320, "height": 240, "duration_ms": None}
+
+    # SOS before any SOF, followed by entropy-coded bytes that happen to
+    # contain 0xFF C0-lookalikes: the walk must stop at SOS, not misread
+    # garbage dimensions from compressed data
+    sos_first = (b"\xff\xd8"
+                 + b"\xff\xda" + struct.pack(">H", 8) + b"\x01\x01\x00\x00\x3f\x00"
+                 + b"\xff\xc0" + struct.pack(">H", 17) + b"\x08"
+                 + struct.pack(">HH", 999, 888) + b"\x03" + b"\x00" * 9)
+    got = sniff_media(sos_first)
+    assert got["format"] == "jpeg" and got["width"] is None and got["height"] is None
+
+
+def test_probe_media_custom_id_col(spark):
+    """probe_media works with any id column name AND type — the output
+    schema is built from the input schema (ADVICE r5: it used to
+    hardcode 'doc_id long' and raise for every other id_col)."""
+    from pyspark_pipeline_framework_spark.llm.multimodal import probe_media
+
+    rows = [(f"k{i}", p) for i, p in _crafted_media()]
+    df = spark.createDataFrame(rows, "media_key string, payload binary")
+    out = probe_media(df, id_col="media_key")
+    assert out.columns[0] == "media_key"
+    assert dict(out.dtypes)["media_key"] == "string"
+    got = {r.media_key: r.format for r in out.collect()}
+    assert got["k1"] == "png" and got["k5"] == "wav" and got["k6"] is None
+
+
+def test_same_checkpoint_root_exact_components(tmp_path):
+    """_truncate's already-set check compares exact path components
+    (ADVICE r5: the old substring test false-matched /data/ck against
+    /data/ck-old and /data/ck2/sub)."""
+    from pyspark_pipeline_framework_spark.llm.dedup import _same_checkpoint_root
+
+    # getCheckpointDir returns the random SUBDIR, often file:/-schemed
+    assert _same_checkpoint_root("file:/data/ck/abc-123", "/data/ck")
+    assert _same_checkpoint_root("/data/ck/abc-123", "/data/ck/")
+    # the substring false-positives the old code had:
+    assert not _same_checkpoint_root("file:/data/ck-old/abc-123", "/data/ck")
+    assert not _same_checkpoint_root("file:/data/ck2/sub/abc-123", "/data/ck")
+    assert not _same_checkpoint_root("file:/data/ck/deeper/abc-123", "/data/ck")
+    # remote FS: scheme + authority + parent path must all match
+    assert _same_checkpoint_root("hdfs://nn:8020/ck/abc", "hdfs://nn:8020/ck")
+    assert not _same_checkpoint_root("hdfs://nn:8020/ck/abc", "hdfs://other:8020/ck")
+    assert not _same_checkpoint_root("s3a://bkt/ck/abc", "hdfs://bkt/ck")
+
+
+def test_truncate_reuses_requested_dir(spark, tmp_path):
+    """Two _truncate calls with the same requested dir must not re-set
+    the context checkpoint dir (which would spawn a second random
+    subtree); a DIFFERENT requested dir must re-set it."""
+    import os
+
+    from pyspark_pipeline_framework_spark.llm.dedup import _truncate
+
+    df = spark.range(10)
+    a = str(tmp_path / "ck_a")
+    b = str(tmp_path / "ck_b")
+    _truncate(df, a, eager=True)
+    first = spark.sparkContext.getCheckpointDir()
+    _truncate(df, a, eager=True)
+    assert spark.sparkContext.getCheckpointDir() == first
+    _truncate(df, b, eager=True)
+    assert spark.sparkContext.getCheckpointDir() != first
+    assert os.listdir(b), "new dir must receive checkpoint state"
