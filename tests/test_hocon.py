@@ -488,3 +488,27 @@ def test_unicode_escapes_and_surrogate_pairs():
     assert loads('a = "\\b\\f"') == {"a": "\b\f"}
     with pytest.raises(HoconError, match="u escape"):
         loads('a = "\\uZZZZ"')
+
+
+def test_env_fallback_string_typing_caught_downstream(monkeypatch):
+    """Documented HOCON caveat (module docstring + README): env-fallback
+    values are raw strings while file values are coerced. The typed
+    config layer must catch the resulting string-typed int field loudly
+    instead of accepting it."""
+    import pytest as _pytest
+
+    from pyspark_pipeline_framework_spark.observability.config import (
+        HooksConfigError,
+        MetricsHooksConfig,
+    )
+
+    monkeypatch.setenv("METRICS_INTERVAL", "9999")
+    cfg = loads(
+        "metrics { backend = in_memory\n"
+        "  export_interval_seconds = ${METRICS_INTERVAL} }"
+    )
+    # env fallback: string, NOT coerced (file-written values would be int)
+    assert cfg["metrics"]["export_interval_seconds"] == "9999"
+    assert loads("x = 9999")["x"] == 9999
+    with _pytest.raises(HooksConfigError, match="export_interval_seconds"):
+        MetricsHooksConfig.from_dict(cfg["metrics"])

@@ -216,3 +216,59 @@ def test_salted_join_spreads_pathological_skew(spark, salt):
     finally:
         for k, v in saved.items():
             conf.set(k, v)
+
+
+def test_not_in_anti_join_null_key_equivalence(spark):
+    """Q16's NOT-IN-as-left_anti rewrite (suite/tpch3.py): with an
+    injected NULL key in the excluded set, the implementation's
+    explicit isNotNull filter makes Spark agree with DuckDB on the
+    null-filtered subquery — and the test pins WHY the filter is
+    there: strict SQL NOT IN over a subquery containing NULL excludes
+    EVERY row (three-valued logic), a semantics no sane exclusion
+    list wants and one the isNotNull filter sidesteps."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    sup = spark.createDataFrame(
+        [(1, -5.0), (None, -7.0), (3, 10.0), (4, -1.0)],
+        "s_suppkey int, s_acctbal double",
+    )
+    li = spark.createDataFrame([(1,), (2,), (3,), (4,)], "l_suppkey int")
+    complained = sup.filter(
+        (F.col("s_acctbal") < 0) & F.col("s_suppkey").isNotNull()
+    ).select("s_suppkey")
+    got = sorted(
+        r.l_suppkey
+        for r in li.join(
+            F.broadcast(complained),
+            li.l_suppkey == complained.s_suppkey,
+            "left_anti",
+        ).collect()
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE supplier AS SELECT * FROM (VALUES (1, -5.0),"
+        " (NULL, -7.0), (3, 10.0), (4, -1.0)) t(s_suppkey, s_acctbal)"
+    )
+    con.execute(
+        "CREATE TABLE lineitem AS SELECT * FROM (VALUES (1), (2), (3), (4))"
+        " t(l_suppkey)"
+    )
+    want = [
+        r[0]
+        for r in con.execute(
+            "SELECT l_suppkey FROM lineitem WHERE l_suppkey NOT IN ("
+            " SELECT s_suppkey FROM supplier"
+            " WHERE s_acctbal < 0 AND s_suppkey IS NOT NULL)"
+            " ORDER BY l_suppkey"
+        ).fetchall()
+    ]
+    assert got == want == [2, 3]
+    # the divergence the filter exists to avoid: strict NOT IN with a
+    # NULL in the subquery returns ZERO rows
+    strict = con.execute(
+        "SELECT count(*) FROM lineitem WHERE l_suppkey NOT IN ("
+        " SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)"
+    ).fetchone()[0]
+    assert strict == 0
