@@ -170,28 +170,36 @@ def q_win_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
 @case(
     "q_win_session",
     oracle="""
-    WITH flagged AS (
+    WITH dts AS (SELECT DISTINCT user_id, ts FROM events),
+    flagged AS (
       SELECT user_id, ts,
              CASE WHEN LAG(ts) OVER w IS NULL
-                       OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
+                       OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
                   THEN 1 ELSE 0 END AS new_s
-      FROM events
+      FROM dts
       WINDOW w AS (PARTITION BY user_id ORDER BY ts)
     ), sessions AS (
       SELECT user_id, ts,
              SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
                               ROWS UNBOUNDED PRECEDING) AS sid
       FROM flagged
+    ), tagged AS (
+      SELECT x.user_id, x.ts, x.sid
+      FROM events e JOIN sessions x
+        ON e.user_id = x.user_id AND e.ts = x.ts
     )
     SELECT user_id, MIN(ts) AS session_start,
            MAX(ts) + INTERVAL 30 MINUTE AS session_end,
            CAST(COUNT(*) AS BIGINT) AS n_events
-    FROM sessions GROUP BY user_id, sid
+    FROM tagged GROUP BY user_id, sid
     """,
 )
 def q_win_session(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # gap-based session windows; Spark's session end = last event + gap,
-    # and an event at exactly start+gap opens a NEW session (end exclusive)
+    # gap-based session windows; Spark's session end = last event + gap.
+    # An event at EXACTLY last+gap MERGES into the session (new session
+    # only on strict diff > gap — verified empirically; the fuzzer's
+    # orders/DAY session shape hits this boundary, ns-precision events
+    # never do, which is why the old >= oracle passed here)
     ev = table(spark, sf_dir, "events")
     return (
         event_session_window(ev, "ts", "30 minutes", group_by=["user_id"])

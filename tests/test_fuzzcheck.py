@@ -48,11 +48,14 @@ def test_sql_renderer_parses_in_duckdb(con, stats):
     # 80 specs: every terminal kind should appear and every SQL must
     # at least PREPARE (catches renderer syntax drift without Spark)
     kinds = set()
-    for i in range(80):
+    for i in range(240):
         spec = spec_for(1001, i, stats)
         kinds.add(spec["terminal"]["op"])
         con.execute(to_sql(spec)).fetchone()
-    assert {"agg", "window", "distinct", "sortlimit", "setop"} <= kinds
+    assert {"agg", "window", "distinct", "sortlimit", "setop",
+            # r6 blind-spot shapes must all be generated and parse
+            "asof", "range", "theta", "subq", "cte", "explode",
+            "session"} <= kinds
 
 
 def test_no_order_sensitive_terminal_without_total_order(stats):
@@ -99,8 +102,17 @@ def test_framework_sql_path_matches_oracle(spark, con, stats):
     from pyspark_pipeline_framework_spark.resilience.presets import NO_RETRY
 
     mismatches = []
-    for i in range(12):
+    picked, i = [], 0
+    while len(picked) < 12 and i < 200:
         spec = spec_for(4242, i, stats)
+        i += 1
+        # the op:sql path runs the generated SQL on SPARK too — skip
+        # DuckDB-only renderings (ASOF JOIN, unnest, WINDOW-clause
+        # session oracle, json_extract_string)
+        if fuzzcheck.is_portable_sql(spec):
+            picked.append(spec)
+    assert len(picked) == 12
+    for i, spec in enumerate(picked):
         sql = to_sql(spec)
         tables = spec_tables(spec)
         comps = [
@@ -210,12 +222,33 @@ def test_harness_detects_injected_bugs(spark, con, stats):
         o.columns = [c.lower() for c in o.columns]
         return len(a) != len(o) or _norm_df(a) != _norm_df(o)
 
-    caught = {"join_flip": False, "agg_swap": False, "filter_drop": False}
+    caught = {"join_flip": False, "agg_swap": False, "filter_drop": False,
+              "session_gap": False, "asof_how": False}
     for i in range(300):
         if all(caught.values()):
             break
         spec = spec_for(777, i, stats)
-        if spec.get("kind") == "selfjoin":
+        # r6 shapes: the gate must also trip on mutations of the new
+        # grammar — session gap doubled, asof right-side aggregate swap
+        if spec.get("kind") == "session":
+            if not caught["session_gap"]:
+                m = copy.deepcopy(spec)
+                m["gap"] = spec["gap"] * 3
+                if differs(spec, m):
+                    caught["session_gap"] = True
+            continue
+        if spec.get("kind") == "asof":
+            if not caught["asof_how"]:
+                # min/max swaps rarely differ (per-(custkey,date) groups
+                # are mostly single-order) — flip the join mode instead:
+                # inner<->left changes the unmatched-left rows
+                m = copy.deepcopy(spec)
+                m["how"] = "left" if spec["how"] == "inner" else "inner"
+                if differs(spec, m):
+                    caught["asof_how"] = True
+            continue
+        if spec.get("kind") in ("selfjoin", "range", "theta", "subq",
+                                "cte", "explode"):
             continue
         t = spec["terminal"]
         joins = [s for s in spec["stages"] if s["op"] == "join"]
