@@ -142,12 +142,20 @@ def minhash_signature(
 
     ``hash_fn="xxhash64"`` (scale default): permutation i =
     ``xxhash64(base, i)``; signature is ``array<bigint>``.
-    ``hash_fn="md5"`` (engine-portable): permutation i = first 16 hex
-    chars of ``md5(i || ':' || md5(shingle))``; signature is
-    ``array<string>`` — MIN over fixed-width lowercase hex equals
-    numeric min, and any engine with md5 (DuckDB, Python, warehouses)
-    recomputes the identical signature, making LSH candidates
-    oracle-checkable."""
+    ``hash_fn="md5"`` (engine-portable): permutation i = the 8 hex
+    chars ``md5((i//4) || ':' || md5(shingle))[8*(i%4) : 8*(i%4)+8]``
+    — ONE md5 per group of 4 permutations, sliced into 4 disjoint
+    32-bit words (r6: 17 md5s per shingle occurrence instead of 65,
+    measured 1.5-2× faster end-to-end with an identical LSH candidate
+    profile). Slicing one digest keeps permutations INDEPENDENT ACROSS
+    SHINGLES — for two shingles, which one wins slice j is independent
+    of slice j' because the bits are disjoint — unlike the rejected
+    Kirsch-Mitzenmacher arithmetic double hashing, whose constant
+    per-shingle offsets let one dominant shingle win whole bands (7×
+    candidate blowup, see below). Signature is ``array<string>`` —
+    MIN over fixed-width lowercase hex equals numeric min, and any
+    engine with md5 (DuckDB, Python, warehouses) recomputes the
+    identical signature, making LSH candidates oracle-checkable."""
     # explode → 64 min-aggregates: flat columns keep whole-stage
     # codegen tight (64 nested array transforms per row do not), and the
     # partial agg collapses shingle rows before the doc_id shuffle
@@ -158,24 +166,37 @@ def minhash_signature(
         hashed = exploded.select(F.col(id_col), F.xxhash64("__s").alias("__h"))
         perms = [F.min(F.xxhash64("__h", F.lit(i))).alias(f"__m{i}") for i in range(num_hashes)]
     elif hash_fn == "md5":
-        # measured (sf0.1, local[32]): computing the 64 permutation
-        # md5s inline per shingle OCCURRENCE beats a per-DISTINCT-hash
-        # precompute + join-back 2× — JVM md5 over 16-byte inputs is
-        # cheap enough that the extra shuffle/join materialization costs
-        # more than the 9.6× duplication it saves, and inline keeps the
-        # whole signature in one codegen stage with zero extra shuffles.
-        # Re-measured at ×10 (r5): inline 10s vs precompute 16s warm —
-        # the ratio holds at scale (identical signatures verified).
+        # measured (sf0.1, local[32]): inline computation per shingle
+        # OCCURRENCE beats a per-DISTINCT-hash precompute + join-back
+        # 2× — JVM md5 is cheap enough that the extra shuffle/join
+        # materialization costs more than the 9.6× duplication it
+        # saves, and inline keeps the whole signature in one codegen
+        # stage with zero extra shuffles (re-measured at ×10, r5).
+        # r6: one md5 per GROUP of 4 permutations, sliced into 4
+        # disjoint 8-hex words (see docstring) — the 16 group digests
+        # are materialized as explicit projection columns so the md5 is
+        # guaranteed computed once per group (not relying on aggregate-
+        # expression CSE), then the 64 mins run over cheap substrings.
         # REJECTED alternative (r5, measured): Kirsch-Mitzenmacher
         # double hashing (perm_i = a + i·b from two md5s) cuts 65 md5s
-        # to 3 but CORRELATES adjacent permutations — the same dominant
-        # shingle wins whole bands, and the sf0.01 candidate set blew up
-        # 25 → 182 pairs (7× false-positive candidates). Independent
-        # per-permutation hashes are the price of bounded buckets.
-        hashed = exploded.select(F.col(id_col), F.md5("__s").alias("__h"))
+        # to 3 but CORRELATES adjacent permutations ACROSS SHINGLES —
+        # the same dominant shingle wins whole bands, and the sf0.01
+        # candidate set blew up 25 → 182 pairs (7× false-positive
+        # candidates). Disjoint bit slices have no such correlation:
+        # slice-j winners are decided by disjoint digest bits.
+        n_groups = (num_hashes + 3) // 4
+        # two-step select: __h is referenced by all groups, so
+        # CollapseProject keeps it a real column (md5(__s) once per row)
+        hashed = exploded.select(F.col(id_col), F.md5("__s").alias("__h")).select(
+            F.col(id_col),
+            *[
+                F.md5(F.concat(F.lit(f"{g}:"), F.col("__h"))).alias(f"__g{g}")
+                for g in range(n_groups)
+            ],
+        )
         perms = [
             F.min(
-                F.substring(F.md5(F.concat(F.lit(f"{i}:"), F.col("__h"))), 1, 16)
+                F.substring(F.col(f"__g{i // 4}"), 8 * (i % 4) + 1, 8)
             ).alias(f"__m{i}")
             for i in range(num_hashes)
         ]

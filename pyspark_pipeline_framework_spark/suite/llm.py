@@ -236,9 +236,11 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_dedup_minhash_md5",
     # the ENTIRE MinHash-LSH pipeline recomputed in SQL: base md5 per
     # shingle → 64 permutation mins (min over fixed-width hex ≡ numeric
-    # min) → 16 band hashes → bucket self-join. Bit-exact across
-    # engines, so the LSH candidate set itself is oracle-gated — not
-    # just rows-only.
+    # min; r6 scheme: permutation i = the 8-hex slice i%4 of
+    # md5(i//4 || ':' || bh) — one digest per 4 permutations, disjoint
+    # bit slices stay independent across shingles) → 16 band hashes →
+    # bucket self-join. Bit-exact across engines, so the LSH candidate
+    # set itself is oracle-gated — not just rows-only.
     oracle=r"""
     WITH words AS (
       SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS w FROM documents
@@ -251,7 +253,8 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, md5(shingle) AS bh FROM sh
     ), sig AS (
       SELECT doc_id, seed,
-             MIN(substr(md5(concat(CAST(seed AS VARCHAR), ':', bh)), 1, 16)) AS mh
+             MIN(substr(md5(concat(CAST(seed // 4 AS VARCHAR), ':', bh)),
+                        8 * CAST(seed % 4 AS INT) + 1, 8)) AS mh
       FROM base, range(64) t(seed)
       GROUP BY doc_id, seed
     ), bands AS (
