@@ -112,11 +112,14 @@ def _sf1_section(spark, sf_dir: str, timings: dict[str, float]) -> dict:
         pass
 
     cases = all_cases()
+    # r6: the FULL suite runs at x10, not just the top-10 (VERDICT r5
+    # item 6) — expensive-first so a budget cap still covers the
+    # queries where superlinearity would hide
     top = [n for n, _ in sorted(timings.items(), key=lambda kv: -kv[1])
-           if n in cases][:10]
+           if n in cases]
     out: dict = {"replication": R, "build_sec": round(build_s, 1),
                  "queries": {}, "peak_shuffle_write": {}}
-    budget_s = float(os.environ.get("SPARK_GRAFT_SF1_BUDGET_S", "240"))
+    budget_s = float(os.environ.get("SPARK_GRAFT_SF1_BUDGET_S", "900"))
     spent = 0.0
     for name in top:
         if spent > budget_s:
@@ -177,24 +180,47 @@ def main() -> None:
     # warm the JVM + parquet footers once so the numbers measure the queries
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
 
-    # best-of-2: the first run of each query pays one-time JIT/codegen
-    # compilation that a long-lived cluster job would amortize away
-    timings: dict[str, float] = {}
-    for name, case in sorted(all_cases().items()):
-        samples, n = [], 0
-        for _ in range(2):
-            t0 = time.perf_counter()
-            df = case.spark_fn(spark, sf_dir)
-            n = df.count()  # full execution without driver-side materialization
-            samples.append(time.perf_counter() - t0)
-        # host-noise guard: when the two samples disagree badly, a steal
-        # burst hit one of them — take a third and keep the min
-        if max(samples) > 1.6 * min(samples) + 0.05:
-            t0 = time.perf_counter()
-            case.spark_fn(spark, sf_dir).count()
-            samples.append(time.perf_counter() - t0)
-        timings[name] = round(min(samples), 4)
-        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+    def run_suite() -> tuple[dict[str, float], float]:
+        """One full timing pass; returns (timings, steal_sec of the pass).
+
+        best-of-2 per query: the first run pays one-time JIT/codegen
+        compilation that a long-lived cluster job would amortize away."""
+        s0 = _steal_jiffies()
+        t: dict[str, float] = {}
+        for name, case in sorted(all_cases().items()):
+            samples, n = [], 0
+            for _ in range(2):
+                t0 = time.perf_counter()
+                df = case.spark_fn(spark, sf_dir)
+                n = df.count()  # full execution, no driver materialization
+                samples.append(time.perf_counter() - t0)
+            # host-noise guard: when the two samples disagree badly, a
+            # steal burst hit one of them — take a third, keep the min
+            if max(samples) > 1.6 * min(samples) + 0.05:
+                t0 = time.perf_counter()
+                case.spark_fn(spark, sf_dir).count()
+                samples.append(time.perf_counter() - t0)
+            t[name] = round(min(samples), 4)
+            print(f"# {name}: {t[name]:.3f}s ({n} rows)", file=sys.stderr)
+        s1 = _steal_jiffies()
+        steal = (s1 - s0) / 100.0 if s0 is not None and s1 is not None else 0.0
+        return t, steal
+
+    timings, pass_steal = run_suite()
+    # steal-contamination policy (VERDICT r5 item 8): when the host
+    # stole more CPU-seconds than half the measured wall, the numbers
+    # are noise-dominated (r5's driver artifact: 468s steal on a 78s
+    # total). Attempt ONE rerun; publish the better pass and self-flag
+    # the JSON line if even that one is contaminated.
+    steal_contaminated = False
+    if pass_steal > 0.5 * sum(timings.values()):
+        print(f"# steal-contaminated pass ({pass_steal:.0f}s stolen vs "
+              f"{sum(timings.values()):.0f}s measured) — one rerun",
+              file=sys.stderr)
+        timings2, pass_steal2 = run_suite()
+        if sum(timings2.values()) < sum(timings.values()):
+            timings, pass_steal = timings2, pass_steal2
+        steal_contaminated = pass_steal > 0.5 * sum(timings.values())
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
@@ -224,6 +250,7 @@ def main() -> None:
         "sf": sf_val,
         "calib_sec": round(calib, 4),
         "steal_sec": steal_s,
+        "steal_contaminated": steal_contaminated,
         "sf1": sf1,
         "queries": timings,
     }
@@ -245,6 +272,8 @@ def main() -> None:
         "queries_full": "BENCH_FULL.json",
         "queries": {},
     }
+    if steal_contaminated:  # self-flag: this total is noise-dominated
+        line_obj["steal_contaminated"] = True
     if sf1 and "queries" in sf1:
         ran = [w for w in sf1["queries"].values() if isinstance(w, float)]
         line_obj["sf1"] = {

@@ -1015,6 +1015,48 @@ def to_sql(spec: dict) -> str:
     raise AssertionError(t["op"])
 
 
+def apply_stages(df, stages: list[dict], spark, sf_dir: str):
+    """Apply a spec's non-terminal stages to a DataFrame — shared by
+    to_spark and the streaming differential (tools/streamfuzz.py),
+    which replays the same stages over a readStream base."""
+    from pyspark.sql import functions as F
+
+    from pyspark_pipeline_framework_spark.io.readers import table
+
+    for st in stages:
+        if st["op"] == "derive":
+            df = df.withColumn(st["name"], F.expr(st["expr"]))
+        elif st["op"] == "derive_udf":
+            from pyspark.sql.functions import pandas_udf
+
+            mod_, mul_ = st["mod"], st["mul"]
+            # hint-free form: `from __future__ import annotations` turns
+            # pd.Series hints into strings Spark can't resolve against a
+            # function-local pandas import
+            _arith = pandas_udf(lambda s: (s % mod_) * mul_ + 1, "long")
+            df = df.withColumn(st["name"], _arith(F.col(st["src"])))
+        elif st["op"] == "derive_json":
+            df = df.withColumn(
+                st["name"],
+                F.get_json_object(st["src"], f"$.{st['key']}").cast("long"),
+            )
+        elif st["op"] == "filter":
+            df = df.filter(F.expr(st["pred"]))
+        elif st["op"] == "join":
+            r = table(spark, sf_dir, st["right"])
+            if st["right_derive"] is not None:
+                d = st["right_derive"]
+                r = r.withColumn(d["name"], F.expr(d["expr"]))
+            if st["right_pred"] is not None:
+                r = r.filter(F.expr(st["right_pred"]))
+            jt = {"inner": "inner", "left": "left", "right": "right",
+                  "full": "full", "semi": "left_semi", "anti": "left_anti"}[st["type"]]
+            cond = (F.col(st["lk"]).eqNullSafe(F.col(st["rk"]))
+                    if st.get("nullsafe") else F.col(st["lk"]) == F.col(st["rk"]))
+            df = df.join(r, cond, jt)
+    return df
+
+
 def to_spark(spec: dict, spark, sf_dir: str, base_df=None):
     """Render the spec through the DataFrame API. ``base_df`` swaps the
     base-table scan for an injected DataFrame (e.g. a readStream of the
@@ -1219,37 +1261,7 @@ def to_spark(spec: dict, spark, sf_dir: str, base_df=None):
         }[t["kind"]](b)
 
     df = table(spark, sf_dir, spec["base"]) if base_df is None else base_df
-    for st in spec["stages"]:
-        if st["op"] == "derive":
-            df = df.withColumn(st["name"], F.expr(st["expr"]))
-        elif st["op"] == "derive_udf":
-            from pyspark.sql.functions import pandas_udf
-
-            mod_, mul_ = st["mod"], st["mul"]
-            # hint-free form: `from __future__ import annotations` turns
-            # pd.Series hints into strings Spark can't resolve against a
-            # function-local pandas import
-            _arith = pandas_udf(lambda s: (s % mod_) * mul_ + 1, "long")
-            df = df.withColumn(st["name"], _arith(F.col(st["src"])))
-        elif st["op"] == "derive_json":
-            df = df.withColumn(
-                st["name"],
-                F.get_json_object(st["src"], f"$.{st['key']}").cast("long"),
-            )
-        elif st["op"] == "filter":
-            df = df.filter(F.expr(st["pred"]))
-        elif st["op"] == "join":
-            r = table(spark, sf_dir, st["right"])
-            if st["right_derive"] is not None:
-                d = st["right_derive"]
-                r = r.withColumn(d["name"], F.expr(d["expr"]))
-            if st["right_pred"] is not None:
-                r = r.filter(F.expr(st["right_pred"]))
-            jt = {"inner": "inner", "left": "left", "right": "right",
-                  "full": "full", "semi": "left_semi", "anti": "left_anti"}[st["type"]]
-            cond = (F.col(st["lk"]).eqNullSafe(F.col(st["rk"]))
-                    if st.get("nullsafe") else F.col(st["lk"]) == F.col(st["rk"]))
-            df = df.join(r, cond, jt)
+    df = apply_stages(df, spec["stages"], spark, sf_dir)
 
     if t["op"] == "agg":
         exprs = []

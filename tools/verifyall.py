@@ -4,7 +4,9 @@ Runs (each independently fatal):
   1. entry-contract smoke from a foreign cwd (driver protocol)
   2. tools/selfcheck.py — all suite cases vs DuckDB at sf0.01
   3. tools/fuzzcheck.py — N random pipelines per seed (default 3 seeds)
-  4. pytest tests/ (CI)
+  4. tools/streamfuzz.py — stateful streaming differential (streaming
+     dedup within watermark + update-mode aggregation vs batch)
+  5. pytest tests/ (CI)
 
 Usage: python tools/verifyall.py [--fast] [--skip-pytest]
   --fast: fuzz 1 seed x 60 at sf0.001 and skip pytest — a ~2 min
@@ -68,6 +70,12 @@ def main() -> int:
         stages.append((f"fuzzcheck-seed{s}",
                        [sys.executable, os.path.join(TOOLS, "fuzzcheck.py"),
                         "--n", str(n), "--seed", str(s), "--sf", sf], None))
+    # stateful streaming differential (dropDuplicatesWithinWatermark +
+    # update-mode aggregation vs batch) — 24 specs full, 6 fast
+    nd, na = (3, 3) if a.fast else (12, 12)
+    stages.append(("streamfuzz",
+                   [sys.executable, os.path.join(TOOLS, "streamfuzz.py"),
+                    "--n-dedup", str(nd), "--n-agg", str(na), "--sf", sf], None))
     if not (a.fast or a.skip_pytest):
         stages.append(("pytest", [sys.executable, "-m", "pytest", "tests/", "-q"], None))
 
