@@ -211,3 +211,52 @@ def q_win_session(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+@case(
+    "q_win_session_days",
+    # date-granularity sessionization CONSTANTLY hits the exact-gap
+    # boundary (diff == gap) and duplicate-timestamp ties that
+    # ns-precision events never exercise — this case exists because the
+    # r6 fuzzer's orders/DAY session shape caught both oracle bugs
+    # (>= vs > on the boundary; tie-nondeterministic cumsum windows).
+    # Boundaries over DISTINCT (key, ts); tied rows join back for counts.
+    oracle="""
+    WITH dts AS (SELECT DISTINCT o_custkey, o_orderdate FROM orders),
+    flagged AS (
+      SELECT o_custkey, o_orderdate AS ts,
+             CASE WHEN LAG(o_orderdate) OVER w IS NULL
+                       OR o_orderdate - LAG(o_orderdate) OVER w > INTERVAL 3 DAY
+                  THEN 1 ELSE 0 END AS new_s
+      FROM dts
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate)
+    ), sessions AS (
+      SELECT o_custkey, ts,
+             SUM(new_s) OVER (PARTITION BY o_custkey ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flagged
+    ), tagged AS (
+      SELECT x.o_custkey, x.ts, x.sid
+      FROM orders o JOIN sessions x
+        ON o.o_custkey = x.o_custkey AND o.o_orderdate = x.ts
+    )
+    SELECT o_custkey, MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 3 DAY AS session_end,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM tagged GROUP BY o_custkey, sid
+    """,
+)
+def q_win_session_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # order bursts per customer: orders no more than 3 days apart merge
+    # (an order at exactly last+3d still merges — strict > splits)
+    o = table(spark, sf_dir, "orders")
+    return (
+        event_session_window(o, "o_orderdate", "3 days", group_by=["o_custkey"])
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .select(
+            "o_custkey",
+            F.col("win.start").alias("session_start"),
+            F.col("win.end").alias("session_end"),
+            "n_orders",
+        )
+    )
