@@ -48,14 +48,14 @@ def test_sql_renderer_parses_in_duckdb(con, stats):
     # 80 specs: every terminal kind should appear and every SQL must
     # at least PREPARE (catches renderer syntax drift without Spark)
     kinds = set()
-    for i in range(240):
+    for i in range(400):
         spec = spec_for(1001, i, stats)
         kinds.add(spec["terminal"]["op"])
         con.execute(to_sql(spec)).fetchone()
     assert {"agg", "window", "distinct", "sortlimit", "setop",
             # r6 blind-spot shapes must all be generated and parse
             "asof", "range", "theta", "subq", "cte", "explode",
-            "session"} <= kinds
+            "session", "minhash", "ngram"} <= kinds
 
 
 def test_no_order_sensitive_terminal_without_total_order(stats):
@@ -248,7 +248,7 @@ def test_harness_detects_injected_bugs(spark, con, stats):
                     caught["asof_how"] = True
             continue
         if spec.get("kind") in ("selfjoin", "range", "theta", "subq",
-                                "cte", "explode"):
+                                "cte", "explode", "minhash", "ngram"):
             continue
         t = spec["terminal"]
         joins = [s for s in spec["stages"] if s["op"] == "join"]

@@ -289,6 +289,10 @@ class Gen:
             return self.explode_pipeline()
         if r.random() < 0.035:
             return self.session_pipeline()
+        if r.random() < 0.02:
+            return self.minhash_pipeline()
+        if r.random() < 0.02:
+            return self.ngram_pipeline()
         if r.random() < 0.12:
             return self.setop_pipeline()
         if r.random() < 0.10:
@@ -723,6 +727,36 @@ class Gen:
                         if r.random() < 0.6 else None,
                 "terminal": {"op": "session"}}
 
+    # (num_hashes, bands) combinations with 2 or 4 rows per band
+    MINHASH_PARAMS = [(16, 4), (16, 8), (32, 8), (32, 16), (64, 16), (64, 32)]
+
+    def minhash_pipeline(self) -> dict:
+        """Parameterized MinHash-LSH differential: random (num_hashes,
+        bands, shingle_k, input filter) through the engine's md5-portable
+        candidate generation vs the full pipeline recomputed in SQL —
+        the fixed suite pins one parameter point (64/16/3); this covers
+        the parameter space."""
+        r = self.r
+        h, b = r.choice(self.MINHASH_PARAMS)
+        return {"kind": "minhash", "base": "documents", "stages": [],
+                "h": h, "b": b, "k": r.randint(2, 4),
+                "pred": self.predicate("documents", list(TABLES["documents"]["cols"].items()))
+                        if r.random() < 0.5 else None,
+                "terminal": {"op": "minhash"}}
+
+    def ngram_pipeline(self) -> dict:
+        """Parameterized exact n-gram Jaccard differential: random
+        (shingle_k, threshold, hot-shingle cap, input filter) through
+        the postings-explode engine vs the all-pairs SQL oracle."""
+        r = self.r
+        return {"kind": "ngram", "base": "documents", "stages": [],
+                "k": r.randint(2, 4),
+                "threshold": r.choice([0.5, 0.6, 0.7, 0.8, 0.9]),
+                "maxdf": r.choice([20, 50, 100]),
+                "pred": self.predicate("documents", list(TABLES["documents"]["cols"].items()))
+                        if r.random() < 0.5 else None,
+                "terminal": {"op": "ngram"}}
+
     def setop_pipeline(self) -> dict:
         r = self.r
         op = r.choice(["union_all", "intersect", "intersect_all", "except", "except_all"])
@@ -882,6 +916,53 @@ def to_sql(spec: dict) -> str:
             return toks
         return (f"SELECT tok, CAST(COUNT(*) AS BIGINT) AS n "
                 f"FROM ({toks}) e GROUP BY tok")
+    if spec.get("kind") in ("minhash", "ngram"):
+        src = "SELECT * FROM documents" + (
+            f" WHERE {spec['pred']}" if spec["pred"] else "")
+        k = spec["k"]
+        shingles = (
+            f"words AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), "
+            f"'\\s+') AS w FROM src), "
+            f"sh0 AS (SELECT doc_id, unnest(list_distinct(list_transform("
+            f"range(1, greatest(len(w) - {k - 1}, 1) + 1), "
+            f"i -> array_to_string(list_slice(w, i, i + {k - 1}), ' ')))) AS shingle "
+            f"FROM words)"
+        )
+        if spec["kind"] == "minhash":
+            h, b = spec["h"], spec["b"]
+            rpb = h // b
+            return (
+                f"WITH src AS ({src}), {shingles}, "
+                f"base AS (SELECT doc_id, md5(shingle) AS bh FROM sh0), "
+                f"sig AS (SELECT doc_id, seed, "
+                f"MIN(substr(md5(concat(CAST(seed // 4 AS VARCHAR), ':', bh)), "
+                f"8 * CAST(seed % 4 AS INT) + 1, 8)) AS mh "
+                f"FROM base, range({h}) t(seed) GROUP BY doc_id, seed), "
+                f"bands AS (SELECT doc_id, CAST(seed // {rpb} AS INT) AS band_idx, "
+                f"md5(string_agg(mh, ',' ORDER BY seed)) AS bhash "
+                f"FROM sig GROUP BY doc_id, seed // {rpb}) "
+                f"SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b "
+                f"FROM bands a JOIN bands b ON a.band_idx = b.band_idx "
+                f"AND a.bhash = b.bhash AND a.doc_id < b.doc_id"
+            )
+        t_, mdf = spec["threshold"], spec["maxdf"]
+        return (
+            f"WITH src AS ({src}), {shingles}, "
+            f"hot AS (SELECT shingle FROM sh0 GROUP BY shingle "
+            f"HAVING COUNT(*) > {mdf}), "
+            f"sh AS (SELECT * FROM sh0 WHERE shingle NOT IN "
+            f"(SELECT shingle FROM hot)), "
+            f"sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz "
+            f"FROM sh GROUP BY doc_id), "
+            f"inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+            f"CAST(COUNT(*) AS BIGINT) AS n_common FROM sh a JOIN sh b "
+            f"ON a.shingle = b.shingle AND a.doc_id < b.doc_id GROUP BY 1, 2) "
+            f"SELECT id_a, id_b, n_common, "
+            f"CAST(n_common AS DOUBLE) / (sa.sz + sb.sz - n_common) AS jaccard "
+            f"FROM inter JOIN sizes sa ON sa.doc_id = id_a "
+            f"JOIN sizes sb ON sb.doc_id = id_b "
+            f"WHERE CAST(n_common AS DOUBLE) / (sa.sz + sb.sz - n_common) >= {t_}"
+        )
     if spec.get("kind") == "session":
         g, ts, n, unit = spec["group"], spec["ts"], spec["gap"], spec["unit"]
         src = f"SELECT * FROM {spec['base']}" + (
@@ -1222,6 +1303,24 @@ def to_spark(spec: dict, spark, sf_dir: str, base_df=None):
         if spec["term"] == "flat":
             return out
         return out.groupBy("tok").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    if spec.get("kind") in ("minhash", "ngram"):
+        from pyspark_pipeline_framework_spark.llm.dedup import (
+            minhash_candidate_pairs,
+            ngram_jaccard_pairs,
+        )
+
+        d = table(spark, sf_dir, "documents")
+        if spec["pred"]:
+            d = d.filter(F.expr(spec["pred"]))
+        if spec["kind"] == "minhash":
+            return minhash_candidate_pairs(
+                d, num_hashes=spec["h"], bands=spec["b"],
+                shingle_k=spec["k"], hash_fn="md5",
+            )
+        return ngram_jaccard_pairs(
+            d, shingle_k=spec["k"], threshold=spec["threshold"],
+            max_doc_freq=spec["maxdf"],
+        )
     if spec.get("kind") == "session":
         from pyspark_pipeline_framework_spark.operators.windows import (
             event_session_window,
@@ -1345,7 +1444,7 @@ def is_portable_sql(spec: dict) -> bool:
     framework op:sql differential needs this. DuckDB-only renderings:
     ASOF JOIN, unnest(string_split(...)), the WINDOW-clause session
     oracle, and json_extract_string (derive_json)."""
-    if spec.get("kind") in ("asof", "explode", "session"):
+    if spec.get("kind") in ("asof", "explode", "session", "minhash", "ngram"):
         return False
     return not any(st["op"] == "derive_json" for st in spec["stages"])
 
