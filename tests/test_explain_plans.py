@@ -199,3 +199,19 @@ def test_probe_media_is_map_only(spark, sf_dir):
     p = plan(spark, sf_dir, "q_mm_probe")
     assert "Exchange" not in p
     assert "MapInPandas" in p or "ArrowEvalPython" in p
+
+
+def test_minhash_md5_sliced_groups_plan(spark, sf_dir):
+    """r6 minhash-md5 scheme plan contract: the base shingle md5 (__h)
+    is materialized ONCE and the 16 group digests hash that column —
+    never a re-inlined nested md5(md5(shingle)) per group (the two-step
+    select exists exactly so CollapseProject can't duplicate it) — and
+    the banding self-join stays a hash join, never a cartesian."""
+    p = plan(spark, sf_dir, "q_dedup_minhash_md5")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    # group digests reference the materialized __h column
+    assert "md5(cast(concat(0:, __h" in p
+    # no group digest recomputes the base md5 inline
+    assert "md5(cast(concat(0:, md5" not in p
+    assert "md5(md5" not in p
