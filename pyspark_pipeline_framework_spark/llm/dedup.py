@@ -171,7 +171,10 @@ def minhash_signature(
         # 2× — JVM md5 is cheap enough that the extra shuffle/join
         # materialization costs more than the 9.6× duplication it
         # saves, and inline keeps the whole signature in one codegen
-        # stage with zero extra shuffles (re-measured at ×10, r5).
+        # stage with zero extra shuffles (re-measured at ×10, r5;
+        # re-measured r6 with F.broadcast on the 27k-distinct digest
+        # table to kill the join shuffle: 1.9s vs 1.2s inline — the
+        # distinct + broadcast build still loses).
         # r6: one md5 per GROUP of 4 permutations, sliced into 4
         # disjoint 8-hex words (see docstring) — the 16 group digests
         # are materialized as explicit projection columns so the md5 is

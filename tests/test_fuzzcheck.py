@@ -223,7 +223,7 @@ def test_harness_detects_injected_bugs(spark, con, stats):
         return len(a) != len(o) or _norm_df(a) != _norm_df(o)
 
     caught = {"join_flip": False, "agg_swap": False, "filter_drop": False,
-              "session_gap": False, "asof_how": False}
+              "session_gap": False, "asof_how": False, "textops_thresh": False}
     for i in range(300):
         if all(caught.values()):
             break
@@ -246,6 +246,16 @@ def test_harness_detects_injected_bugs(spark, con, stats):
                 m["how"] = "left" if spec["how"] == "inner" else "inner"
                 if differs(spec, m):
                     caught["asof_how"] = True
+            continue
+        if spec.get("kind") == "textops":
+            # a quality-threshold shift must change the surviving set
+            # (quality specs with loose thresholds may not differ; any
+            # single catch suffices)
+            if not caught["textops_thresh"] and spec["term"] == "quality":
+                m = copy.deepcopy(spec)
+                m["min_chars"] = spec["min_chars"] + 200
+                if differs(spec, m):
+                    caught["textops_thresh"] = True
             continue
         if spec.get("kind") in ("selfjoin", "range", "theta", "subq",
                                 "cte", "explode", "minhash", "ngram"):

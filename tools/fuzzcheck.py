@@ -293,6 +293,8 @@ class Gen:
             return self.minhash_pipeline()
         if r.random() < 0.02:
             return self.ngram_pipeline()
+        if r.random() < 0.05:
+            return self.textops_pipeline()
         if r.random() < 0.12:
             return self.setop_pipeline()
         if r.random() < 0.10:
@@ -757,6 +759,48 @@ class Gen:
                         if r.random() < 0.5 else None,
                 "terminal": {"op": "ngram"}}
 
+    #: language codes available for marker-subset language-ID specs —
+    #: must be keys of llm.text.LANG_MARKERS (asserted in to_spark)
+    LANGS = ("de", "en", "es", "fr", "zh")
+
+    def textops_pipeline(self) -> dict:
+        """Text-analysis differentials: random quality-filter
+        thresholds, language-ID marker subsets, and token/char stat
+        projections (per-doc or grouped by lang) over documents. The
+        fixed suite pins one parameter point each
+        (q_text_filter_quality, q_text_langid, q_text_stats); this
+        covers the parameter space. All ratio comparisons are
+        int-over-int double divisions — bit-identical across engines —
+        and emitted columns are int/bigint/string only (the harness
+        demands float bit-exactness)."""
+        r = self.r
+        term = r.choice(["quality", "langid", "stats"])
+        spec: dict = {
+            "kind": "textops", "base": "documents", "stages": [],
+            "term": term, "terminal": {"op": f"text_{term}"},
+            "pred": self.predicate(
+                "documents", list(TABLES["documents"]["cols"].items()))
+            if r.random() < 0.4 else None,
+        }
+        if term == "quality":
+            spec.update(
+                min_chars=r.choice([0, 20, 50, 120]),
+                max_chars=r.choice([400, 1500, 100_000]),
+                min_tokens=r.choice([0, 5, 12, 40]),
+                max_symbol_ratio=round(r.uniform(0.02, 0.4), 3),
+                min_uniq=round(r.uniform(0.0, 0.7), 3),
+            )
+        elif term == "langid":
+            k = r.randint(2, len(self.LANGS))
+            spec["langs"] = sorted(r.sample(self.LANGS, k))
+        else:
+            feats = r.sample(
+                ["n_chars_m", "n_tokens_ws", "n_uniq_tokens", "n_tokens_bpe"],
+                r.randint(1, 3))
+            spec["feats"] = sorted(feats)
+            spec["grouped"] = r.random() < 0.5
+        return spec
+
     def setop_pipeline(self) -> dict:
         r = self.r
         op = r.choice(["union_all", "intersect", "intersect_all", "except", "except_all"])
@@ -916,6 +960,66 @@ def to_sql(spec: dict) -> str:
             return toks
         return (f"SELECT tok, CAST(COUNT(*) AS BIGINT) AS n "
                 f"FROM ({toks}) e GROUP BY tok")
+    if spec.get("kind") == "textops":
+        from pyspark_pipeline_framework_spark.llm.text import (
+            BPE_ISH_PATTERN,
+            LANG_MARKERS,
+        )
+
+        src = "SELECT * FROM documents" + (
+            f" WHERE {spec['pred']}" if spec["pred"] else "")
+        if spec["term"] == "quality":
+            return (
+                f"WITH src AS ({src}), feats AS ("
+                r"SELECT doc_id, lang, LENGTH(text) AS nc, "
+                r"len(regexp_split_to_array(trim(text), '\s+')) AS nt, "
+                r"CAST(LENGTH(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) "
+                r"AS DOUBLE) / LENGTH(text) AS symbol_ratio, "
+                r"CAST(len(list_distinct(regexp_split_to_array(trim(text), "
+                r"'\s+'))) AS DOUBLE) "
+                r"/ len(regexp_split_to_array(trim(text), '\s+')) AS uniq_ratio "
+                f"FROM src) "
+                f"SELECT doc_id, lang FROM feats "
+                f"WHERE nc >= {spec['min_chars']} AND nc <= {spec['max_chars']} "
+                f"AND nt >= {spec['min_tokens']} "
+                f"AND symbol_ratio <= {spec['max_symbol_ratio']} "
+                f"AND uniq_ratio >= {spec['min_uniq']}"
+            )
+        if spec["term"] == "langid":
+            score_cols, arms = [], []
+            for lang in spec["langs"]:
+                arr = ", ".join(f"'{w}'" for w in LANG_MARKERS[lang])
+                score_cols.append(
+                    f"len(list_intersect(list_distinct(regexp_split_to_array("
+                    f"lower(text), '\\s+')), [{arr}])) AS s_{lang}")
+                arms.append(f"WHEN s_{lang} = mx THEN '{lang}'")
+            greatest = ", ".join(f"s_{lang}" for lang in spec["langs"])
+            return (
+                f"WITH src AS ({src}), scored AS (SELECT doc_id, "
+                + ", ".join(score_cols)
+                + f" FROM src), best AS (SELECT *, GREATEST({greatest}) AS mx "
+                f"FROM scored) SELECT doc_id, CASE "
+                + " ".join(arms) + " END AS lang_pred FROM best"
+            )
+        feat_sql = {
+            "n_chars_m": "CAST(LENGTH(text) AS INT)",
+            "n_tokens_ws":
+                r"CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INT)",
+            "n_uniq_tokens":
+                r"CAST(len(list_distinct(regexp_split_to_array(trim(text), "
+                r"'\s+'))) AS INT)",
+            "n_tokens_bpe":
+                f"CAST(len(regexp_extract_all(text, '{BPE_ISH_PATTERN}')) AS INT)",
+        }
+        if spec["grouped"]:
+            sums = ", ".join(
+                f"CAST(SUM({feat_sql[f]}) AS BIGINT) AS sum_{f}"
+                for f in spec["feats"])
+            return (f"WITH src AS ({src}) SELECT lang, "
+                    f"CAST(COUNT(*) AS BIGINT) AS n_docs, {sums} "
+                    f"FROM src GROUP BY lang")
+        cols = ", ".join(f"{feat_sql[f]} AS {f}" for f in spec["feats"])
+        return f"WITH src AS ({src}) SELECT doc_id, {cols} FROM src"
     if spec.get("kind") in ("minhash", "ngram"):
         src = "SELECT * FROM documents" + (
             f" WHERE {spec['pred']}" if spec["pred"] else "")
@@ -1303,6 +1407,46 @@ def to_spark(spec: dict, spark, sf_dir: str, base_df=None):
         if spec["term"] == "flat":
             return out
         return out.groupBy("tok").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    if spec.get("kind") == "textops":
+        from pyspark_pipeline_framework_spark.llm.text import (
+            LANG_MARKERS,
+            language_id,
+            quality_filter,
+            token_count_regex,
+            token_count_ws,
+        )
+
+        d = table(spark, sf_dir, "documents")
+        if spec["pred"]:
+            d = d.filter(F.expr(spec["pred"]))
+        if spec["term"] == "quality":
+            return quality_filter(
+                d,
+                min_chars=spec["min_chars"],
+                max_chars=spec["max_chars"],
+                min_tokens=spec["min_tokens"],
+                max_symbol_ratio=spec["max_symbol_ratio"],
+                min_uniq_token_ratio=spec["min_uniq"],
+            ).select("doc_id", "lang")
+        if spec["term"] == "langid":
+            markers = {k: LANG_MARKERS[k] for k in spec["langs"]}
+            assert len(markers) == len(spec["langs"])
+            return language_id(d, markers=markers).select("doc_id", "lang_pred")
+        words = F.split(F.trim(F.col("text")), r"\s+")
+        feat_col = {
+            "n_chars_m": F.length("text"),
+            "n_tokens_ws": token_count_ws("text"),
+            "n_uniq_tokens": F.size(F.array_distinct(words)),
+            "n_tokens_bpe": token_count_regex("text"),
+        }
+        if spec["grouped"]:
+            return d.groupBy("lang").agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                *[F.sum(feat_col[f]).cast("bigint").alias(f"sum_{f}")
+                  for f in spec["feats"]],
+            )
+        return d.select(
+            "doc_id", *[feat_col[f].alias(f) for f in spec["feats"]])
     if spec.get("kind") in ("minhash", "ngram"):
         from pyspark_pipeline_framework_spark.llm.dedup import (
             minhash_candidate_pairs,
@@ -1444,7 +1588,8 @@ def is_portable_sql(spec: dict) -> bool:
     framework op:sql differential needs this. DuckDB-only renderings:
     ASOF JOIN, unnest(string_split(...)), the WINDOW-clause session
     oracle, and json_extract_string (derive_json)."""
-    if spec.get("kind") in ("asof", "explode", "session", "minhash", "ngram"):
+    if spec.get("kind") in ("asof", "explode", "session", "minhash", "ngram",
+                            "textops"):
         return False
     return not any(st["op"] == "derive_json" for st in spec["stages"])
 
