@@ -22,7 +22,10 @@ synthetic multiples of the sf0.1 testdata:
 - **Assertions** (failures collected, reported, exit 1):
   1. wall(R) ≤ R · SLACK · wall(1) + CONST  — no super-linear blowup;
   2. per-stage peak shuffle-write(R) ≤ R · SLACK · peak(1) + 64 MiB
-     (via the Spark UI REST API when the session has a UI);
+     (via the Spark UI REST API when the session has a UI); ops in
+     ``OP_SHUFFLE_INPUT_RELATIVE`` whose plan legitimately transitions
+     from broadcast to shuffle join at scale get the alternative bound
+     peak(R) ≤ 1.0 · on-disk input bytes + 64 MiB;
   3. star-CC rounds ≤ ceil(log2(nodes)) + 3 at every scale (the
      measured Kiveris bound incl. the fixpoint-confirmation round);
   4. candidate-pair counts grow ≤ R · 1.5 + 10 (banding stays bounded);
@@ -64,8 +67,29 @@ OP_TIME_SLACK = {"decontaminate": 1.3}
 OP_TIME_CONST_S = {"decontaminate": 1.0}
 SHUFFLE_SLACK = 2.0
 SHUFFLE_CONST = 64 << 20  # 64 MiB
+# A fact-fact join's physical plan legitimately TRANSITIONS at scale:
+# below spark.sql.autoBroadcastJoinThreshold AQE broadcasts the smaller
+# fact (peak shuffle ~ final-agg bytes); above it the correct 100 TB
+# plan is a shuffle join whose peak shuffle is linear in INPUT bytes.
+# No envelope anchored on the broadcast-regime peak covers that step
+# function (caught live by the first x100 run: 348 B at x1 -> 293 MB at
+# x100), so these ops get an input-relative alternative bound:
+# peak <= 1.0 x on-disk input bytes + 64 MiB. Staying under the raw
+# compressed input proves column pruning survives through the shuffle.
+OP_SHUFFLE_INPUT_RELATIVE = {"rel_join_fact"}
 PAIR_SLACK = 1.5
 HEAP_GROWTH_LIMIT = 2 << 30  # 2 GiB
+
+
+def _dir_bytes(path: str) -> int:
+    """Total on-disk bytes of a parquet directory (or single file)."""
+    if os.path.isfile(path):
+        return os.path.getsize(path)
+    return sum(
+        os.path.getsize(os.path.join(root, f))
+        for root, _, files in os.walk(path)
+        for f in files
+    )
 
 
 def build_spark(cpus: int) -> SparkSession:
@@ -394,6 +418,9 @@ def check_results(results: dict[int, dict], heaps: dict[int, int]) -> list[str]:
                 )
             if rec.get("peak_shuffle_write") is not None and b.get("peak_shuffle_write") is not None:
                 slimit = rel * SHUFFLE_SLACK * b["peak_shuffle_write"] + SHUFFLE_CONST
+                if op in OP_SHUFFLE_INPUT_RELATIVE:
+                    ib = results[r].get("_rel_input_bytes", 0)
+                    slimit = max(slimit, 1.0 * ib + SHUFFLE_CONST)
                 if rec["peak_shuffle_write"] > slimit:
                     problems.append(
                         f"{op}@x{r}: peak stage shuffle-write "
@@ -464,7 +491,10 @@ def write_report(path: str, base_dir: str, results: dict[int, dict],
     else:
         lines += [
             f"- wall(R) ≤ R·{TIME_SLACK}·wall(1) + {TIME_CONST_S}s — all operators PASS",
-            f"- peak stage shuffle-write(R) ≤ R·{SHUFFLE_SLACK}·peak(1) + 64 MiB — PASS",
+            f"- peak stage shuffle-write(R) ≤ R·{SHUFFLE_SLACK}·peak(1) + 64 MiB "
+            "(input-relative alternative ≤ 1.0·input bytes + 64 MiB for "
+            f"{sorted(OP_SHUFFLE_INPUT_RELATIVE)}, whose plan transitions "
+            "broadcast→shuffle join at scale by design) — PASS",
             "- star-CC rounds ≤ ceil(log2(nodes)) + 3 at every scale — PASS",
             f"- candidate pairs grow ≤ R·{PAIR_SLACK} — PASS",
             "- driver used-heap growth < 2 GiB across the full sweep — PASS",
@@ -505,6 +535,7 @@ def main(argv: list[str] | None = None) -> int:
             if args.family in ("all", "relational"):
                 l_path = synth_fact(spark, args.base, "lineitem", "l_orderkey", r, tmp)
                 o_path = synth_fact(spark, args.base, "orders", "o_orderkey", r, tmp)
+                merged["_rel_input_bytes"] = _dir_bytes(l_path) + _dir_bytes(o_path)
                 rel = run_relational_battery(spark, l_path, o_path, meter)
                 rel.pop("_n_candidate_pairs")
                 merged.update(rel)
