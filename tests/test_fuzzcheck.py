@@ -143,6 +143,83 @@ def test_framework_sql_path_matches_oracle(spark, con, stats):
     assert mismatches == []
 
 
+def test_framework_textops_path_matches_oracle(spark, con, stats):
+    """Randomized CONFIG-DRIVEN coverage of the text operators: textops
+    fuzz specs (random quality thresholds / language-ID marker subsets)
+    route through the registry pipeline — op:read → [op:sql pred] →
+    op:quality_filter / op:language_id → op:sql projection — and must
+    match the spec's DuckDB oracle. Proves the product config path
+    passes arbitrary params through to the same results as the library
+    functions the batch differential already covers."""
+    from selfcheck import _norm_df
+
+    from pyspark_pipeline_framework_spark.llm.text import LANG_MARKERS
+    from pyspark_pipeline_framework_spark.plans.config import PipelineConfig
+    from pyspark_pipeline_framework_spark.plans.result import PipelineStatus
+    from pyspark_pipeline_framework_spark.plans.runner import PipelineRunner
+    from pyspark_pipeline_framework_spark.resilience.presets import NO_RETRY
+
+    picked, i = [], 0
+    while len(picked) < 6 and i < 600:
+        spec = spec_for(5151, i, stats)
+        i += 1
+        if spec.get("kind") == "textops" and spec["term"] in ("quality", "langid"):
+            picked.append(spec)
+    assert len(picked) == 6
+    mismatches = []
+    for i, spec in enumerate(picked):
+        comps = [{
+            "name": "read_docs", "op": "read", "output": "documents",
+            "params": {"format": "parquet", "path": f"{SF}/documents.parquet"},
+        }]
+        src = "documents"
+        if spec["pred"]:
+            comps.append({
+                "name": "pre", "op": "sql", "output": "filtered",
+                "depends_on": ["read_docs"],
+                "params": {"sql": f"SELECT * FROM documents WHERE {spec['pred']}"},
+            })
+            src = "filtered"
+        if spec["term"] == "quality":
+            comps.append({
+                "name": "tq", "op": "quality_filter", "output": "scored",
+                "depends_on": [comps[-1]["name"]],
+                "params": {
+                    "input": src,
+                    "min_chars": spec["min_chars"],
+                    "max_chars": spec["max_chars"],
+                    "min_tokens": spec["min_tokens"],
+                    "max_symbol_ratio": spec["max_symbol_ratio"],
+                    "min_uniq_token_ratio": spec["min_uniq"],
+                },
+            })
+            proj = "SELECT doc_id, lang FROM scored"
+        else:
+            comps.append({
+                "name": "tl", "op": "language_id", "output": "scored",
+                "depends_on": [comps[-1]["name"]],
+                "params": {"input": src,
+                           "markers": {k: LANG_MARKERS[k] for k in spec["langs"]}},
+            })
+            proj = "SELECT doc_id, lang_pred FROM scored"
+        comps.append({
+            "name": "proj", "op": "sql", "output": "result",
+            "depends_on": [comps[-1]["name"]], "params": {"sql": proj},
+        })
+        cfg = PipelineConfig.from_dict(
+            {"name": f"fuzz_textops_{i}", "components": comps})
+        runner = PipelineRunner(cfg, spark, resilience=NO_RETRY)
+        res = runner.run()
+        assert res.status == PipelineStatus.SUCCESS, f"#{i}: {res}"
+        spdf = runner.catalog.get("result").toPandas()
+        opdf = con.execute(to_sql(spec)).df()
+        spdf.columns = [c.lower() for c in spdf.columns]
+        opdf.columns = [c.lower() for c in opdf.columns]
+        if sorted(spdf.columns) != sorted(opdf.columns) or _norm_df(spdf) != _norm_df(opdf):
+            mismatches.append(i)
+    assert mismatches == []
+
+
 def test_stream_batch_differential_random_aggs(spark, con, stats):
     """Batch↔stream differential over RANDOM aggregations: qualifying
     fuzz specs (single-table, plain grouped agg) run twice — once as a
