@@ -83,7 +83,16 @@ def null_check(dataset: str, column: str, max_null_pct: float = 0.0, **kw) -> Da
             F.count(column).alias("n_non_null"),
         ).select(
             "n_rows",
-            ((F.col("n_rows") - F.col("n_non_null")) * 100.0 / F.col("n_rows")).alias("null_pct"),
+            # empty dataset → 0% nulls (passes): no rows have nulls.
+            # The explicit guard matters under Spark 4's default ANSI
+            # mode, where the bare division throws DIVIDE_BY_ZERO and
+            # would abort the whole pipeline on a legitimately-empty
+            # dataset (found by the r6 DQ fuzz differential).
+            F.when(F.col("n_rows") == 0, F.lit(0.0))
+            .otherwise(
+                (F.col("n_rows") - F.col("n_non_null")) * 100.0 / F.col("n_rows")
+            )
+            .alias("null_pct"),
         )
 
     def ev(row: dict):

@@ -300,7 +300,8 @@ def test_harness_detects_injected_bugs(spark, con, stats):
         return len(a) != len(o) or _norm_df(a) != _norm_df(o)
 
     caught = {"join_flip": False, "agg_swap": False, "filter_drop": False,
-              "session_gap": False, "asof_how": False, "textops_thresh": False}
+              "session_gap": False, "asof_how": False, "textops_thresh": False,
+              "dq_thresh": False}
     for i in range(300):
         if all(caught.values()):
             break
@@ -323,6 +324,18 @@ def test_harness_detects_injected_bugs(spark, con, stats):
                 m["how"] = "left" if spec["how"] == "inner" else "inner"
                 if differs(spec, m):
                     caught["asof_how"] = True
+            continue
+        if spec.get("kind") == "dq":
+            # a threshold flip must flip the evaluated `passed` flag
+            # (only detectable on specs whose original check passes)
+            if not caught["dq_thresh"] and spec["check"] in ("row_count", "null"):
+                m = copy.deepcopy(spec)
+                if spec["check"] == "row_count":
+                    m["min_rows"] = spec["min_rows"] + 10**9
+                else:
+                    m["max_null_pct"] = -1.0
+                if differs(spec, m):
+                    caught["dq_thresh"] = True
             continue
         if spec.get("kind") == "textops":
             # a quality-threshold shift must change the surviving set

@@ -41,6 +41,24 @@ def test_null_pct(dq_df):
     assert null_check("t", "id").run(dq_df).passed
 
 
+def test_checks_on_empty_dataset(dq_df):
+    """An empty dataset is a legitimate DQ scenario and must not abort
+    the pipeline: under Spark 4's default ANSI mode the unguarded
+    null-pct division threw DIVIDE_BY_ZERO (regression, r6). Semantics:
+    no rows → 0% nulls / 0 duplicates / 0 violations (all pass);
+    row_count with min>0 fails."""
+    empty = dq_df.filter("id < 0")
+    for chk in (
+        null_check("t", "name", max_null_pct=5.0),
+        unique_check("t", ["id"]),
+        range_check("t", "score", min_value=0.0, max_value=100.0),
+    ):
+        r = chk.run(empty)
+        assert r.passed and r.metric == 0.0, r
+    r = row_count_check("t", 10).run(empty)
+    assert not r.passed and r.metric == 0.0
+
+
 def test_unique(dq_df):
     assert unique_check("t", ["id"]).run(dq_df).passed
     r = unique_check("t", ["name"]).run(dq_df)

@@ -295,6 +295,8 @@ class Gen:
             return self.ngram_pipeline()
         if r.random() < 0.05:
             return self.textops_pipeline()
+        if r.random() < 0.04:
+            return self.dq_pipeline()
         if r.random() < 0.12:
             return self.setop_pipeline()
         if r.random() < 0.10:
@@ -801,6 +803,44 @@ class Gen:
             spec["grouped"] = r.random() < 0.5
         return spec
 
+    def dq_pipeline(self) -> dict:
+        """Data-quality check differentials: a random check
+        (row_count / null / unique / range) with random thresholds over
+        a random (optionally filtered) table, run through the PRODUCT
+        check objects (quality.checks — metric_df + evaluate), the
+        (passed, metric) pair compared against the same metric
+        recomputed in SQL. Filters make EMPTY inputs reachable — the
+        shape that caught the ANSI DIVIDE_BY_ZERO in null_check."""
+        r = self.r
+        base = r.choice(list(TABLES))
+        cols = list(TABLES[base]["cols"].items())
+        check = r.choice(["row_count", "null", "unique", "range"])
+        spec: dict = {
+            "kind": "dq", "base": base, "stages": [], "check": check,
+            "terminal": {"op": f"dq_{check}"},
+            "pred": self.predicate(base, cols) if r.random() < 0.5 else None,
+        }
+        if check == "row_count":
+            spec["min_rows"] = r.choice([0, 10, 1000, 1_000_000])
+        elif check == "null":
+            spec["col"] = r.choice(cols)[0]
+            spec["max_null_pct"] = r.choice([0.0, 0.5, 5.0, 50.0])
+        elif check == "unique":
+            spec["cols"] = sorted(
+                c for c, _ in r.sample(cols, r.randint(1, 2)))
+        else:
+            nums = [c for c in cols if c[1] in ("int", "dbl")]
+            name, kind = r.choice(nums)
+            spec["col"] = name
+            # floats on BOTH sides (check param and SQL literal) so the
+            # comparison semantics are identical across engines
+            lo = float(self._lit(base, name, kind)) if r.random() < 0.8 else None
+            hi = float(self._lit(base, name, kind)) if r.random() < 0.8 else None
+            if lo is None and hi is None:
+                lo = float(self._lit(base, name, kind))
+            spec["min_value"], spec["max_value"] = lo, hi
+        return spec
+
     def setop_pipeline(self) -> dict:
         r = self.r
         op = r.choice(["union_all", "intersect", "intersect_all", "except", "except_all"])
@@ -960,6 +1000,41 @@ def to_sql(spec: dict) -> str:
             return toks
         return (f"SELECT tok, CAST(COUNT(*) AS BIGINT) AS n "
                 f"FROM ({toks}) e GROUP BY tok")
+    if spec.get("kind") == "dq":
+        src = f"SELECT * FROM {spec['base']}" + (
+            f" WHERE {spec['pred']}" if spec["pred"] else "")
+        c = spec["check"]
+        if c == "row_count":
+            return (f"WITH src AS ({src}) SELECT "
+                    f"CAST(COUNT(*) AS DOUBLE) AS metric, "
+                    f"COUNT(*) >= {spec['min_rows']} AS passed FROM src")
+        if c == "null":
+            col, mx = spec["col"], spec["max_null_pct"]
+            # empty → 0% nulls, passes (mirrors the product's explicit
+            # empty-input guard in quality.checks.null_check)
+            return (
+                f"WITH src AS ({src}), a AS (SELECT COUNT(*) AS n, "
+                f"COUNT({col}) AS nn FROM src) SELECT "
+                f"CASE WHEN n = 0 THEN 0.0 "
+                f"ELSE (n - nn) * 100.0 / n END AS metric, "
+                f"CASE WHEN n = 0 THEN TRUE "
+                f"ELSE (n - nn) * 100.0 / n <= {mx} END AS passed FROM a")
+        if c == "unique":
+            kcols = ", ".join(spec["cols"])
+            dups = "COALESCE(SUM(CASE WHEN nn > 1 THEN nn - 1 ELSE 0 END), 0)"
+            return (
+                f"WITH src AS ({src}), g AS (SELECT {kcols}, COUNT(*) AS nn "
+                f"FROM src GROUP BY {kcols}) SELECT "
+                f"CAST({dups} AS DOUBLE) AS metric, {dups} = 0 AS passed FROM g")
+        conds = []
+        if spec["min_value"] is not None:
+            conds.append(f"{spec['col']} < {spec['min_value']}")
+        if spec["max_value"] is not None:
+            conds.append(f"{spec['col']} > {spec['max_value']}")
+        viol = (f"COALESCE(SUM(CASE WHEN {' OR '.join(conds)} "
+                f"THEN 1 ELSE 0 END), 0)")
+        return (f"WITH src AS ({src}) SELECT CAST({viol} AS DOUBLE) AS metric, "
+                f"{viol} = 0 AS passed FROM src")
     if spec.get("kind") == "textops":
         from pyspark_pipeline_framework_spark.llm.text import (
             BPE_ISH_PATTERN,
@@ -1407,6 +1482,31 @@ def to_spark(spec: dict, spark, sf_dir: str, base_df=None):
         if spec["term"] == "flat":
             return out
         return out.groupBy("tok").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    if spec.get("kind") == "dq":
+        from pyspark_pipeline_framework_spark.quality.checks import (
+            null_check,
+            range_check,
+            row_count_check,
+            unique_check,
+        )
+
+        df = table(spark, sf_dir, spec["base"])
+        if spec["pred"]:
+            df = df.filter(F.expr(spec["pred"]))
+        c = spec["check"]
+        if c == "row_count":
+            chk = row_count_check("d", spec["min_rows"])
+        elif c == "null":
+            chk = null_check("d", spec["col"], spec["max_null_pct"])
+        elif c == "unique":
+            chk = unique_check("d", spec["cols"])
+        else:
+            chk = range_check("d", spec["col"], spec["min_value"],
+                              spec["max_value"])
+        res = chk.run(df)  # the PRODUCT path: metric_df + evaluate
+        return spark.createDataFrame(
+            [(bool(res.passed), float(res.metric))],
+            "passed boolean, metric double")
     if spec.get("kind") == "textops":
         from pyspark_pipeline_framework_spark.llm.text import (
             LANG_MARKERS,
@@ -1589,7 +1689,7 @@ def is_portable_sql(spec: dict) -> bool:
     ASOF JOIN, unnest(string_split(...)), the WINDOW-clause session
     oracle, and json_extract_string (derive_json)."""
     if spec.get("kind") in ("asof", "explode", "session", "minhash", "ngram",
-                            "textops"):
+                            "textops", "dq"):
         return False
     return not any(st["op"] == "derive_json" for st in spec["stages"])
 
