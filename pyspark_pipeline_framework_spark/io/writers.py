@@ -49,3 +49,29 @@ def write_sink(df: DataFrame, config: SinkConfig) -> None:
     if config.format == "csv":
         writer = writer.option("header", config.options.get("header", "true"))
     writer.format(config.format).save(config.path)
+    if config.partition_by and config.format == "parquet":
+        _ensure_readable_when_empty(df, config)
+
+
+def _ensure_readable_when_empty(df: DataFrame, config: SinkConfig) -> None:
+    """Spark's dynamic-partition writer emits one file per partition
+    VALUE — an empty input therefore writes only ``_SUCCESS`` and the
+    dataset cannot be re-read (UNABLE_TO_INFER_SCHEMA). Empty writes
+    are legitimate at scale (incremental runs with no new data), so
+    when the partitioned write produced no data files, append a single
+    schema-bearing empty file at the root: ``spark.read`` then yields
+    the full schema (including the partition columns, which the empty
+    file retains as regular columns) and zero rows. Costs one
+    directory listing on the hot path; only the empty case writes.
+    Found by the r6 empty-input sweep (tools/emptycheck list)."""
+    import os
+
+    path = config.path
+    assert path is not None
+    try:
+        entries = os.listdir(path)
+    except OSError:
+        return  # non-local filesystem: listing not available, skip
+    if any(not e.startswith(("_", ".")) for e in entries):
+        return  # data files (or partition dirs) exist
+    df.limit(0).coalesce(1).write.mode("append").format("parquet").save(path)

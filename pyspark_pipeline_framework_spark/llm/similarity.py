@@ -311,6 +311,17 @@ def _dot14_np(A: np.ndarray, B: np.ndarray) -> np.ndarray:
     return P.astype("int64").sum(axis=2)
 
 
+def _fallback_centroids(nlist: int, dim: int) -> "np.ndarray":
+    """Deterministic unit-basis centroids for an EMPTY training corpus:
+    an empty corpus is legitimate at scale (incremental run with no new
+    embeddings) and must degrade to an empty ANN result — no corpus
+    vectors means no cell members, so the candidate join is empty — not
+    crash in ``np.stack`` (found by the r6 empty-input sweep)."""
+    C = np.zeros((nlist, dim), dtype="float64")
+    C[np.arange(nlist), np.arange(nlist) % dim] = 1.0
+    return C
+
+
 def ivf_train_centroids_exact(
     corpus: DataFrame,
     dim: int,
@@ -350,6 +361,8 @@ def ivf_train_centroids_exact(
         .limit(n_train)
         .collect()
     )
+    if not rows:
+        return _fallback_centroids(nlist, dim)
     X = np.stack([np.asarray(r["__v"], dtype="float64") for r in rows])
 
     def normalize(M: np.ndarray) -> np.ndarray:
@@ -445,6 +458,8 @@ def ivf_train_centroids(
         .limit(n_train)
         .collect()
     )
+    if not rows:
+        return _fallback_centroids(nlist, dim)
     X = np.stack([np.asarray(r["__v"], dtype="float64") for r in rows])
     C = X[:nlist].copy()
     C /= np.linalg.norm(C, axis=1, keepdims=True) + 1e-12

@@ -28,9 +28,14 @@ def q_dq_rowcount(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @case(
     "q_dq_nullpct",
+    # CASE mirrors the product's empty-input guard (0 rows → 0% nulls,
+    # quality/checks.py null_check) so the oracle also holds on an
+    # empty `orders` (r6 empty-input sweep)
     oracle="""
     SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
-           (COUNT(*) - COUNT(o_orderpriority)) * 100.0 / COUNT(*) AS null_pct
+           CASE WHEN COUNT(*) = 0 THEN 0.0
+                ELSE (COUNT(*) - COUNT(o_orderpriority)) * 100.0 / COUNT(*)
+           END AS null_pct
     FROM orders
     """,
 )

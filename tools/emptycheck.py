@@ -1,0 +1,117 @@
+"""Empty-input sweep: the whole 133-case suite over 0-row tables.
+
+Empty inputs are a first-class scale scenario — an incremental run
+with no new data, a filter that eliminates everything, a partition
+with no rows — and Spark 4's default ANSI mode turns sloppy arithmetic
+into hard job aborts. This tool writes schema-exact EMPTY parquet
+twins of every testdata table (pyarrow preserves the original physical
+types) and runs ``tools/selfcheck.py`` against them: every query runs
+on Spark AND its oracle on DuckDB over the same empty tables, so
+empty-input behavior is oracle-compared too, not just "doesn't crash".
+
+Cases in EXPECTED_DIVERGENT are asserted to fail for their documented
+reason; any OTHER failure — or any expected divergence that stops
+failing without this list being updated — fails the sweep.
+
+The first run of this sweep caught four real defects, all fixed:
+
+1. ``quality.checks.null_check`` — unguarded null-pct division threw
+   ANSI DIVIDE_BY_ZERO, aborting the pipeline on an empty dataset.
+2. ``llm.similarity`` IVF trainers — ``np.stack`` on an empty training
+   sample crashed all three IVF ANN paths (now: deterministic
+   unit-basis fallback centroids → empty result).
+3. ``io.writers.write_sink`` — a partitionBy parquet write of an empty
+   DataFrame emitted only ``_SUCCESS`` (the dynamic-partition writer
+   creates one file per partition VALUE), leaving a dataset that
+   cannot be re-read (UNABLE_TO_INFER_SCHEMA); now a schema-bearing
+   empty file is appended when no data files were produced.
+4. the ``q_dq_nullpct`` suite oracle lacked the product's empty guard
+   (NaN vs the defined 0%-nulls-passes semantics).
+
+Usage::
+
+    python tools/emptycheck.py            # synthesizes empties in a tempdir
+    python tools/emptycheck.py --keep     # keep the tempdir for debugging
+
+Exit 0 iff failures == EXPECTED_DIVERGENT exactly.
+"""
+
+from __future__ import annotations
+
+import argparse
+import ast
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+BASE = "/root/testdata/sf0.001"
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+#: case -> documented reason the empty-input oracle comparison diverges
+EXPECTED_DIVERGENT = {
+    # Pinned Spark divergence from the SQL standard (FUZZCHECK.md
+    # finding 1): ROLLUP/CUBE over EMPTY input emits zero rows in
+    # Spark; DuckDB emits the grand-total grouping-set row.
+    "q_agg_rollup": "Spark emits no grand-total row on empty ROLLUP",
+    "q_agg_cube": "Spark emits no grand-total row on empty CUBE",
+    # The recall-gate oracles assert the deterministic fixture outcome
+    # as a literal row (n_queries=5, passed=true) — valid only on the
+    # real testdata, definitionally not on an empty corpus.
+    "q_sim_knn_lsh_recall": "oracle literal pins the 5-query fixture outcome",
+    "q_sim_knn_ivf_recall": "oracle literal pins the 5-query fixture outcome",
+}
+
+
+def synth_empty(dst: str) -> None:
+    import pyarrow.parquet as pq
+
+    for t in TABLES:
+        src = f"{BASE}/{t}.parquet"
+        pq.write_table(pq.read_schema(src).empty_table(), f"{dst}/{t}.parquet")
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    ap.add_argument("--keep", action="store_true")
+    args = ap.parse_args()
+
+    tmp = tempfile.mkdtemp(prefix="emptycheck_")
+    try:
+        synth_empty(tmp)
+        proc = subprocess.run(
+            [sys.executable, os.path.join(REPO, "tools", "selfcheck.py"), tmp],
+            capture_output=True, text=True,
+        )
+        out = proc.stdout + proc.stderr
+        failures: set[str] = set()
+        for line in out.splitlines():
+            if line.startswith(tuple(f"{n} failures: " for n in range(1, 200))):
+                failures = set(ast.literal_eval(line.split(": ", 1)[1]))
+        sys.stdout.write(out[-4000:])
+        unexpected = failures - set(EXPECTED_DIVERGENT)
+        vanished = set(EXPECTED_DIVERGENT) - failures
+        for name in sorted(failures & set(EXPECTED_DIVERGENT)):
+            print(f"EXPECTED divergence {name}: {EXPECTED_DIVERGENT[name]}")
+        if unexpected:
+            print(f"\nUNEXPECTED empty-input failures: {sorted(unexpected)}")
+        if vanished:
+            print(f"\nexpected divergences no longer failing (update the "
+                  f"list): {sorted(vanished)}")
+        ok = not unexpected and not vanished
+        print("\nemptycheck:", "PASS" if ok else "FAIL")
+        return 0 if ok else 1
+    finally:
+        if args.keep:
+            print(f"# empties kept at {tmp}")
+        else:
+            shutil.rmtree(tmp, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -6,7 +6,10 @@ Runs (each independently fatal):
   3. tools/fuzzcheck.py — N random pipelines per seed (default 3 seeds)
   4. tools/streamfuzz.py — stateful streaming differential (streaming
      dedup within watermark + update-mode aggregation vs batch)
-  5. pytest tests/ (CI)
+  5. tools/emptycheck.py — whole suite over 0-row tables,
+     oracle-compared with declared divergences asserted (skipped in
+     --fast)
+  6. pytest tests/ (CI)
 
 Usage: python tools/verifyall.py [--fast] [--skip-pytest]
   --fast: fuzz 1 seed x 60 at sf0.001 and skip pytest — a ~2 min
@@ -76,6 +79,12 @@ def main() -> int:
     stages.append(("streamfuzz",
                    [sys.executable, os.path.join(TOOLS, "streamfuzz.py"),
                     "--n-dedup", str(nd), "--n-agg", str(na), "--sf", sf], None))
+    if not a.fast:
+        # the whole suite over 0-row tables, oracle-compared (declared
+        # divergences asserted) — ANSI-mode empty-input robustness
+        stages.append(("emptycheck",
+                       [sys.executable, os.path.join(TOOLS, "emptycheck.py")],
+                       None))
     if not (a.fast or a.skip_pytest):
         stages.append(("pytest", [sys.executable, "-m", "pytest", "tests/", "-q"], None))
 
