@@ -104,6 +104,23 @@ def test_lsh_knn_recall_vs_bruteforce(spark, sf_dir):
         assert abs(ce[k2] - ca[k2]) < 1e-12
 
 
+def test_ivf_empty_corpus_degrades_to_empty(spark, sf_dir):
+    """An empty corpus (incremental run with no new embeddings) must
+    yield an empty ANN result, not crash np.stack in centroid training
+    (regression, r6 empty-input sweep) — both trainer modes."""
+    from pyspark_pipeline_framework_spark.llm.similarity import cosine_topk_ivf
+
+    emb = table(spark, sf_dir, "embeddings")
+    empty = emb.filter("vec_id < 0")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    for mode in ("fast", "exact"):
+        out = cosine_topk_ivf(empty, queries, dim=64, k=3, nlist=8,
+                              nprobe=3, mode=mode)
+        assert out.count() == 0, mode
+
+
 def test_ivf_knn_recall_vs_bruteforce(spark, sf_dir):
     from pyspark_pipeline_framework_spark.llm.similarity import cosine_topk_ivf
 

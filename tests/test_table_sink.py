@@ -21,6 +21,23 @@ def test_save_as_table_roundtrip(spark, sf_dir):
         spark.sql("DROP TABLE IF EXISTS t_nation")
 
 
+def test_partitioned_parquet_empty_write_readable(spark, sf_dir, tmp_path):
+    """A partitionBy parquet write of an EMPTY DataFrame must leave a
+    re-readable dataset: Spark's dynamic-partition writer emits one
+    file per partition VALUE, so an empty input writes only _SUCCESS
+    and spark.read fails with UNABLE_TO_INFER_SCHEMA (regression, r6
+    empty-input sweep). The sink now appends a schema-bearing empty
+    file; readback yields the full schema (partition column included)
+    and zero rows."""
+    src = table(spark, sf_dir, "nation").filter("n_nationkey < 0")
+    path = str(tmp_path / "empty_nation")
+    write_sink(src, SinkConfig(format="parquet", path=path, mode="overwrite",
+                               partition_by=["n_regionkey"]))
+    out = spark.read.parquet(path)
+    assert out.count() == 0
+    assert set(out.columns) == {"n_nationkey", "n_name", "n_regionkey"}
+
+
 def test_bucket_by_join_avoids_shuffle(spark, sf_dir):
     """Two tables bucketed on the join key join without an Exchange."""
     o = table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
