@@ -30,7 +30,17 @@ def exact_text_dedup(
     id per sha256(normalized text). One shuffle on the 256-bit hash —
     never on the text payload itself (the scale-critical trick: at
     100 TB you shuffle 32-byte keys, not documents)."""
-    hashed = df.withColumn("__h", F.sha2(normalize_text(text_col), 256))
+    # NULL text gets a per-row key: sha2(NULL) is NULL, which would
+    # lump every failed-extraction row into ONE dedup group and
+    # silently drop all but one — at corpus scale that deletes data on
+    # zero content evidence (r6 degenerate-text tests). NULL ≠ NULL.
+    hashed = df.withColumn(
+        "__h",
+        F.when(
+            F.col(text_col).isNull(),
+            F.concat(F.lit("\x00null:"), F.col(id_col).cast("string")),
+        ).otherwise(F.sha2(normalize_text(text_col), 256)),
+    )
     w = Window.partitionBy("__h").orderBy(F.col(id_col))
     return hashed.withColumn("__rn", F.row_number().over(w)).filter(
         F.col("__rn") == 1
@@ -104,8 +114,21 @@ def _shingles_from_words(words: Column, k: int) -> Column:
     more than once (size + every slice)."""
     n = F.size(words)
     idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
-    return F.array_distinct(
-        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i, k)))
+    # Drop the empty shingle: NULL / empty / whitespace-only text all
+    # reduce to [''] (split of '' → ['']; for NULL, greatest() skips
+    # the NULL size and concat_ws renders the NULL slice as '') — so
+    # without this filter every blank document shares ONE identical
+    # shingle set, hence identical MinHash signatures, hence the same
+    # LSH bucket in every band: m blank docs → O(m²) spurious candidate
+    # pairs at corpus scale. Blank docs carry no similarity evidence;
+    # they drop out of the shingle stream entirely (r6
+    # degenerate-text tests). Real words can never be '' (\s+ split of
+    # trimmed text), so only degenerate docs are affected.
+    return F.filter(
+        F.array_distinct(
+            F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i, k)))
+        ),
+        lambda s: s != "",
     )
 
 
@@ -482,8 +505,15 @@ def simhash(
         word_hash = F.conv(F.substring(F.md5(F.col("__w")), 1, 15), 16, 10).cast("long")
     else:
         word_hash = F.xxhash64("__w")
-    exploded = ensure_parallelism(df).select(F.col(id_col), F.explode(words).alias("__w")).select(
-        F.col(id_col), word_hash.alias("__h")
+    # filter the '' word (blank/NULL text reduces to ['']): otherwise
+    # every blank document gets the IDENTICAL signature — one LSH block
+    # bucket shared by all of them, O(m²) spurious pairs at scale (same
+    # rationale as the shingle-level filter in _shingles_from_words)
+    exploded = (
+        ensure_parallelism(df)
+        .select(F.col(id_col), F.explode(words).alias("__w"))
+        .filter(F.col("__w") != "")
+        .select(F.col(id_col), word_hash.alias("__h"))
     )
     sums = exploded.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("__n"),

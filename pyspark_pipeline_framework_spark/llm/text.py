@@ -25,10 +25,14 @@ LANG_MARKERS: dict[str, list[str]] = {
 
 
 def normalize_text(col: Column | str) -> Column:
-    """Canonical form for exact dedup: lowercase, trim, collapse runs
-    of whitespace."""
+    """Canonical form for exact dedup: lowercase, collapse runs of
+    whitespace, trim. Collapse runs BEFORE trim: Spark's (and SQL's)
+    ``trim`` strips only the space character, so ``'\\tfoo'`` would
+    otherwise canonicalize to ``' foo'`` ≠ ``'foo'`` and two documents
+    differing only in edge tabs/newlines would never dedup (r6
+    degenerate-text tests)."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.regexp_replace(F.trim(F.lower(c)), r"\s+", " ")
+    return F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
 
 
 def token_count_ws(col: Column | str) -> Column:
@@ -50,15 +54,26 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     words = F.split(F.trim(t), r"\s+")
     n_chars = F.length(t)
     n_tokens = F.size(words)
+    # empty text ('' → n_chars 0) defines both char ratios as 0.0: the
+    # bare division aborts the whole job under Spark 4's default ANSI
+    # mode (DIVIDE_BY_ZERO) the moment one blank document appears in
+    # the corpus (r6 degenerate-text tests). NULL text propagates NULL
+    # through every feature (NULL condition → otherwise → NULL/NULL).
+    # n_tokens is never 0 for non-NULL text (split('') yields ['']).
+    def _char_ratio(stripped: Column) -> Column:
+        return F.when(n_chars == 0, F.lit(0.0)).otherwise(
+            F.length(stripped) / n_chars
+        )
+
     return df.withColumns(
         {
             "q_n_chars": n_chars,
             "q_n_tokens": n_tokens,
             "q_mean_word_len": (n_chars - n_tokens + 1) / n_tokens,
-            "q_symbol_ratio": (
-                F.length(F.regexp_replace(t, r"[A-Za-z0-9\s]", "")) / n_chars
+            "q_symbol_ratio": _char_ratio(
+                F.regexp_replace(t, r"[A-Za-z0-9\s]", "")
             ),
-            "q_digit_ratio": F.length(F.regexp_replace(t, r"[^0-9]", "")) / n_chars,
+            "q_digit_ratio": _char_ratio(F.regexp_replace(t, r"[^0-9]", "")),
             "q_uniq_token_ratio": F.size(F.array_distinct(words)) / n_tokens,
         }
     )

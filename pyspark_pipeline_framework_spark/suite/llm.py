@@ -124,7 +124,7 @@ def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_text_fingerprint",
     oracle=r"""
     SELECT doc_id,
-           md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp
+           md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
     FROM documents
     """,
 )
@@ -139,7 +139,7 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id, lang, n_chars FROM (
       SELECT doc_id, lang, n_chars,
              ROW_NUMBER() OVER (
-               PARTITION BY sha256(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))
+               PARTITION BY sha256(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
                ORDER BY doc_id) AS rn
       FROM documents
     ) WHERE rn = 1
@@ -718,7 +718,7 @@ def q_sim_knn_ivf_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, lang, text FROM (
         SELECT doc_id, lang, text,
                ROW_NUMBER() OVER (
-                 PARTITION BY sha256(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))
+                 PARTITION BY sha256(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
                  ORDER BY doc_id) AS rn
         FROM passed
       ) WHERE rn = 1
