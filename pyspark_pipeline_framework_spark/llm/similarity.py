@@ -53,6 +53,21 @@ def cosine_similarity(a: Column, b: Column) -> Column:
     return _dot_decimal(a, b) / (_norm(a) * _norm(b))
 
 
+def drop_corrupt_vectors(
+    df: DataFrame, vec_col: str = "embedding", dim: int | None = None
+) -> DataFrame:
+    """Drop NULL (and, when ``dim`` is known, wrong-dimension) embedding
+    rows at the operator boundary. Corrupt vectors are a fact of large
+    corpora — failed encoders, schema drift — and a SINGLE one crashes
+    every Arrow-batched numpy stage (``np.stack`` / matmul shape
+    mismatch aborts the whole job; r6 degenerate tests). They carry no
+    usable geometry, so dropping is the only sane semantic."""
+    cond = F.col(vec_col).isNotNull()
+    if dim is not None:
+        cond = cond & (F.size(vec_col) == dim)
+    return df.filter(cond)
+
+
 def cosine_topk_bruteforce(
     corpus: DataFrame,
     queries: DataFrame,
@@ -60,12 +75,19 @@ def cosine_topk_bruteforce(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    dim: int | None = None,
 ) -> DataFrame:
     """Exact top-k cosine neighbors for each query vector.
 
     ``queries`` is broadcast (bounded side); the corpus is scanned once
     with map-side scoring, then a single shuffle for the per-query
-    rank-filter. Excludes self-matches when ids collide."""
+    rank-filter. Excludes self-matches when ids collide. NULL vectors
+    are dropped (plus wrong-dimension rows when ``dim`` is given; even
+    without it, a mismatched-length JVM dot yields NULL cos_sim, which
+    sorts after every real score — corrupt rows cannot crash the scan
+    or displace real neighbors)."""
+    corpus = drop_corrupt_vectors(corpus, vec_col, dim)
+    queries = drop_corrupt_vectors(queries, vec_col, dim)
     q = queries.select(
         F.col(query_id_col),
         F.col(vec_col).alias("__qvec"),
@@ -107,6 +129,7 @@ def embedding_dedup_pairs(
     stage — same candidate/verify split as MinHash + Jaccard."""
     # norms are computed ONCE per vector before the pair join — per-pair
     # cosine is then a single dot-product fold (3× fewer decimal folds)
+    corpus = drop_corrupt_vectors(corpus, vec_col)
     normed = ensure_parallelism(corpus).select(
         F.col(id_col).alias("__id"),
         F.col(vec_col).alias("__v"),
@@ -254,6 +277,8 @@ def cosine_topk_lsh(
     coarser buckets, but every stage (bits, buckets, candidates,
     scores, ranks) is recomputable in any engine with md5, so the full
     ANN pipeline is oracle-checkable."""
+    corpus = drop_corrupt_vectors(corpus, vec_col, dim)
+    queries = drop_corrupt_vectors(queries, vec_col, dim)
     if hash_fn == "md5":
         signs = rademacher_signs(dim, n_planes, n_tables)
         bucketer = lambda c: rademacher_buckets_col(vec_col, signs)  # noqa: E731
@@ -502,6 +527,8 @@ def cosine_topk_ivf(
     ``mode``: ``"fast"`` = xxhash64 sample + float BLAS Lloyd/assign;
     ``"exact"`` = md5-ordered sample + fixed-point Lloyd/assign —
     every stage (including training) replayable in SQL."""
+    corpus = drop_corrupt_vectors(corpus, vec_col, dim)
+    queries = drop_corrupt_vectors(queries, vec_col, dim)
     if mode == "exact":
         C = ivf_train_centroids_exact(
             corpus, dim, nlist=nlist, train_iters=train_iters,

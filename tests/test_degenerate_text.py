@@ -135,6 +135,32 @@ def test_pair_generators_no_spurious_degenerate_pairs(degen_df):
             assert not (r.id_a in degen_ids and r.id_b in degen_ids), r
 
 
+def test_ann_ops_survive_corrupt_vectors(spark, sf_dir):
+    """NULL and wrong-dimension embedding rows (failed encoders, schema
+    drift) must be dropped at the operator boundary, not crash every
+    Arrow-batched numpy stage (np.stack / matmul shape mismatch aborts
+    the job — fixed r6, drop_corrupt_vectors)."""
+    from pyspark_pipeline_framework_spark.io.readers import table as rtable
+    from pyspark_pipeline_framework_spark.llm.similarity import (
+        cosine_topk_bruteforce,
+        cosine_topk_ivf,
+        cosine_topk_lsh,
+        embedding_dedup_pairs,
+    )
+
+    emb = rtable(spark, sf_dir, "embeddings")
+    bad = spark.createDataFrame(
+        [(9001, None, 0), (9002, [0.1] * 16, 0)], emb.schema)
+    corpus = emb.union(bad)
+    q = emb.filter("vec_id < 3").select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    assert cosine_topk_bruteforce(corpus, q, k=3, dim=64).count() == 9
+    assert cosine_topk_lsh(corpus, q, dim=64, k=3).count() > 0
+    assert cosine_topk_ivf(corpus, q, dim=64, k=3, nlist=4, nprobe=2).count() > 0
+    pairs = embedding_dedup_pairs(corpus, threshold=0.4, block_col="label")
+    assert all(r.id_a < 9001 and r.id_b < 9001 for r in pairs.collect())
+
+
 def test_signatures_complete_on_degenerates(degen_df):
     # signature jobs must run to completion; degenerate docs simply
     # have no shingles/words and drop out of the aggregate
