@@ -65,7 +65,14 @@ def _sf1_section(spark, sf_dir: str, timings: dict[str, float]) -> dict:
         "supplier": ["s_suppkey"],
         "events": ["event_id", "user_id"],
         "documents": ["doc_id"],
-        "embeddings": ["vec_id"],
+        # label is the dedup/centroid BLOCK key: shifting it per
+        # replica keeps blocks replica-local (each replica reproduces
+        # the original block structure), mirroring the disjoint-shingle
+        # document salting. Unshifted, blocks grow R× and the
+        # label-blocked self-join in q_dedup_embedding does R² pair
+        # work — a replication artifact, not an operator property (it
+        # tripped the superlinear gate on a noisy host, r6).
+        "embeddings": ["vec_id", "label"],
         "nation": [],
         "region": [],
     }
