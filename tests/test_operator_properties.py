@@ -218,6 +218,55 @@ def test_salted_join_spreads_pathological_skew(spark, salt):
             conf.set(k, v)
 
 
+_ws = st.sampled_from([" ", "  ", "\t", "\n", " \t "])
+_word = st.text(alphabet="abcXYZ09.@-", min_size=1, max_size=6)
+_texty = st.lists(st.tuples(_ws, _word), min_size=0, max_size=8).map(
+    lambda ps: "".join(a + b for a, b in ps)
+)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(texts=st.lists(_texty, min_size=1, max_size=6))
+def test_normalize_text_idempotent_and_ws_invariant(spark, texts):
+    """normalize(normalize(x)) == normalize(x), and injecting extra
+    whitespace anywhere never changes the canonical form — the
+    contract exact dedup keys rely on (r6: collapse-before-trim made
+    this hold for edge tabs/newlines too)."""
+    from pyspark_pipeline_framework_spark.llm.text import normalize_text
+
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               "i long, text string")
+    out = df.select(
+        "i",
+        normalize_text("text").alias("n1"),
+        normalize_text(normalize_text("text")).alias("n2"),
+        normalize_text(
+            F.concat(F.lit("\t "), F.regexp_replace("text", r" ", "  "),
+                     F.lit(" \n"))
+        ).alias("n3"),
+    ).collect()
+    for r in out:
+        assert r.n1 == r.n2, (texts[r.i], r.n1, r.n2)
+        assert r.n1 == r.n3, (texts[r.i], r.n1, r.n3)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(parts=st.lists(st.sampled_from(
+    ["contact a@b.com now", "ip 10.0.0.1 seen", "ssn 123-45-6789",
+     "call 555-123-4567", "plain words only", "x@y.org 192.168.1.1"]),
+    min_size=1, max_size=4))
+def test_pii_redact_idempotent(spark, parts):
+    """redact(redact(x)) == redact(x): replacement tokens contain no
+    digits or @, so no rule can re-match inside an earlier rule's
+    output — the property that makes the fixed rule order safe."""
+    from pyspark_pipeline_framework_spark.llm.text import pii_redact
+
+    df = spark.createDataFrame([(0, " ".join(parts))], "i long, text string")
+    once = pii_redact(df, out_col="r1")
+    twice = pii_redact(once, text_col="r1", out_col="r2").collect()[0]
+    assert twice.r1 == twice.r2
+
+
 def test_not_in_anti_join_null_key_equivalence(spark):
     """Q16's NOT-IN-as-left_anti rewrite (suite/tpch3.py): with an
     injected NULL key in the excluded set, the implementation's
