@@ -84,6 +84,16 @@ def _read_source_df(spark: SparkSession, config: SourceConfig) -> DataFrame:
         reader = reader.option("inferSchema", "true")
     if config.format == "csv":
         reader = reader.option("header", config.options.get("header", "true"))
+        # RFC 4180 quoting (doubled "" inside quoted fields), matching
+        # write_sink's CSV default — Spark's own default escape is
+        # backslash, which round-trips with itself but not with
+        # standard CSV tooling. Embedded-newline fields additionally
+        # need options={'multiLine': 'true'} on read (each file then
+        # reads as ONE task — non-splittable; keep newline-bearing
+        # exports on parquet at scale). Empty string and NULL both read
+        # back as NULL under CSV defaults; pass a sentinel
+        # nullValue (e.g. '\\N') on BOTH sides to distinguish.
+        reader = reader.option("escape", config.options.get("escape", '"'))
     for k, v in config.options.items():
         reader = reader.option(k, v)
     if not config.path:

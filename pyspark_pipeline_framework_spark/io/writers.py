@@ -48,6 +48,12 @@ def write_sink(df: DataFrame, config: SinkConfig) -> None:
         raise ValueError(f"format={config.format!r} sink requires path")
     if config.format == "csv":
         writer = writer.option("header", config.options.get("header", "true"))
+        # RFC 4180 quoting (doubled "" inside quoted fields) instead of
+        # Spark's backslash-escape default: the output parses in
+        # standard CSV tooling AND round-trips through read_source's
+        # matching default (r6 — the mismatched defaults silently
+        # corrupted quote/comma-bearing fields on re-read).
+        writer = writer.option("escape", config.options.get("escape", '"'))
     writer.format(config.format).save(config.path)
     if config.partition_by and config.format == "parquet":
         _ensure_readable_when_empty(df, config)

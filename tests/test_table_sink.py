@@ -38,6 +38,30 @@ def test_partitioned_parquet_empty_write_readable(spark, sf_dir, tmp_path):
     assert set(out.columns) == {"n_nationkey", "n_name", "n_regionkey"}
 
 
+def test_csv_roundtrip_tricky_strings(spark, tmp_path):
+    """CSV write→read must preserve commas, quotes, and (with
+    multiLine) embedded newlines. Spark's writer and reader both
+    default to backslash-escape, but a quote-bearing field written by
+    one config and read by another silently corrupts — the sink/source
+    now share an RFC 4180 doubled-quote default (r6). Empty-vs-NULL
+    needs a sentinel nullValue on both sides; without one both read
+    back as NULL (documented)."""
+    rows = [(1, "plain"), (2, "with,comma"), (3, 'with"quote'),
+            (4, "multi\nline"), (5, "tab\there"), (6, None)]
+    df = spark.createDataFrame(rows, "id long, s string")
+    path = str(tmp_path / "tricky_csv")
+    write_sink(df, SinkConfig(format="csv", path=path, mode="overwrite"))
+    from pyspark_pipeline_framework_spark.io.readers import SourceConfig, read_source
+
+    back = read_source(spark, SourceConfig(
+        format="csv", path=path,
+        schema="id long, s string",
+        options={"multiLine": "true"},
+    ))
+    got = {r.id: r.s for r in back.collect()}
+    assert got == dict(rows)
+
+
 def test_bucket_by_join_avoids_shuffle(spark, sf_dir):
     """Two tables bucketed on the join key join without an Exchange."""
     o = table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
