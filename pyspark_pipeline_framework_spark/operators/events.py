@@ -1,0 +1,94 @@
+"""Event-analytics operators: ordered funnels and cohort retention.
+
+Generalized from the suite's fixed 3-stage shapes (suite/events.py —
+reference parity target: the product-analytics SqlTransform SQL at
+examples/batch.py:238-293) into parameterized operators, so arbitrary
+step sequences / cohort granularities run through ONE implementation
+(and the differential fuzzer can sweep the parameter space).
+
+Scale notes: the funnel is one Exchange on the user column + a single
+Window operator stack (each stage is a conditional MIN over the same
+unordered partition — no re-shuffle, no sort between stages);
+retention is two aggregations and a join that reuses the first agg's
+user partitioning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+#: epoch seconds per supported cohort-granularity bucket — exact
+#: integer arithmetic on truncated timestamps, identical in any engine
+#: (calendar units like month would need interval arithmetic instead)
+_GRANULARITY_SECONDS = {"day": 86_400, "week": 604_800}
+
+
+def funnel_counts(
+    df: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered-funnel completion counts: one row with ``n_step{i}`` =
+    users who completed the first i stages IN ORDER (each stage's
+    event STRICTLY after the previous stage's first qualifying event,
+    matching the classic product-analytics funnel).
+
+    Stage i's timestamp is ``MIN(ts) WHERE type = steps[i] AND
+    ts > t_{i-1}`` over the user's partition — chained conditional-min
+    windows on one ``user_col`` partitioning, planned as a single
+    Exchange + Window stack."""
+    if len(steps) < 1:
+        raise ValueError("funnel needs at least one step")
+    w = Window.partitionBy(user_col)
+    out = df
+    prev: F.Column | None = None
+    for i, step in enumerate(steps):
+        cond = F.col(type_col) == step
+        if prev is not None:
+            cond = cond & (F.col(ts_col) > prev)
+        out = out.withColumn(f"__t{i}", F.min(F.when(cond, F.col(ts_col))).over(w))
+        prev = F.col(f"__t{i}")
+    per_user = out.groupBy(user_col).agg(
+        *[F.max(f"__t{i}").alias(f"__t{i}") for i in range(len(steps))]
+    )
+    return per_user.agg(
+        *[F.count(f"__t{i}").alias(f"n_step{i + 1}") for i in range(len(steps))]
+    )
+
+
+def cohort_retention(
+    df: DataFrame,
+    granularity: str = "week",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Cohort retention: cohort = ``granularity`` bucket of the user's
+    first event; each (cohort, offset) row counts distinct users active
+    that many buckets after their cohort start. Offsets are exact
+    integer arithmetic on epoch seconds of truncated timestamps —
+    bit-identical in any engine."""
+    if granularity not in _GRANULARITY_SECONDS:
+        raise ValueError(
+            f"granularity must be one of {sorted(_GRANULARITY_SECONDS)}, "
+            f"got {granularity!r}"
+        )
+    secs = _GRANULARITY_SECONDS[granularity]
+    firsts = df.groupBy(user_col).agg(
+        F.date_trunc(granularity, F.min(ts_col)).alias("cohort_start")
+    )
+    offset = (
+        (
+            F.unix_timestamp(F.date_trunc(granularity, F.col(ts_col)))
+            - F.unix_timestamp(F.col("cohort_start"))
+        )
+        / secs
+    ).cast("int")
+    return (
+        df.join(firsts, user_col)
+        .groupBy("cohort_start", offset.alias("bucket_offset"))
+        .agg(F.count_distinct(user_col).alias("n_active"))
+        .orderBy("cohort_start", "bucket_offset")
+    )

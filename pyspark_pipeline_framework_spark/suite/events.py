@@ -11,10 +11,14 @@ joined on user_id.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pyspark_pipeline_framework_spark.io.readers import table
+from pyspark_pipeline_framework_spark.operators.events import (
+    cohort_retention,
+    funnel_counts,
+)
 from pyspark_pipeline_framework_spark.suite import case
 
 
@@ -48,31 +52,10 @@ def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     Catalyst plans as one Exchange + one Window operator stack (no
     re-shuffle between stages). The final count is a 1-row global agg."""
     ev = table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id")
-    staged = (
-        ev.withColumn("t1", F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).over(w))
-        .withColumn(
-            "t2",
-            F.min(
-                F.when((F.col("event_type") == "view") & (F.col("ts") > F.col("t1")), F.col("ts"))
-            ).over(w),
-        )
-        .withColumn(
-            "t3",
-            F.min(
-                F.when(
-                    (F.col("event_type") == "purchase") & (F.col("ts") > F.col("t2")), F.col("ts")
-                )
-            ).over(w),
-        )
-    )
-    per_user = staged.groupBy("user_id").agg(
-        F.max("t1").alias("t1"), F.max("t2").alias("t2"), F.max("t3").alias("t3")
-    )
-    return per_user.agg(
-        F.count("t1").alias("n_signup"),
-        F.count("t2").alias("n_signup_view"),
-        F.count("t3").alias("n_full_funnel"),
+    return funnel_counts(ev, ["signup", "view", "purchase"]).select(
+        F.col("n_step1").alias("n_signup"),
+        F.col("n_step2").alias("n_signup_view"),
+        F.col("n_step3").alias("n_full_funnel"),
     )
 
 
@@ -101,17 +84,8 @@ def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     cohort/offset distinct-count — the user_id join reuses the first
     agg's partitioning."""
     ev = table(spark, sf_dir, "events")
-    firsts = ev.groupBy("user_id").agg(F.date_trunc("week", F.min("ts")).alias("cohort_week"))
-    offset = (
-        (
-            F.unix_timestamp(F.date_trunc("week", F.col("ts")))
-            - F.unix_timestamp(F.col("cohort_week"))
-        )
-        / 604800
-    ).cast("int")
-    return (
-        ev.join(firsts, "user_id")
-        .groupBy("cohort_week", offset.alias("week_offset"))
-        .agg(F.count_distinct("user_id").alias("n_active"))
-        .orderBy("cohort_week", "week_offset")
+    return cohort_retention(ev, granularity="week").select(
+        F.col("cohort_start").alias("cohort_week"),
+        F.col("bucket_offset").alias("week_offset"),
+        "n_active",
     )

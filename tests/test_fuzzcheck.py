@@ -301,7 +301,7 @@ def test_harness_detects_injected_bugs(spark, con, stats):
 
     caught = {"join_flip": False, "agg_swap": False, "filter_drop": False,
               "session_gap": False, "asof_how": False, "textops_thresh": False,
-              "dq_thresh": False}
+              "dq_thresh": False, "retention_gran": False}
     for i in range(300):
         if all(caught.values()):
             break
@@ -324,6 +324,16 @@ def test_harness_detects_injected_bugs(spark, con, stats):
                 m["how"] = "left" if spec["how"] == "inner" else "inner"
                 if differs(spec, m):
                     caught["asof_how"] = True
+            continue
+        if spec.get("kind") == "funnel":
+            # cohort-granularity flip must change the retention rows
+            if (not caught["retention_gran"]
+                    and spec["terminal"]["op"] == "retention"):
+                m = copy.deepcopy(spec)
+                m["granularity"] = ("day" if spec["granularity"] == "week"
+                                    else "week")
+                if differs(spec, m):
+                    caught["retention_gran"] = True
             continue
         if spec.get("kind") == "dq":
             # a threshold flip must flip the evaluated `passed` flag

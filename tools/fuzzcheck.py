@@ -297,6 +297,8 @@ class Gen:
             return self.textops_pipeline()
         if r.random() < 0.04:
             return self.dq_pipeline()
+        if r.random() < 0.04:
+            return self.funnel_pipeline()
         if r.random() < 0.12:
             return self.setop_pipeline()
         if r.random() < 0.10:
@@ -803,6 +805,32 @@ class Gen:
             spec["grouped"] = r.random() < 0.5
         return spec
 
+    #: observed event_type domain of the synthetic events table
+    EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+    def funnel_pipeline(self) -> dict:
+        """Event-analytics differentials: random ordered-funnel step
+        sequences (2-4 of the 5 event types, repeats allowed — a
+        repeated step means 'the SAME type again, strictly later')
+        through operators.events.funnel_counts, or cohort retention at
+        random granularity, each vs a generalized SQL oracle. The
+        fixed suite pins one funnel (signup→view→purchase) and weekly
+        retention; this covers the space."""
+        r = self.r
+        cols = list(TABLES["events"]["cols"].items())
+        spec: dict = {
+            "kind": "funnel", "base": "events", "stages": [],
+            "pred": self.predicate("events", cols) if r.random() < 0.4 else None,
+        }
+        if r.random() < 0.6:
+            n = r.randint(2, 4)
+            spec["steps"] = [r.choice(self.EVENT_TYPES) for _ in range(n)]
+            spec["terminal"] = {"op": "funnel"}
+        else:
+            spec["granularity"] = r.choice(["day", "week"])
+            spec["terminal"] = {"op": "retention"}
+        return spec
+
     def dq_pipeline(self) -> dict:
         """Data-quality check differentials: a random check
         (row_count / null / unique / range) with random thresholds over
@@ -1000,6 +1028,41 @@ def to_sql(spec: dict) -> str:
             return toks
         return (f"SELECT tok, CAST(COUNT(*) AS BIGINT) AS n "
                 f"FROM ({toks}) e GROUP BY tok")
+    if spec.get("kind") == "funnel":
+        src = "SELECT * FROM events" + (
+            f" WHERE {spec['pred']}" if spec["pred"] else "")
+        if spec["terminal"]["op"] == "retention":
+            g = spec["granularity"]
+            secs = {"day": 86_400, "week": 604_800}[g]
+            return (
+                f"WITH src AS ({src}), firsts AS ("
+                f"SELECT user_id, date_trunc('{g}', MIN(ts)) AS cohort "
+                f"FROM src GROUP BY user_id) "
+                f"SELECT CAST(f.cohort AS TIMESTAMP) AS cohort_start, "
+                f"CAST((epoch(date_trunc('{g}', e.ts)) - epoch(f.cohort)) "
+                f"/ {secs} AS INT) AS bucket_offset, "
+                f"CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_active "
+                f"FROM src e JOIN firsts f USING (user_id) GROUP BY 1, 2")
+        steps = spec["steps"]
+        ctes = [
+            f"s0 AS (SELECT user_id, MIN(CASE WHEN event_type = '{steps[0]}' "
+            f"THEN ts END) AS t FROM src GROUP BY user_id)"
+        ]
+        for i in range(1, len(steps)):
+            ctes.append(
+                f"s{i} AS (SELECT e.user_id, MIN(e.ts) AS t "
+                f"FROM src e JOIN s{i - 1} p USING (user_id) "
+                f"WHERE e.event_type = '{steps[i]}' AND p.t IS NOT NULL "
+                f"AND e.ts > p.t GROUP BY e.user_id)")
+        sels = [
+            "(SELECT CAST(COUNT(*) AS BIGINT) FROM s0 WHERE t IS NOT NULL) "
+            "AS n_step1"
+        ] + [
+            f"(SELECT CAST(COUNT(*) AS BIGINT) FROM s{i}) AS n_step{i + 1}"
+            for i in range(1, len(steps))
+        ]
+        return (f"WITH src AS ({src}), " + ", ".join(ctes)
+                + " SELECT " + ", ".join(sels))
     if spec.get("kind") == "dq":
         src = f"SELECT * FROM {spec['base']}" + (
             f" WHERE {spec['pred']}" if spec["pred"] else "")
@@ -1482,6 +1545,18 @@ def to_spark(spec: dict, spark, sf_dir: str, base_df=None):
         if spec["term"] == "flat":
             return out
         return out.groupBy("tok").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    if spec.get("kind") == "funnel":
+        from pyspark_pipeline_framework_spark.operators.events import (
+            cohort_retention,
+            funnel_counts,
+        )
+
+        df = table(spark, sf_dir, "events")
+        if spec["pred"]:
+            df = df.filter(F.expr(spec["pred"]))
+        if spec["terminal"]["op"] == "retention":
+            return cohort_retention(df, granularity=spec["granularity"])
+        return funnel_counts(df, spec["steps"])
     if spec.get("kind") == "dq":
         from pyspark_pipeline_framework_spark.quality.checks import (
             null_check,
@@ -1689,7 +1764,7 @@ def is_portable_sql(spec: dict) -> bool:
     ASOF JOIN, unnest(string_split(...)), the WINDOW-clause session
     oracle, and json_extract_string (derive_json)."""
     if spec.get("kind") in ("asof", "explode", "session", "minhash", "ngram",
-                            "textops", "dq"):
+                            "textops", "dq", "funnel"):
         return False
     return not any(st["op"] == "derive_json" for st in spec["stages"])
 
