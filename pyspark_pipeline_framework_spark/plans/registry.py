@@ -228,6 +228,24 @@ def op_quantize_embeddings(
     return catalog.put(output, quantize_embeddings(catalog.get(input), **params))
 
 
+@default_registry.register("funnel")
+def op_funnel(
+    spark: SparkSession, catalog: Catalog, *, output: str, input: str, **params
+) -> DataFrame:
+    from pyspark_pipeline_framework_spark.operators.events import funnel_counts
+
+    return catalog.put(output, funnel_counts(catalog.get(input), **params))
+
+
+@default_registry.register("retention")
+def op_retention(
+    spark: SparkSession, catalog: Catalog, *, output: str, input: str, **params
+) -> DataFrame:
+    from pyspark_pipeline_framework_spark.operators.events import cohort_retention
+
+    return catalog.put(output, cohort_retention(catalog.get(input), **params))
+
+
 @default_registry.register("stream")
 def op_stream(spark: SparkSession, catalog: Catalog, **params) -> None:
     """Config-declared Structured Streaming pipeline (source →

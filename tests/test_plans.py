@@ -810,3 +810,34 @@ def test_secrets_block_env_prefix_interpolation(spark, monkeypatch):
     result = PipelineRunner(cfg, spark, registry=reg, resilience=NO_RETRY).run()
     assert result.status == PipelineStatus.SUCCESS
     assert seen["token"] == "s3cr3t-value"
+
+
+def test_event_analytics_registry_ops(spark, sf_dir):
+    """op:funnel / op:retention route arbitrary params through the
+    config path to the same results as the operators directly."""
+    from pyspark_pipeline_framework_spark.operators.events import (
+        cohort_retention,
+        funnel_counts,
+    )
+
+    comps = [
+        {"name": "load", "op": "read", "output": "events",
+         "params": {"format": "parquet", "path": f"{sf_dir}/events.parquet",
+                    "nanos_ts_cols": ["ts"]}},
+        {"name": "fun", "op": "funnel", "output": "fun",
+         "depends_on": ["load"],
+         "params": {"input": "events", "steps": ["view", "click", "error"]}},
+        {"name": "ret", "op": "retention", "output": "ret",
+         "depends_on": ["load"],
+         "params": {"input": "events", "granularity": "day"}},
+    ]
+    cfg = PipelineConfig.from_dict({"name": "ev_ops", "components": comps})
+    runner = PipelineRunner(cfg, spark, resilience=NO_RETRY)
+    assert runner.run().status == PipelineStatus.SUCCESS
+    from pyspark_pipeline_framework_spark.io.readers import table as rtable
+
+    ev = rtable(spark, sf_dir, "events")
+    assert (runner.catalog.get("fun").collect()
+            == funnel_counts(ev, ["view", "click", "error"]).collect())
+    assert (sorted(map(tuple, runner.catalog.get("ret").collect()))
+            == sorted(map(tuple, cohort_retention(ev, granularity="day").collect())))
