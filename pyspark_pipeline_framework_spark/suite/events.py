@@ -89,3 +89,54 @@ def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("bucket_offset").alias("week_offset"),
         "n_active",
     )
+
+
+@case(
+    "q_events_funnel4",
+    # 4-step funnel with a REPEATED step (second 'view' strictly after
+    # the first qualifying one) — exercises the generalized operator's
+    # arbitrary-sequence path under the driver gate
+    oracle="""
+    WITH src AS (SELECT * FROM events),
+    s0 AS (SELECT user_id, MIN(CASE WHEN event_type = 'signup' THEN ts END) AS t
+           FROM src GROUP BY user_id),
+    s1 AS (SELECT e.user_id, MIN(e.ts) AS t FROM src e JOIN s0 p USING (user_id)
+           WHERE e.event_type = 'view' AND p.t IS NOT NULL AND e.ts > p.t
+           GROUP BY e.user_id),
+    s2 AS (SELECT e.user_id, MIN(e.ts) AS t FROM src e JOIN s1 p USING (user_id)
+           WHERE e.event_type = 'view' AND p.t IS NOT NULL AND e.ts > p.t
+           GROUP BY e.user_id),
+    s3 AS (SELECT e.user_id, MIN(e.ts) AS t FROM src e JOIN s2 p USING (user_id)
+           WHERE e.event_type = 'purchase' AND p.t IS NOT NULL AND e.ts > p.t
+           GROUP BY e.user_id)
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM s0 WHERE t IS NOT NULL) AS n_step1,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM s1) AS n_step2,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM s2) AS n_step3,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM s3) AS n_step4
+    """,
+)
+def q_events_funnel4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    return funnel_counts(ev, ["signup", "view", "view", "purchase"])
+
+
+@case(
+    "q_events_retention_daily",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, date_trunc('day', MIN(ts)) AS cohort
+      FROM events GROUP BY user_id
+    )
+    SELECT CAST(f.cohort AS TIMESTAMP) AS cohort_start,
+           CAST((epoch(date_trunc('day', e.ts)) - epoch(f.cohort)) / 86400 AS INT)
+             AS bucket_offset,
+           CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_active
+    FROM events e JOIN firsts f USING (user_id)
+    GROUP BY 1, 2
+    """,
+)
+def q_events_retention_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-granularity cohort retention through the generalized
+    operator (the weekly case pins granularity='week')."""
+    ev = table(spark, sf_dir, "events")
+    return cohort_retention(ev, granularity="day")

@@ -1,4 +1,4 @@
-"""Empty-input sweep: the whole 133-case suite over 0-row tables.
+"""Empty-input sweep: the whole suite (135 cases) over 0-row tables.
 
 Empty inputs are a first-class scale scenario — an incremental run
 with no new data, a filter that eliminates everything, a partition
