@@ -161,6 +161,23 @@ def test_ann_ops_survive_corrupt_vectors(spark, sf_dir):
     assert all(r.id_a < 9001 and r.id_b < 9001 for r in pairs.collect())
 
 
+def test_funnel_unknown_step_and_empty(spark, sf_dir):
+    """A funnel step type absent from the data yields zero completions
+    for that stage and every later stage — not an error; the degenerate
+    single-step and empty-input forms also hold."""
+    from pyspark_pipeline_framework_spark.io.readers import table as rtable
+    from pyspark_pipeline_framework_spark.operators.events import funnel_counts
+
+    ev = rtable(spark, sf_dir, "events")
+    row = funnel_counts(ev, ["signup", "nosuch", "view"]).collect()[0]
+    assert row.n_step1 > 0 and row.n_step2 == 0 and row.n_step3 == 0
+    assert funnel_counts(ev.limit(0), ["signup"]).collect()[0].n_step1 == 0
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        funnel_counts(ev, [])
+
+
 def test_signatures_complete_on_degenerates(degen_df):
     # signature jobs must run to completion; degenerate docs simply
     # have no shingles/words and drop out of the aggregate
