@@ -27,6 +27,16 @@ def test_events_daily_hocon_example(spark):
     assert "event_type" in out.columns  # partition column survives the roundtrip
 
 
+def test_event_analytics_example(spark):
+    """Funnel + retention through the registry ops, declared in HOCON."""
+    assert main([os.path.join(REPO, "examples", "event_analytics.conf")]) == 0
+    fun = spark.read.parquet(os.path.join(REPO, ".scratch/examples/funnel"))
+    row = fun.collect()[0]
+    assert row.n_step1 >= row.n_step2 >= row.n_step3 >= 0
+    ret = spark.read.parquet(os.path.join(REPO, ".scratch/examples/retention"))
+    assert ret.count() > 0 and "bucket_offset" in ret.columns
+
+
 def test_documents_quality_include_example(spark):
     """Exercises HOCON include + substitution concat + schema contracts
     + checkpoint CLI flags end-to-end."""
