@@ -36,6 +36,15 @@ def test_partitioned_parquet_empty_write_readable(spark, sf_dir, tmp_path):
     out = spark.read.parquet(path)
     assert out.count() == 0
     assert set(out.columns) == {"n_nationkey", "n_name", "n_regionkey"}
+    # a later REAL partitioned append on top of the schema-bearing root
+    # file reconciles cleanly (Spark merges the file's partition column
+    # with the directory-derived one) — the incremental-run lifecycle
+    write_sink(table(spark, sf_dir, "nation"),
+               SinkConfig(format="parquet", path=path, mode="append",
+                          partition_by=["n_regionkey"]))
+    out2 = spark.read.parquet(path)
+    assert out2.count() == 25
+    assert set(out2.columns) == {"n_nationkey", "n_name", "n_regionkey"}
 
 
 def test_csv_roundtrip_tricky_strings(spark, tmp_path):
