@@ -76,6 +76,11 @@ class FileStreamingSink:
 
     def write_stream(self, df: DataFrame) -> DataStreamWriter:
         writer = df.writeStream.format(self.file_format).option("path", self.path)
+        if self.file_format == "csv":
+            # RFC 4180 quoting, matching the batch sink/source defaults
+            # (io/writers.py) — a streaming CSV export must read back
+            # through the same read_source defaults without corruption
+            writer = writer.option("escape", '"')
         if self.partition_by:
             writer = writer.partitionBy(*self.partition_by)
         return writer
@@ -97,6 +102,8 @@ class CloudStorageStreamingSink:
 
     def write_stream(self, df: DataFrame) -> DataStreamWriter:
         writer = df.writeStream.format(self.file_format).option("path", self.path)
+        if self.file_format == "csv":
+            writer = writer.option("escape", '"')  # match batch defaults
         if self.compression:
             writer = writer.option("compression", self.compression)
         if self.partition_by:
