@@ -49,6 +49,10 @@ class FileStreamingSource:
         reader = spark.readStream.format(self.file_format)
         if self.schema:
             reader = reader.schema(self.schema)
+        if self.file_format == "csv":
+            # RFC 4180 quoting, matching the batch/streaming sink
+            # defaults (io/writers.py, streaming/sinks.py); overridable
+            reader = reader.option("escape", self.options.get("escape", '"'))
         for k, v in self.options.items():
             reader = reader.option(k, v)
         return reader.load(self.path)
