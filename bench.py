@@ -242,6 +242,13 @@ def main() -> None:
     sf1 = {}
     if os.environ.get("SPARK_GRAFT_SF1", "1") != "0" and sf_val == 0.1:
         try:
+            # release the sf0.1 fixture memos (pinned localCheckpoint
+            # blocks) before running at 10× the data — storage memory
+            # held by the previous section otherwise competes with the
+            # ×10 section's shuffles/aggregates
+            from pyspark_pipeline_framework_spark.suite._util import clear_shared
+
+            clear_shared()
             sf1 = _sf1_section(spark, sf_dir, timings)
         except Exception as ex:
             sf1 = {"error": f"{ex}"[:200]}

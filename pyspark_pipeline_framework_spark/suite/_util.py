@@ -56,3 +56,20 @@ def shared_df(spark, key: tuple, build):
             df = build().localCheckpoint(eager=True)
             _SHARED_DF[full_key] = df
         return df
+
+
+def clear_shared() -> int:
+    """Drop every memoized fixture and unpersist its pinned
+    localCheckpoint blocks. Call between bench sections (sf0.1 →
+    ×10) so one section's pinned RDD blocks don't occupy executor
+    storage memory while the next section runs at 10× the data.
+    Returns the number of entries released."""
+    with _SHARED_LOCK:
+        n = len(_SHARED_DF)
+        for df in _SHARED_DF.values():
+            try:
+                df.rdd.unpersist()
+            except Exception:
+                pass
+        _SHARED_DF.clear()
+    return n
