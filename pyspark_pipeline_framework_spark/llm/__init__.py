@@ -20,6 +20,8 @@ from pyspark_pipeline_framework_spark.llm.text import (
 )
 from pyspark_pipeline_framework_spark.llm.dedup import (
     exact_text_dedup,
+    incremental_candidate_pairs,
+    minhash_bands,
     minhash_candidate_pairs,
     minhash_signature,
     ngram_jaccard_pairs,
@@ -41,6 +43,8 @@ __all__ = [
     "token_count_regex",
     "token_count_ws",
     "exact_text_dedup",
+    "incremental_candidate_pairs",
+    "minhash_bands",
     "minhash_candidate_pairs",
     "minhash_signature",
     "ngram_jaccard_pairs",

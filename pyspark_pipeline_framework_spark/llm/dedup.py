@@ -249,6 +249,40 @@ def minhash_candidate_pairs(
     ``hash_fn="md5"`` selects the engine-portable signature/banding
     (see :func:`minhash_signature`) — identical pairs are derivable in
     any md5-capable engine."""
+    banded = minhash_bands(df, id_col, text_col, num_hashes, bands, shingle_k, hash_fn)
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def minhash_bands(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """The persistable LSH **band store**: ``(id, band_idx,
+    band_hash)`` — ``bands`` rows per document, each hashing
+    ``num_hashes/bands`` consecutive signature words. This is the
+    artifact an incremental 100 TB dedup pipeline keeps BETWEEN runs:
+    write it partitioned/bucketed by ``band_hash`` (e.g.
+    ``writers.write_table(..., bucket_by=("band_hash", N))``) and each
+    day's batch joins its (small) new bands against the store without
+    ever re-hashing the historical corpus — see
+    :func:`incremental_candidate_pairs`. Map-only after the signature's
+    single doc-level shuffle."""
     if num_hashes % bands:
         raise ValueError("num_hashes must divide evenly into bands")
     rows_per_band = num_hashes // bands
@@ -262,24 +296,51 @@ def minhash_candidate_pairs(
             F.concat_ws(",", F.transform(sliced, lambda v: v.cast("string")))
         )
 
-    banded = sigs.select(
+    return sigs.select(
         F.col(id_col).alias("id"),
         F.posexplode(F.array(*[band_hash(b) for b in range(bands)])).alias(
             "band_idx", "band_hash"
         ),
     )
-    a = banded.alias("a")
-    b = banded.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
+
+
+def incremental_candidate_pairs(
+    new_bands: DataFrame, corpus_bands: DataFrame
+) -> DataFrame:
+    """Incremental MinHash-LSH: candidate pairs that TOUCH the new
+    batch — new×new (bucket self-join) plus new×corpus (two-sided
+    bucket join) — and never corpus×corpus, which a daily run over an
+    append-only corpus must not recompute. Both inputs are band stores
+    from :func:`minhash_bands` (the corpus side typically read back
+    from parquet).
+
+    Scale shape: the corpus store is |corpus|·bands rows but the join
+    output is bounded by bucket collisions against the (small) new
+    side; with the store bucketed by ``band_hash`` the big side never
+    shuffles, and AQE broadcasts the new side when it fits. The union
+    of the two inputs is the next run's store — append ``new_bands``
+    to the store's table and the loop closes with zero re-hashing.
+
+    Returns distinct ``(id_a, id_b)``, ``id_a < id_b``; ids present in
+    both stores (a re-ingested document) never pair with themselves.
+    """
+    on = ["band_idx", "band_hash"]
+    n1, n2 = new_bands.alias("a"), new_bands.alias("b")
+    new_new = (
+        n1.join(n2, on)
+        .where(F.col("a.id") < F.col("b.id"))
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .distinct()
     )
+    new_old = (
+        new_bands.alias("n")
+        .join(corpus_bands.alias("c"), on)
+        .where(F.col("n.id") != F.col("c.id"))
+        .select(
+            F.least("n.id", "c.id").alias("id_a"),
+            F.greatest("n.id", "c.id").alias("id_b"),
+        )
+    )
+    return new_new.union(new_old).distinct()
 
 
 def ngram_jaccard_pairs(

@@ -781,3 +781,80 @@ def test_truncate_reuses_requested_dir(spark, tmp_path):
     _truncate(df, b, eager=True)
     assert spark.sparkContext.getCheckpointDir() != first
     assert os.listdir(b), "new dir must receive checkpoint state"
+
+
+def test_incremental_pairs_match_full_batch(spark, docs):
+    """Incremental LSH over a corpus split (new = odd doc_ids, corpus =
+    even) must return exactly the full-batch candidate pairs that touch
+    a new document — no more (no stale corpus×corpus recompute), no
+    fewer (no missed new×corpus collision)."""
+    from pyspark_pipeline_framework_spark.llm.dedup import (
+        incremental_candidate_pairs,
+        minhash_bands,
+    )
+
+    kw = dict(num_hashes=64, bands=16, shingle_k=3)
+    full = {
+        (r.id_a, r.id_b) for r in minhash_candidate_pairs(docs, **kw).collect()
+    }
+    new_docs = docs.where(F.col("doc_id") % 2 == 1)
+    old_docs = docs.where(F.col("doc_id") % 2 == 0)
+    new_ids = {r.doc_id for r in new_docs.select("doc_id").collect()}
+    inc = {
+        (r.id_a, r.id_b)
+        for r in incremental_candidate_pairs(
+            minhash_bands(new_docs, **kw), minhash_bands(old_docs, **kw)
+        ).collect()
+    }
+    want = {p for p in full if p[0] in new_ids or p[1] in new_ids}
+    assert inc == want
+    assert all(a < b for a, b in inc)
+
+
+def test_incremental_pairs_reingested_doc_no_self_pair(spark):
+    """A document present in BOTH stores (re-ingested id) must never
+    pair with itself, and duplicate cross-pairs collapse to one row."""
+    from pyspark_pipeline_framework_spark.llm.dedup import (
+        incremental_candidate_pairs,
+        minhash_bands,
+    )
+
+    rows = [(1, "the quick brown fox jumps over the lazy dog " * 5)]
+    new = spark.createDataFrame(rows, "doc_id long, text string")
+    old = spark.createDataFrame(
+        rows + [(2, "the quick brown fox jumps over the lazy dog " * 5)],
+        "doc_id long, text string",
+    )
+    got = incremental_candidate_pairs(
+        minhash_bands(new), minhash_bands(old)
+    ).collect()
+    assert [(r.id_a, r.id_b) for r in got] == [(1, 2)]
+
+
+def test_band_store_parquet_roundtrip(spark, docs, tmp_path):
+    """The band store is the persistable artifact of the incremental
+    pipeline: writing it to parquet and joining yesterday's store with
+    today's bands must equal the in-memory result."""
+    from pyspark_pipeline_framework_spark.llm.dedup import (
+        incremental_candidate_pairs,
+        minhash_bands,
+    )
+
+    kw = dict(num_hashes=32, bands=8, shingle_k=3)
+    old_docs = docs.where(F.col("doc_id") % 2 == 0)
+    new_docs = docs.where(F.col("doc_id") % 2 == 1)
+    store = str(tmp_path / "band_store")
+    minhash_bands(old_docs, **kw).write.parquet(store)
+    from_disk = {
+        (r.id_a, r.id_b)
+        for r in incremental_candidate_pairs(
+            minhash_bands(new_docs, **kw), spark.read.parquet(store)
+        ).collect()
+    }
+    in_mem = {
+        (r.id_a, r.id_b)
+        for r in incremental_candidate_pairs(
+            minhash_bands(new_docs, **kw), minhash_bands(old_docs, **kw)
+        ).collect()
+    }
+    assert from_disk == in_mem
