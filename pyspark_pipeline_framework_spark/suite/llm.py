@@ -282,7 +282,8 @@ def _simhash_block_pairs(sigs: DataFrame) -> DataFrame:
     banded = sigs.select(
         "doc_id", "simhash", F.posexplode(blocks(F.col("simhash"))).alias("blk_i", "blk")
     )
-    a, b = banded.alias("a"), banded.alias("b")
+    # merge hint: see q_dedup_simhash — avoid broadcast double-compute
+    a, b = banded.alias("a"), banded.hint("merge").alias("b")
     return (
         a.join(
             b,
@@ -343,16 +344,17 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
     sigs = simhash(d)
     # positional 16-bit-block LSH bounds the self-join (no N²): a pair
-    # within Hamming 3 must agree on at least one of the 4 blocks. Both
-    # join sides are the SAME banded plan, so the signature aggregation
-    # and its exchange are computed once and reused (ReusedExchange),
-    # not recomputed per side.
+    # within Hamming 3 must agree on at least one of the 4 blocks. The
+    # merge hint keeps AQE from broadcasting one side, which would
+    # execute the signature subtree twice (build + probe) — the hinted
+    # shuffle join's identical per-side exchanges are stage-reused
+    # instead (same measured rationale as minhash_candidate_pairs).
     def blocks(h, n=4):
         return F.array(*[F.shiftright(h, 16 * i).bitwiseAND(F.lit(0xFFFF)) for i in range(n)])
     banded = sigs.select(
         "doc_id", "simhash", F.posexplode(blocks(F.col("simhash"))).alias("blk_i", "blk")
     )
-    a, b = banded.alias("a"), banded.alias("b")
+    a, b = banded.alias("a"), banded.hint("merge").alias("b")
     return (
         a.join(
             b,
