@@ -172,6 +172,40 @@ def op_dedup_minhash_pairs(
     return catalog.put(output, minhash_candidate_pairs(catalog.get(input), **params))
 
 
+@default_registry.register("minhash_bands")
+def op_minhash_bands(
+    spark: SparkSession, catalog: Catalog, *, output: str, input: str, **params
+) -> DataFrame:
+    """The persistable LSH band store — pair with ``op: write``
+    (bucketed by band_hash) to keep it between incremental runs."""
+    from pyspark_pipeline_framework_spark.llm.dedup import minhash_bands
+
+    return catalog.put(output, minhash_bands(catalog.get(input), **params))
+
+
+@default_registry.register("dedup_incremental_pairs")
+def op_dedup_incremental_pairs(
+    spark: SparkSession,
+    catalog: Catalog,
+    *,
+    output: str,
+    new_bands: str,
+    corpus_bands: str,
+    **params,
+) -> DataFrame:
+    """Incremental MinHash-LSH: new-batch bands (``minhash_bands``
+    output) vs the persisted corpus band store — candidate pairs that
+    touch the new batch, never corpus×corpus."""
+    from pyspark_pipeline_framework_spark.llm.dedup import incremental_candidate_pairs
+
+    return catalog.put(
+        output,
+        incremental_candidate_pairs(
+            catalog.get(new_bands), catalog.get(corpus_bands), **params
+        ),
+    )
+
+
 @default_registry.register("language_id")
 def op_language_id(
     spark: SparkSession, catalog: Catalog, *, output: str, input: str, **params

@@ -20,7 +20,9 @@ from pyspark.sql import functions as F
 from pyspark_pipeline_framework_spark.io.readers import table
 from pyspark_pipeline_framework_spark.llm.dedup import (
     exact_text_dedup,
+    incremental_candidate_pairs,
     jaccard_verify,
+    minhash_bands,
     minhash_candidate_pairs,
     ngram_jaccard_pairs,
     simhash,
@@ -270,6 +272,50 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dedup_minhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
     return minhash_candidate_pairs(d, num_hashes=64, bands=16, shingle_k=3, hash_fn="md5")
+
+
+@case(
+    "q_dedup_minhash_incr_md5",
+    # Incremental LSH over a corpus split (new = odd doc_ids, corpus =
+    # even): the engine runs minhash_bands on each side and joins the
+    # new batch against the store (new×new + new×corpus, never
+    # corpus×corpus). The oracle computes the FULL band table and keeps
+    # exactly the pairs that touch a new document — the two must be
+    # identical, which oracle-gates the incremental path's defining
+    # property (no missed new×corpus collision, no stale recompute).
+    oracle=r"""
+    WITH words AS (
+      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS w FROM documents
+    ), sh AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+               range(1, greatest(len(w) - 2, 1) + 1),
+               i -> array_to_string(list_slice(w, i, i + 2), ' ')))) AS shingle
+      FROM words
+    ), base AS (
+      SELECT doc_id, md5(shingle) AS bh FROM sh
+    ), sig AS (
+      SELECT doc_id, seed,
+             MIN(substr(md5(concat(CAST(seed // 4 AS VARCHAR), ':', bh)),
+                        8 * CAST(seed % 4 AS INT) + 1, 8)) AS mh
+      FROM base, range(64) t(seed)
+      GROUP BY doc_id, seed
+    ), bands AS (
+      SELECT doc_id, CAST(seed // 4 AS INT) AS band_idx,
+             md5(string_agg(mh, ',' ORDER BY seed)) AS bhash
+      FROM sig GROUP BY doc_id, seed // 4
+    )
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM bands a JOIN bands b
+      ON a.band_idx = b.band_idx AND a.bhash = b.bhash AND a.doc_id < b.doc_id
+    WHERE a.doc_id % 2 = 1 OR b.doc_id % 2 = 1
+    """,
+)
+def q_dedup_minhash_incr_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    kw = dict(num_hashes=64, bands=16, shingle_k=3, hash_fn="md5")
+    new = minhash_bands(d.where(F.col("doc_id") % 2 == 1), **kw)
+    corpus = minhash_bands(d.where(F.col("doc_id") % 2 == 0), **kw)
+    return incremental_candidate_pairs(new, corpus)
 
 
 def _simhash_block_pairs(sigs: DataFrame) -> DataFrame:

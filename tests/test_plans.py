@@ -841,3 +841,48 @@ def test_event_analytics_registry_ops(spark, sf_dir):
             == funnel_counts(ev, ["view", "click", "error"]).collect())
     assert (sorted(map(tuple, runner.catalog.get("ret").collect()))
             == sorted(map(tuple, cohort_retention(ev, granularity="day").collect())))
+
+
+def test_incremental_dedup_registry_ops(spark, sf_dir, tmp_path):
+    """The full incremental-dedup config pipeline: band the new batch,
+    read yesterday's persisted store, join — op:minhash_bands +
+    op:dedup_incremental_pairs through the config path equal the
+    operators called directly."""
+    from pyspark.sql import functions as F
+
+    from pyspark_pipeline_framework_spark.io.readers import table as rtable
+    from pyspark_pipeline_framework_spark.llm.dedup import (
+        incremental_candidate_pairs,
+        minhash_bands,
+    )
+
+    docs = rtable(spark, sf_dir, "documents")
+    store = str(tmp_path / "band_store")
+    minhash_bands(docs.where(F.col("doc_id") % 2 == 0)).write.parquet(store)
+    new_path = str(tmp_path / "new_docs")
+    docs.where(F.col("doc_id") % 2 == 1).write.parquet(new_path)
+
+    comps = [
+        {"name": "new", "op": "read", "output": "new_docs",
+         "params": {"format": "parquet", "path": new_path}},
+        {"name": "store", "op": "read", "output": "corpus_bands",
+         "params": {"format": "parquet", "path": store}},
+        {"name": "band", "op": "minhash_bands", "output": "new_bands",
+         "depends_on": ["new"], "params": {"input": "new_docs"}},
+        {"name": "pairs", "op": "dedup_incremental_pairs", "output": "pairs",
+         "depends_on": ["band", "store"],
+         "params": {"new_bands": "new_bands", "corpus_bands": "corpus_bands"}},
+    ]
+    cfg = PipelineConfig.from_dict({"name": "incr_dedup", "components": comps})
+    runner = PipelineRunner(cfg, spark, resilience=NO_RETRY)
+    assert runner.run().status == PipelineStatus.SUCCESS
+    want = sorted(
+        map(
+            tuple,
+            incremental_candidate_pairs(
+                minhash_bands(docs.where(F.col("doc_id") % 2 == 1)),
+                minhash_bands(docs.where(F.col("doc_id") % 2 == 0)),
+            ).collect(),
+        )
+    )
+    assert sorted(map(tuple, runner.catalog.get("pairs").collect())) == want
