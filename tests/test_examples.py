@@ -91,3 +91,17 @@ def test_streaming_etl_example(spark):
     firsts = spark.read.parquet(os.path.join(REPO, ".scratch/examples/stream_user_firsts"))
     assert firsts.count() > 0
     assert firsts.groupBy("user_id").count().filter("count > 1").count() == 0
+
+
+def test_incremental_dedup_example(spark):
+    """Incremental MinHash-LSH through the registry ops: band store +
+    new-batch join declared in HOCON; pairs and the appended store
+    parquet both land."""
+    assert main([os.path.join(REPO, "examples", "incremental_dedup.conf")]) == 0
+    pairs = spark.read.parquet(os.path.join(REPO, ".scratch/examples/incr_pairs"))
+    got = pairs.collect()
+    assert all(r.id_a < r.id_b for r in got)
+    assert all(r.id_a % 2 == 1 or r.id_b % 2 == 1 for r in got)  # touch new batch
+    store = spark.read.parquet(os.path.join(REPO, ".scratch/examples/band_store"))
+    assert set(store.columns) == {"id", "band_idx", "band_hash"}
+    assert store.count() > 0
