@@ -279,6 +279,23 @@ def run_battery(spark: SparkSession, docs_path: str, emb_path: str, meter: Stage
 
     cand = minhash_candidate_pairs(docs).localCheckpoint(eager=False)
     n_pairs = timed("minhash_lsh_candidates", cand.count)
+    # incremental path: a FIXED-SIZE daily batch (base replica's first
+    # 200 docs) against the full corpus band store. The store grows R×
+    # but the new side is constant, so the candidate join must stay
+    # ~linear in R (the store-side band/hash shuffle); this is the
+    # shape a production run has every day.
+    from pyspark_pipeline_framework_spark.llm.dedup import (
+        incremental_candidate_pairs,
+        minhash_bands,
+    )
+
+    new_batch = docs.filter(F.col("doc_id") < ID_STRIDE).limit(200)
+    timed(
+        "minhash_incremental",
+        lambda: incremental_candidate_pairs(
+            minhash_bands(new_batch), minhash_bands(docs)
+        ).count(),
+    )
     timed(
         "minhash_verify",
         lambda: jaccard_verify(docs, cand, threshold=0.5).count(),
