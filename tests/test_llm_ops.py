@@ -858,3 +858,48 @@ def test_band_store_parquet_roundtrip(spark, docs, tmp_path):
         ).collect()
     }
     assert from_disk == in_mem
+
+
+def test_incremental_lifecycle_daily_appends(spark, docs, tmp_path):
+    """The production loop end-to-end: day 0 bootstraps the band store,
+    each later day bands only its batch, joins vs the store parquet,
+    and APPENDS its bands. The union of per-day pairs must equal the
+    full-batch candidate pairs over the whole corpus — i.e. the
+    incremental loop loses nothing and re-hashes nothing."""
+    from pyspark_pipeline_framework_spark.llm.dedup import (
+        incremental_candidate_pairs,
+        minhash_bands,
+        minhash_candidate_pairs,
+    )
+
+    kw = dict(num_hashes=64, bands=16, shingle_k=3)
+    store = str(tmp_path / "store")
+    day = lambda i: docs.where(F.col("doc_id") % 3 == i)
+
+    # day 0: bootstrap — self-dedup the first batch, write its bands
+    got = {
+        (r.id_a, r.id_b)
+        for r in minhash_candidate_pairs(day(0), **kw).collect()
+    }
+    minhash_bands(day(0), **kw).write.parquet(store)
+
+    for i in (1, 2):
+        new = minhash_bands(day(i), **kw)
+        got |= {
+            (r.id_a, r.id_b)
+            for r in incremental_candidate_pairs(
+                new, spark.read.parquet(store)
+            ).collect()
+        }
+        new.write.mode("append").parquet(store)
+
+    full = {
+        (r.id_a, r.id_b)
+        for r in minhash_candidate_pairs(docs, **kw).collect()
+    }
+    assert got == full
+    # the store now holds every document's bands exactly once
+    n_docs = docs.count()
+    store_df = spark.read.parquet(store)
+    assert store_df.count() == n_docs * 16
+    assert store_df.select("id").distinct().count() == n_docs
