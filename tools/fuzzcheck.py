@@ -744,8 +744,17 @@ class Gen:
         the parameter space."""
         r = self.r
         h, b = r.choice(self.MINHASH_PARAMS)
+        # 40%: the INCREMENTAL path — a random modulus split carves the
+        # corpus into new batch vs band store; the engine runs
+        # minhash_bands on each side + incremental_candidate_pairs,
+        # the oracle computes the FULL band table and keeps the
+        # new-touching pairs (the incremental path's defining property)
+        split = None
+        if r.random() < 0.4:
+            m = r.randint(2, 4)
+            split = (m, r.randrange(m))
         return {"kind": "minhash", "base": "documents", "stages": [],
-                "h": h, "b": b, "k": r.randint(2, 4),
+                "h": h, "b": b, "k": r.randint(2, 4), "split": split,
                 "pred": self.predicate("documents", list(TABLES["documents"]["cols"].items()))
                         if r.random() < 0.5 else None,
                 "terminal": {"op": "minhash"}}
@@ -1186,6 +1195,12 @@ def to_sql(spec: dict) -> str:
                 f"SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b "
                 f"FROM bands a JOIN bands b ON a.band_idx = b.band_idx "
                 f"AND a.bhash = b.bhash AND a.doc_id < b.doc_id"
+                + (
+                    f" WHERE a.doc_id % {spec['split'][0]} = {spec['split'][1]}"
+                    f" OR b.doc_id % {spec['split'][0]} = {spec['split'][1]}"
+                    if spec.get("split")
+                    else ""
+                )
             )
         t_, mdf = spec["threshold"], spec["maxdf"]
         return (
@@ -1632,6 +1647,19 @@ def to_spark(spec: dict, spark, sf_dir: str, base_df=None):
         if spec["pred"]:
             d = d.filter(F.expr(spec["pred"]))
         if spec["kind"] == "minhash":
+            if spec.get("split"):
+                from pyspark_pipeline_framework_spark.llm.dedup import (
+                    incremental_candidate_pairs,
+                    minhash_bands,
+                )
+
+                m, j = spec["split"]
+                kw = dict(num_hashes=spec["h"], bands=spec["b"],
+                          shingle_k=spec["k"], hash_fn="md5")
+                return incremental_candidate_pairs(
+                    minhash_bands(d.where(F.col("doc_id") % m == j), **kw),
+                    minhash_bands(d.where(F.col("doc_id") % m != j), **kw),
+                )
             return minhash_candidate_pairs(
                 d, num_hashes=spec["h"], bands=spec["b"],
                 shingle_k=spec["k"], hash_fn="md5",
