@@ -150,3 +150,64 @@ def sessionize(df: DataFrame, key_col: str) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
     )
+
+
+def incremental_neardup_batch(
+    store_path: str,
+    pairs_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    hash_fn: str = "xxhash64",
+):
+    """``foreachBatch`` factory: streaming NEAR-dup detection — the
+    stateful big sibling of :func:`streaming_dedup` (which is
+    exact-key). Each micro-batch is MinHash-banded
+    (:func:`~pyspark_pipeline_framework_spark.llm.dedup.minhash_bands`),
+    joined against the parquet band store accumulated from all previous
+    batches (:func:`~pyspark_pipeline_framework_spark.llm.dedup.incremental_candidate_pairs`
+    — new×new plus new×history, never history×history), and appended to
+    the store. State lives in the store parquet, not the executors:
+    unbounded corpus history costs zero state-store memory, and a
+    1000-executor job shuffles only (id, band_idx, band_hash) longs.
+
+    Retry-idempotent by construction: each batch writes
+    ``<path>/batch_id=N`` with ``overwrite`` — a replayed micro-batch
+    (foreachBatch's at-least-once contract) overwrites its own
+    partition instead of double-appending, and the corpus read filters
+    ``batch_id < N`` so a half-written previous attempt of the SAME
+    batch never joins as history.
+
+    Returns ``process(batch_df, batch_id)`` for
+    ``writeStream.foreachBatch`` (or ``ForeachBatchSink``).
+    """
+    from pyspark.sql import functions as F
+
+    from pyspark_pipeline_framework_spark.llm.dedup import (
+        incremental_candidate_pairs,
+        minhash_bands,
+    )
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        new = minhash_bands(
+            batch_df, id_col, text_col, num_hashes, bands, shingle_k, hash_fn
+        )
+        # the band rows feed two consumers (pair join + store append);
+        # eager localCheckpoint computes the signature pipeline once
+        new = new.localCheckpoint(eager=True)
+        try:
+            corpus = (
+                spark.read.parquet(store_path)
+                .where(F.col("batch_id") < F.lit(batch_id))
+                .drop("batch_id")
+            )
+        except Exception:  # first batch: no store yet
+            corpus = spark.createDataFrame([], new.schema)
+        pairs = incremental_candidate_pairs(new, corpus)
+        pairs.write.mode("overwrite").parquet(f"{pairs_path}/batch_id={batch_id}")
+        new.write.mode("overwrite").parquet(f"{store_path}/batch_id={batch_id}")
+
+    return process
