@@ -12,6 +12,10 @@ standard stateful patterns:
   ``applyInPandasWithState`` operators: per-key state carried across
   micro-batches with timeout-driven eviction (Arrow-batched; state is
   a tuple, not a DataFrame — executors hold it in the state store).
+* :func:`incremental_neardup_batch` — streaming NEAR-dup (MinHash-LSH)
+  whose state is the parquet band store, not the state store: corpus
+  history is unbounded at zero executor memory, micro-batch replays
+  are idempotent via per-batch-id overwrite partitions.
 
 Both run identically under availableNow (tests) and continuous
 micro-batch triggers (production).
