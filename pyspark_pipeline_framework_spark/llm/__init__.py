@@ -31,6 +31,9 @@ from pyspark_pipeline_framework_spark.llm.similarity import (
     cosine_topk_bruteforce,
     cosine_topk_lsh,
     embedding_dedup_pairs,
+    ivf_add,
+    ivf_index,
+    ivf_search,
 )
 from pyspark_pipeline_framework_spark.llm.packing import pack_sequences, split_by_hash
 
@@ -52,6 +55,9 @@ __all__ = [
     "cosine_topk_bruteforce",
     "cosine_topk_lsh",
     "embedding_dedup_pairs",
+    "ivf_add",
+    "ivf_index",
+    "ivf_search",
     "pack_sequences",
     "split_by_hash",
 ]

@@ -203,6 +203,11 @@ def minhash_signature(
         # are materialized as explicit projection columns so the md5 is
         # guaranteed computed once per group (not relying on aggregate-
         # expression CSE), then the 64 mins run over cheap substrings.
+        # Measured-but-rejected next step: sha2-256 groups (64 hex → 8
+        # words/digest, 9 calls instead of 17) are only 17% faster on
+        # the signature stage at ×10 (<10% end-to-end) — not worth
+        # breaking the md5-only portability story every oracle,
+        # fuzzer shape, and doc already encodes.
         # REJECTED alternative (r5, measured): Kirsch-Mitzenmacher
         # double hashing (perm_i = a + i·b from two md5s) cuts 65 md5s
         # to 3 but CORRELATES adjacent permutations ACROSS SHINGLES —

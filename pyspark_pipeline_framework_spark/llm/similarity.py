@@ -499,6 +499,148 @@ def ivf_train_centroids(
     return C
 
 
+IVF_CENTROID_SCHEMA = "cell int, centroid array<double>"
+
+
+def centroids_to_df(spark, C: "np.ndarray") -> DataFrame:
+    """The trained coarse quantizer as a (tiny: nlist rows) DataFrame —
+    the persistable half of an IVF index. Write it next to the
+    assigned-vectors store; :func:`centroids_from_df` reads it back."""
+    return spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(C)],
+        IVF_CENTROID_SCHEMA,
+    )
+
+
+def centroids_from_df(cdf: DataFrame) -> "np.ndarray":
+    """Inverse of :func:`centroids_to_df`. The collect is bounded by
+    nlist (a model hyperparameter, not data size)."""
+    return np.array(
+        [r.centroid for r in cdf.orderBy("cell").collect()], dtype="float64"
+    )
+
+
+def _as_centroid_matrix(centroids) -> "np.ndarray":
+    return centroids_from_df(centroids) if isinstance(centroids, DataFrame) else centroids
+
+
+def ivf_index(
+    corpus: DataFrame,
+    dim: int,
+    nlist: int = 16,
+    train_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    mode: str = "fast",
+    train_sample: int | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Build a PERSISTABLE IVF index: returns ``(centroids, assigned)``
+    where ``centroids`` is the nlist-row quantizer
+    (:data:`IVF_CENTROID_SCHEMA`) and ``assigned`` is the vector store
+    ``(id, vec, norm, cell)`` — one row per corpus vector, cell
+    assignment frozen under the trained quantizer.
+
+    The incremental-100 TB recipe (FAISS's train-once/add-forever
+    contract, re-expressed as DataFrames): write both outputs to
+    parquet — ``assigned`` partitioned or bucketed by ``cell`` so a
+    search's cell equi-join prunes to the probed cells — then index
+    each new embedding batch with :func:`ivf_add` (map-only, no
+    retraining, no touch of the existing store) and append. Search
+    any union of stores with :func:`ivf_search`."""
+    corpus = drop_corrupt_vectors(corpus, vec_col, dim)
+    if mode == "exact":
+        C = ivf_train_centroids_exact(
+            corpus, dim, nlist=nlist, train_iters=train_iters,
+            id_col=id_col, vec_col=vec_col, train_sample=train_sample,
+        )
+    elif mode == "fast":
+        C = ivf_train_centroids(
+            corpus, dim, nlist=nlist, train_iters=train_iters,
+            id_col=id_col, vec_col=vec_col, train_sample=train_sample,
+        )
+    else:
+        raise ValueError(f"mode must be 'fast' or 'exact', got {mode!r}")
+    return centroids_to_df(corpus.sparkSession, C), ivf_add(
+        corpus, C, dim, id_col=id_col, vec_col=vec_col, mode=mode,
+        _pre_validated=True,
+    )
+
+
+def ivf_add(
+    embeddings: DataFrame,
+    centroids,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    mode: str = "fast",
+    _pre_validated: bool = False,
+) -> DataFrame:
+    """Assign a (new) embedding batch to the FROZEN quantizer — the
+    map-only incremental step: no shuffle, no retraining, the existing
+    store untouched. ``centroids`` is the DataFrame from
+    :func:`ivf_index`/parquet or the raw matrix. Append the result to
+    the assigned store."""
+    if not _pre_validated:
+        embeddings = drop_corrupt_vectors(embeddings, vec_col, dim)
+    C = _as_centroid_matrix(centroids)
+    assign1 = (ivf_cells_exact_udf if mode == "exact" else ivf_cells_udf)(C, 1)
+    return embeddings.select(
+        F.col(id_col),
+        F.col(vec_col).alias("vec"),
+        _norm(F.col(vec_col)).alias("norm"),
+        assign1(F.col(vec_col)).getItem(0).alias("cell"),
+    )
+
+
+def ivf_search(
+    assigned: DataFrame,
+    centroids,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    mode: str = "fast",
+) -> DataFrame:
+    """Top-k cosine search over an assigned IVF store (from
+    :func:`ivf_index`/:func:`ivf_add`, possibly read back from
+    parquet): queries probe their ``nprobe`` closest cells, the cell
+    equi-join against the (broadcast) query side is the only wide
+    operation, then a per-query top-k window. With the store
+    partitioned by ``cell``, partition pruning drops the unprobed
+    cells at the scan."""
+    queries = drop_corrupt_vectors(queries, vec_col, dim)
+    C = _as_centroid_matrix(centroids)
+    probe = (ivf_cells_exact_udf if mode == "exact" else ivf_cells_udf)(C, nprobe)
+    qb = queries.select(
+        F.col(query_id_col),
+        F.col(vec_col).alias("__qvec"),
+        _norm(F.col(vec_col)).alias("__qn"),
+        F.explode(probe(F.col(vec_col))).alias("cell"),
+    )
+    scored = (
+        assigned.join(F.broadcast(qb), "cell")
+        .filter(F.col(query_id_col) != F.col(id_col))
+        .select(
+            query_id_col,
+            id_col,
+            (
+                _dot_decimal(F.col("__qvec"), F.col("vec"))
+                / (F.col("__qn") * F.col("norm"))
+            ).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cos_sim").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def cosine_topk_ivf(
     corpus: DataFrame,
     queries: DataFrame,
@@ -526,56 +668,34 @@ def cosine_topk_ivf(
 
     ``mode``: ``"fast"`` = xxhash64 sample + float BLAS Lloyd/assign;
     ``"exact"`` = md5-ordered sample + fixed-point Lloyd/assign —
-    every stage (including training) replayable in SQL."""
+    every stage (including training) replayable in SQL.
+
+    This is the one-shot composition of the incremental primitives:
+    train (:func:`ivf_train_centroids`/``_exact``) → assign
+    (:func:`ivf_add`) → probe (:func:`ivf_search`) — batch and
+    incremental paths share the assignment and search code, so an
+    index built once and grown with :func:`ivf_add` returns exactly
+    what this returns over the same vectors."""
     corpus = drop_corrupt_vectors(corpus, vec_col, dim)
-    queries = drop_corrupt_vectors(queries, vec_col, dim)
     if mode == "exact":
         C = ivf_train_centroids_exact(
             corpus, dim, nlist=nlist, train_iters=train_iters,
             id_col=id_col, vec_col=vec_col, train_sample=train_sample,
         )
-        assign1 = ivf_cells_exact_udf(C, 1)
-        probe = ivf_cells_exact_udf(C, nprobe)
     elif mode == "fast":
         C = ivf_train_centroids(
             corpus, dim, nlist=nlist, train_iters=train_iters,
             id_col=id_col, vec_col=vec_col, train_sample=train_sample,
         )
-        assign1 = ivf_cells_udf(C, 1)
-        probe = ivf_cells_udf(C, nprobe)
     else:
         raise ValueError(f"mode must be 'fast' or 'exact', got {mode!r}")
-
-    cb = ensure_parallelism(corpus).select(
-        F.col(id_col),
-        F.col(vec_col).alias("__cvec"),
-        _norm(F.col(vec_col)).alias("__cn"),
-        assign1(F.col(vec_col)).getItem(0).alias("__cell"),
+    assigned = ivf_add(
+        ensure_parallelism(corpus), C, dim,
+        id_col=id_col, vec_col=vec_col, mode=mode, _pre_validated=True,
     )
-    qb = queries.select(
-        F.col(query_id_col),
-        F.col(vec_col).alias("__qvec"),
-        _norm(F.col(vec_col)).alias("__qn"),
-        F.explode(probe(F.col(vec_col))).alias("__cell"),
-    )
-    scored = (
-        cb.join(F.broadcast(qb), "__cell")
-        .filter(F.col(query_id_col) != F.col(id_col))
-        .select(
-            query_id_col,
-            id_col,
-            (
-                _dot_decimal(F.col("__qvec"), F.col("__cvec"))
-                / (F.col("__qn") * F.col("__cn"))
-            ).alias("cos_sim"),
-        )
-    )
-    w = Window.partitionBy(query_id_col).orderBy(
-        F.col("cos_sim").desc(), F.col(id_col).asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("rank") <= k)
+    return ivf_search(
+        assigned, C, queries, dim, k=k, nprobe=nprobe,
+        id_col=id_col, vec_col=vec_col, query_id_col=query_id_col, mode=mode,
     )
 
 

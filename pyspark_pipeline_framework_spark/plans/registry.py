@@ -206,6 +206,73 @@ def op_dedup_incremental_pairs(
     )
 
 
+@default_registry.register("ivf_train")
+def op_ivf_train(
+    spark: SparkSession, catalog: Catalog, *, output: str, input: str, dim: int, **params
+) -> DataFrame:
+    """Train the IVF coarse quantizer once; persist the (nlist-row)
+    centroid table and grow the index forever with ``op: ivf_add``."""
+    from pyspark_pipeline_framework_spark.llm.similarity import (
+        centroids_to_df,
+        drop_corrupt_vectors,
+        ivf_train_centroids,
+        ivf_train_centroids_exact,
+    )
+
+    mode = params.pop("mode", "fast")
+    trainer = ivf_train_centroids_exact if mode == "exact" else ivf_train_centroids
+    vec_col = params.get("vec_col", "embedding")
+    corpus = drop_corrupt_vectors(catalog.get(input), vec_col, dim)
+    return catalog.put(output, centroids_to_df(spark, trainer(corpus, dim, **params)))
+
+
+@default_registry.register("ivf_add")
+def op_ivf_add(
+    spark: SparkSession,
+    catalog: Catalog,
+    *,
+    output: str,
+    input: str,
+    centroids: str,
+    dim: int,
+    **params,
+) -> DataFrame:
+    """Map-only assignment of an embedding batch under the frozen
+    quantizer — append the result to the assigned store."""
+    from pyspark_pipeline_framework_spark.llm.similarity import ivf_add
+
+    return catalog.put(
+        output, ivf_add(catalog.get(input), catalog.get(centroids), dim, **params)
+    )
+
+
+@default_registry.register("ivf_search")
+def op_ivf_search(
+    spark: SparkSession,
+    catalog: Catalog,
+    *,
+    output: str,
+    assigned: str,
+    centroids: str,
+    queries: str,
+    dim: int,
+    **params,
+) -> DataFrame:
+    """Top-k cosine search over the assigned IVF store."""
+    from pyspark_pipeline_framework_spark.llm.similarity import ivf_search
+
+    return catalog.put(
+        output,
+        ivf_search(
+            catalog.get(assigned),
+            catalog.get(centroids),
+            catalog.get(queries),
+            dim,
+            **params,
+        ),
+    )
+
+
 @default_registry.register("language_id")
 def op_language_id(
     spark: SparkSession, catalog: Catalog, *, output: str, input: str, **params

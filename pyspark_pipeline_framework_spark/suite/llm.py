@@ -747,6 +747,36 @@ def q_sim_knn_ivf_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("query_id", "vec_id", "cos_sim", "rank")
 
 
+@case("q_sim_knn_ivf_incr", oracle=_ivf_exact_oracle())
+def q_sim_knn_ivf_incr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The INCREMENTAL IVF path under the same oracle as the one-shot:
+    quantizer trained once on the full corpus, vectors then indexed in
+    two separate ivf_add batches (FAISS's train-once/add-forever
+    contract), searched over the unioned store. Because assignment is
+    map-only and deterministic under the frozen quantizer, the grown
+    index must return bit-identical results to the batch pipeline the
+    SQL oracle replays."""
+    from pyspark_pipeline_framework_spark.llm.similarity import (
+        ivf_add,
+        ivf_index,
+        ivf_search,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cdf, _ = ivf_index(emb, dim=64, nlist=8, mode="exact", train_sample=256)
+    store = ivf_add(
+        emb.where(F.col("vec_id") % 2 == 0), cdf, dim=64, mode="exact"
+    ).union(
+        ivf_add(emb.where(F.col("vec_id") % 2 == 1), cdf, dim=64, mode="exact")
+    )
+    return ivf_search(
+        store, cdf, queries, dim=64, k=5, nprobe=3, mode="exact"
+    ).select("query_id", "vec_id", "cos_sim", "rank")
+
+
 @case(
     "q_llm_pipeline",
     oracle=r"""

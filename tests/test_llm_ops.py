@@ -903,3 +903,83 @@ def test_incremental_lifecycle_daily_appends(spark, docs, tmp_path):
     store_df = spark.read.parquet(store)
     assert store_df.count() == n_docs * 16
     assert store_df.select("id").distinct().count() == n_docs
+
+
+def test_ivf_index_parquet_roundtrip_matches_oneshot(spark, sf_dir, tmp_path):
+    """ivf_index → parquet → ivf_search must equal the one-shot
+    cosine_topk_ivf (same deterministic training), proving the
+    persisted index is the same model."""
+    from pyspark_pipeline_framework_spark.llm.similarity import (
+        cosine_topk_ivf,
+        ivf_index,
+        ivf_search,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    kw = dict(dim=64, nlist=8, mode="exact", train_sample=256)
+    cdf, assigned = ivf_index(emb, **kw)
+    cdir, adir = str(tmp_path / "centroids"), str(tmp_path / "assigned")
+    cdf.write.parquet(cdir)
+    assigned.write.partitionBy("cell").parquet(adir)
+    got = sorted(
+        map(
+            tuple,
+            ivf_search(
+                spark.read.parquet(adir),
+                spark.read.parquet(cdir),
+                queries,
+                dim=64, k=5, nprobe=3, mode="exact",
+            ).collect(),
+        )
+    )
+    want = sorted(
+        map(
+            tuple,
+            cosine_topk_ivf(
+                emb, queries, dim=64, k=5, nlist=8, nprobe=3,
+                mode="exact", train_sample=256,
+            ).collect(),
+        )
+    )
+    assert got == want and want
+
+
+def test_ivf_add_incremental_equals_batch_assignment(spark, sf_dir, tmp_path):
+    """FAISS's train-once/add-forever contract: vectors added in later
+    batches under the frozen quantizer land in the same cells — and
+    search over the grown store equals search over a one-shot
+    assignment of everything."""
+    from pyspark_pipeline_framework_spark.llm.similarity import (
+        centroids_from_df,
+        ivf_add,
+        ivf_index,
+        ivf_search,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    day0 = emb.where(F.col("vec_id") % 2 == 0)
+    day1 = emb.where(F.col("vec_id") % 2 == 1)
+    cdf, assigned0 = ivf_index(day0, dim=64, nlist=8, mode="exact", train_sample=256)
+    store = str(tmp_path / "store")
+    cdir = str(tmp_path / "centroids")
+    cdf.write.parquet(cdir)
+    assigned0.write.parquet(store)
+    # the incremental step reads the persisted quantizer — no retrain
+    frozen = spark.read.parquet(cdir)
+    ivf_add(day1, frozen, dim=64, mode="exact").write.mode("append").parquet(store)
+
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = sorted(map(tuple, ivf_search(
+        spark.read.parquet(store), frozen, queries, dim=64, k=5, nprobe=3,
+        mode="exact",
+    ).collect()))
+    want = sorted(map(tuple, ivf_search(
+        ivf_add(emb, centroids_from_df(cdf), dim=64, mode="exact"),
+        cdf, queries, dim=64, k=5, nprobe=3, mode="exact",
+    ).collect()))
+    assert got == want and want

@@ -886,3 +886,42 @@ def test_incremental_dedup_registry_ops(spark, sf_dir, tmp_path):
         )
     )
     assert sorted(map(tuple, runner.catalog.get("pairs").collect())) == want
+
+
+def test_ivf_registry_ops(spark, sf_dir):
+    """op:ivf_train / op:ivf_add / op:ivf_search compose the config-path
+    ANN pipeline to the same results as cosine_topk_ivf directly."""
+    from pyspark_pipeline_framework_spark.io.readers import table as rtable
+    from pyspark_pipeline_framework_spark.llm.similarity import cosine_topk_ivf
+
+    comps = [
+        {"name": "emb", "op": "read", "output": "emb",
+         "params": {"format": "parquet", "path": f"{sf_dir}/embeddings.parquet"}},
+        {"name": "queries", "op": "sql", "output": "queries",
+         "depends_on": ["emb"],
+         "params": {"sql": "SELECT vec_id AS query_id, embedding FROM emb "
+                           "WHERE vec_id < 5"}},
+        {"name": "train", "op": "ivf_train", "output": "centroids",
+         "depends_on": ["emb"],
+         "params": {"input": "emb", "dim": 64, "nlist": 8, "mode": "exact",
+                    "train_sample": 256}},
+        {"name": "index", "op": "ivf_add", "output": "assigned",
+         "depends_on": ["train"],
+         "params": {"input": "emb", "centroids": "centroids", "dim": 64,
+                    "mode": "exact"}},
+        {"name": "search", "op": "ivf_search", "output": "knn",
+         "depends_on": ["index", "queries"],
+         "params": {"assigned": "assigned", "centroids": "centroids",
+                    "queries": "queries", "dim": 64, "k": 5, "nprobe": 3,
+                    "mode": "exact"}},
+    ]
+    cfg = PipelineConfig.from_dict({"name": "ivf_ops", "components": comps})
+    runner = PipelineRunner(cfg, spark, resilience=NO_RETRY)
+    assert runner.run().status == PipelineStatus.SUCCESS
+    emb = rtable(spark, sf_dir, "embeddings")
+    queries = emb.filter(emb.vec_id < 5).selectExpr("vec_id AS query_id", "embedding")
+    want = sorted(map(tuple, cosine_topk_ivf(
+        emb, queries, dim=64, k=5, nlist=8, nprobe=3, mode="exact",
+        train_sample=256,
+    ).collect()))
+    assert sorted(map(tuple, runner.catalog.get("knn").collect())) == want
