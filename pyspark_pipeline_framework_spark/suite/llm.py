@@ -655,6 +655,7 @@ def _ivf_exact_oracle(
     train_iters: int = 2,
     n_train: int = 256,
     k: int = 5,
+    n_query: int = 5,
 ) -> str:
     """Oracle that replays the ENTIRE IVF pipeline in SQL — including
     training: md5-ordered sample, init centroids, each Lloyd iteration
@@ -711,7 +712,7 @@ def _ivf_exact_oracle(
         SELECT e.vec_id AS query_id, c.j AS cell,
                ROW_NUMBER() OVER (PARTITION BY e.vec_id
                                   ORDER BY {_o_doti("e.embedding", "c.c")} DESC, c.j) AS r
-        FROM embeddings e CROSS JOIN {final} c WHERE e.vec_id < 5) WHERE r <= {nprobe})""",
+        FROM embeddings e CROSS JOIN {final} c WHERE e.vec_id < {n_query}) WHERE r <= {nprobe})""",
         """cand AS (
       SELECT p.query_id, cc.vec_id
       FROM probe p JOIN corpuscell cc ON cc.cell = p.cell AND cc.vec_id <> p.query_id)""",

@@ -293,6 +293,8 @@ class Gen:
             return self.minhash_pipeline()
         if r.random() < 0.02:
             return self.ngram_pipeline()
+        if r.random() < 0.015:
+            return self.ivf_pipeline()
         if r.random() < 0.05:
             return self.textops_pipeline()
         if r.random() < 0.04:
@@ -759,6 +761,25 @@ class Gen:
                         if r.random() < 0.5 else None,
                 "terminal": {"op": "minhash"}}
 
+    def ivf_pipeline(self) -> dict:
+        """Parameterized exact-mode IVF ANN differential: random
+        (nlist, nprobe, k, train_sample, query count) through the
+        engine's trained coarse quantizer vs the suite's parameterized
+        SQL oracle, which replays TRAINING (md5-ordered sample +
+        fixed-point Lloyd) as well as search — fuzzing the one
+        trained-model operator family. 40% of specs assign the corpus
+        through two separate frozen-quantizer ivf_add batches (the
+        incremental index path) instead of the one-shot pipeline."""
+        r = self.r
+        return {"kind": "ivf", "base": "embeddings", "stages": [],
+                "nlist": r.choice([4, 8, 16]),
+                "nprobe": r.randint(1, 4),
+                "k": r.choice([3, 5, 8]),
+                "n_train": r.choice([128, 256]),
+                "n_query": r.choice([3, 5, 8]),
+                "incremental": r.random() < 0.4,
+                "terminal": {"op": "ivf"}}
+
     def ngram_pipeline(self) -> dict:
         """Parameterized exact n-gram Jaccard differential: random
         (shingle_k, threshold, hot-shingle cap, input filter) through
@@ -1167,6 +1188,13 @@ def to_sql(spec: dict) -> str:
                     f"FROM src GROUP BY lang")
         cols = ", ".join(f"{feat_sql[f]} AS {f}" for f in spec["feats"])
         return f"WITH src AS ({src}) SELECT doc_id, {cols} FROM src"
+    if spec.get("kind") == "ivf":
+        from pyspark_pipeline_framework_spark.suite.llm import _ivf_exact_oracle
+
+        return _ivf_exact_oracle(
+            nlist=spec["nlist"], nprobe=spec["nprobe"], k=spec["k"],
+            n_train=spec["n_train"], n_query=spec["n_query"],
+        )
     if spec.get("kind") in ("minhash", "ngram"):
         src = "SELECT * FROM documents" + (
             f" WHERE {spec['pred']}" if spec["pred"] else "")
@@ -1637,6 +1665,36 @@ def to_spark(spec: dict, spark, sf_dir: str, base_df=None):
             )
         return d.select(
             "doc_id", *[feat_col[f].alias(f) for f in spec["feats"]])
+    if spec.get("kind") == "ivf":
+        from pyspark_pipeline_framework_spark.llm.similarity import (
+            cosine_topk_ivf,
+            ivf_add,
+            ivf_index,
+            ivf_search,
+        )
+
+        emb = table(spark, sf_dir, "embeddings")
+        queries = emb.filter(F.col("vec_id") < spec["n_query"]).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        kw = dict(dim=64, mode="exact", train_sample=spec["n_train"])
+        if spec["incremental"]:
+            cdf, _ = ivf_index(emb, nlist=spec["nlist"], **kw)
+            store = ivf_add(
+                emb.where(F.col("vec_id") % 2 == 0), cdf, dim=64, mode="exact"
+            ).union(
+                ivf_add(emb.where(F.col("vec_id") % 2 == 1), cdf, dim=64, mode="exact")
+            )
+            out = ivf_search(
+                store, cdf, queries, dim=64, k=spec["k"],
+                nprobe=spec["nprobe"], mode="exact",
+            )
+        else:
+            out = cosine_topk_ivf(
+                emb, queries, k=spec["k"], nlist=spec["nlist"],
+                nprobe=spec["nprobe"], **kw,
+            )
+        return out.select("query_id", "vec_id", "cos_sim", "rank")
     if spec.get("kind") in ("minhash", "ngram"):
         from pyspark_pipeline_framework_spark.llm.dedup import (
             minhash_candidate_pairs,
@@ -1792,7 +1850,7 @@ def is_portable_sql(spec: dict) -> bool:
     ASOF JOIN, unnest(string_split(...)), the WINDOW-clause session
     oracle, and json_extract_string (derive_json)."""
     if spec.get("kind") in ("asof", "explode", "session", "minhash", "ngram",
-                            "textops", "dq", "funnel"):
+                            "ivf", "textops", "dq", "funnel"):
         return False
     return not any(st["op"] == "derive_json" for st in spec["stages"])
 
