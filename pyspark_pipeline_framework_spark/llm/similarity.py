@@ -126,7 +126,15 @@ def embedding_dedup_pairs(
     block — a cluster id, LSH bucket, or shard key); without it this is
     a full self-join and only safe on small corpora. The 100 TB recipe:
     ``lsh_bucket`` as the block column, then this as the exact verify
-    stage — same candidate/verify split as MinHash + Jaccard."""
+    stage — same candidate/verify split as MinHash + Jaccard.
+
+    Join strategy is deliberately left to AQE — the opposite of the
+    banding self-joins in ``llm.dedup``, which force a shuffle join:
+    there the payload is 3 small columns and the upstream (shingle →
+    md5 signature) is expensive, so a broadcast's double subtree
+    execution dominates; here the payload is the full vector and the
+    upstream just a norm, so shuffling vectors on both sides costs
+    more than recomputing the norm (measured 1.5s vs 2.6s at ×10)."""
     # norms are computed ONCE per vector before the pair join — per-pair
     # cosine is then a single dot-product fold (3× fewer decimal folds)
     corpus = drop_corrupt_vectors(corpus, vec_col)

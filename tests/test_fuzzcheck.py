@@ -26,8 +26,12 @@ SF = "/root/testdata/sf0.001"
 
 @pytest.fixture(scope="module")
 def con():
+    from pyspark_pipeline_framework_spark.io.readers import STAR_TABLES
+
     c = duckdb.connect()
-    for t in fuzzcheck.TABLES:
+    # the full star schema, matching the runner — the ivf shape reads
+    # embeddings, which is not a relational-grammar table
+    for t in STAR_TABLES:
         c.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
     return c
 
@@ -55,7 +59,7 @@ def test_sql_renderer_parses_in_duckdb(con, stats):
     assert {"agg", "window", "distinct", "sortlimit", "setop",
             # r6 blind-spot shapes must all be generated and parse
             "asof", "range", "theta", "subq", "cte", "explode",
-            "session", "minhash", "ngram"} <= kinds
+            "session", "minhash", "ngram", "ivf"} <= kinds
 
 
 def test_no_order_sensitive_terminal_without_total_order(stats):
@@ -65,6 +69,8 @@ def test_no_order_sensitive_terminal_without_total_order(stats):
         spec = spec_for(555, i, stats)
         t = spec["terminal"]
         joined_from = spec["base"]
+        if joined_from not in fuzzcheck.TABLES:  # ivf reads embeddings
+            continue
         has_order = bool(fuzzcheck.TABLES[joined_from]["pk"])
         if not has_order:
             assert t["op"] != "sortlimit"
