@@ -611,14 +611,24 @@ def ivf_search(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     mode: str = "fast",
+    prune_cells: bool = False,
 ) -> DataFrame:
     """Top-k cosine search over an assigned IVF store (from
     :func:`ivf_index`/:func:`ivf_add`, possibly read back from
     parquet): queries probe their ``nprobe`` closest cells, the cell
     equi-join against the (broadcast) query side is the only wide
-    operation, then a per-query top-k window. With the store
-    partitioned by ``cell``, partition pruning drops the unprobed
-    cells at the scan."""
+    operation, then a per-query top-k window.
+
+    ``prune_cells=True`` pre-computes the probed cell SET (one extra
+    map-only pass over the queries; the collect is bounded by nlist —
+    a model hyperparameter — no matter how many queries there are) and
+    applies it as a literal ``IN`` filter, so a store written
+    ``partitionBy("cell")`` is STATICALLY partition-pruned at the scan.
+    The default leaves it to dynamic partition pruning, whose cost
+    heuristic may decline on small stores (observed: the DPP
+    subquery collapses to ``true`` at test scale) — turn this on
+    whenever the probed fraction ``nprobe/nlist`` is small and the
+    store is partitioned."""
     queries = drop_corrupt_vectors(queries, vec_col, dim)
     C = _as_centroid_matrix(centroids)
     probe = (ivf_cells_exact_udf if mode == "exact" else ivf_cells_udf)(C, nprobe)
@@ -628,6 +638,11 @@ def ivf_search(
         _norm(F.col(vec_col)).alias("__qn"),
         F.explode(probe(F.col(vec_col))).alias("cell"),
     )
+    if prune_cells:
+        probed = sorted(
+            r.cell for r in qb.select("cell").distinct().collect()  # ≤ nlist rows
+        )
+        assigned = assigned.where(F.col("cell").isin(probed))
     scored = (
         assigned.join(F.broadcast(qb), "cell")
         .filter(F.col(query_id_col) != F.col(id_col))

@@ -983,3 +983,27 @@ def test_ivf_add_incremental_equals_batch_assignment(spark, sf_dir, tmp_path):
         cdf, queries, dim=64, k=5, nprobe=3, mode="exact",
     ).collect()))
     assert got == want and want
+
+
+def test_ivf_search_prune_cells_static_partition_pruning(spark, sf_dir, tmp_path):
+    """prune_cells=True must (a) return identical results and (b) push
+    a literal cell filter into the partitioned store's scan — static
+    partition pruning, not dependent on the DPP cost heuristic."""
+    from pyspark_pipeline_framework_spark.llm.similarity import ivf_index, ivf_search
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cdf, assigned = ivf_index(emb, dim=64, nlist=8, mode="exact", train_sample=256)
+    store = str(tmp_path / "store")
+    assigned.write.partitionBy("cell").parquet(store)
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    kw = dict(dim=64, k=5, nprobe=2, mode="exact")
+    pruned = ivf_search(spark.read.parquet(store), cdf, queries, prune_cells=True, **kw)
+    plain = ivf_search(spark.read.parquet(store), cdf, queries, **kw)
+    assert sorted(map(tuple, pruned.collect())) == sorted(map(tuple, plain.collect()))
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "cell" in m.group(1) and (" IN " in m.group(1) or "in(" in m.group(1).lower()), m
