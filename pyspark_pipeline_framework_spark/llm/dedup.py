@@ -317,7 +317,7 @@ def minhash_bands(
 
 
 def incremental_candidate_pairs(
-    new_bands: DataFrame, corpus_bands: DataFrame
+    new_bands: DataFrame, corpus_bands: DataFrame, validate: bool = False
 ) -> DataFrame:
     """Incremental MinHash-LSH: candidate pairs that TOUCH the new
     batch — new×new (bucket self-join) plus new×corpus (two-sided
@@ -335,7 +335,25 @@ def incremental_candidate_pairs(
 
     Returns distinct ``(id_a, id_b)``, ``id_a < id_b``; ids present in
     both stores (a re-ingested document) never pair with themselves.
+
+    Both stores MUST be built with identical ``(num_hashes, bands,
+    shingle_k, hash_fn)`` — the band schema cannot carry that, and a
+    mismatch joins incompatible hash spaces, silently missing or
+    fabricating pairs. ``validate=True`` adds a cheap structural check
+    (two 1-row aggregates: the stores' band counts must agree) that
+    catches the most common drift, a changed ``bands``; hash-scheme
+    drift at equal band count is undetectable from the store — version
+    your store paths.
     """
+    if validate:
+        nb_new = new_bands.agg(F.max("band_idx")).first()[0]
+        nb_old = corpus_bands.agg(F.max("band_idx")).first()[0]
+        if nb_new is not None and nb_old is not None and nb_new != nb_old:
+            raise ValueError(
+                f"band-store mismatch: new side has {nb_new + 1} bands, "
+                f"corpus store has {nb_old + 1} — both sides must be built "
+                "with identical (num_hashes, bands, shingle_k, hash_fn)"
+            )
     on = ["band_idx", "band_hash"]
     # merge hint: same self-join double-compute guard as
     # minhash_candidate_pairs (the new batch's band subtree would

@@ -1007,3 +1007,21 @@ def test_ivf_search_prune_cells_static_partition_pruning(spark, sf_dir, tmp_path
 
     m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
     assert m and "cell" in m.group(1) and (" IN " in m.group(1) or "in(" in m.group(1).lower()), m
+
+
+def test_incremental_pairs_validate_catches_band_mismatch(spark, docs):
+    """validate=True must reject joining stores built with different
+    band counts (incompatible hash spaces → silently wrong pairs)."""
+    import pytest as _pytest
+
+    from pyspark_pipeline_framework_spark.llm.dedup import (
+        incremental_candidate_pairs,
+        minhash_bands,
+    )
+
+    b16 = minhash_bands(docs.limit(50), num_hashes=64, bands=16)
+    b8 = minhash_bands(docs.limit(50), num_hashes=64, bands=8)
+    with _pytest.raises(ValueError, match="band-store mismatch"):
+        incremental_candidate_pairs(b16, b8, validate=True)
+    # matching stores pass validation and still work
+    assert incremental_candidate_pairs(b16, b16, validate=True).count() >= 0
