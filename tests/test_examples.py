@@ -105,3 +105,19 @@ def test_incremental_dedup_example(spark):
     store = spark.read.parquet(os.path.join(REPO, ".scratch/examples/band_store"))
     assert set(store.columns) == {"id", "band_idx", "band_hash"}
     assert store.count() > 0
+
+
+def test_ann_index_example(spark):
+    """Incremental IVF ANN through the registry ops declared in HOCON;
+    the knn results, centroid table, and cell-partitioned store all
+    land."""
+    assert main([os.path.join(REPO, "examples", "ann_index.conf")]) == 0
+    knn = spark.read.parquet(os.path.join(REPO, ".scratch/examples/knn"))
+    rows = knn.collect()
+    assert rows and all(1 <= r.rank <= 5 for r in rows)
+    cent = spark.read.parquet(os.path.join(REPO, ".scratch/examples/ann_centroids"))
+    assert cent.count() == 8
+    store_root = os.path.join(REPO, ".scratch/examples/ann_store")
+    store = spark.read.parquet(store_root)
+    assert "cell" in store.columns and store.count() > 0
+    assert any(d.startswith("cell=") for d in os.listdir(store_root))
