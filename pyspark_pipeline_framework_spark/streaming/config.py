@@ -111,8 +111,12 @@ def build_trigger(block: dict[str, Any] | str | None) -> Trigger | None:
 _STREAM_PARAMS = {
     "source", "sink", "transform_sql", "output_mode", "trigger",
     "watermark", "checkpoint", "query_name", "timeout_s", "output",
-    "dedup_keys",
+    "dedup_keys", "neardup",
 }
+
+_NEARDUP_REQUIRED = {"store", "pairs"}
+_NEARDUP_OPTIONAL = {"id_col", "text_col", "num_hashes", "bands",
+                     "shingle_k", "hash_fn"}
 
 
 def validate_stream_params(params: dict[str, Any]) -> None:
@@ -125,10 +129,30 @@ def validate_stream_params(params: dict[str, Any]) -> None:
         raise StreamingConfigError(
             f"unknown stream params {sorted(unknown)} (allowed: {sorted(_STREAM_PARAMS)})"
         )
-    if "source" not in params or "sink" not in params:
+    nd = params.get("neardup")
+    if nd is not None:
+        if not isinstance(nd, dict) or not _NEARDUP_REQUIRED <= set(nd):
+            raise StreamingConfigError(
+                "neardup block requires 'store' and 'pairs' paths, got "
+                f"{nd!r}"
+            )
+        unknown_nd = set(nd) - _NEARDUP_REQUIRED - _NEARDUP_OPTIONAL
+        if unknown_nd:
+            raise StreamingConfigError(
+                f"unknown neardup fields {sorted(unknown_nd)} (allowed: "
+                f"{sorted(_NEARDUP_REQUIRED | _NEARDUP_OPTIONAL)})"
+            )
+        if "sink" in params:
+            raise StreamingConfigError(
+                "neardup and sink are mutually exclusive — the near-dup "
+                "operator IS the sink (foreachBatch writing the pairs and "
+                "band-store parquet)"
+            )
+    if "source" not in params or ("sink" not in params and nd is None):
         raise StreamingConfigError("stream component requires 'source' and 'sink' blocks")
     build_source(params["source"])
-    build_sink(params["sink"])
+    if "sink" in params:
+        build_sink(params["sink"])
     build_trigger(params.get("trigger", "available_now"))
     mode = params.get("output_mode", "append")
     try:
@@ -162,7 +186,7 @@ def run_stream_component(
     spark: SparkSession,
     *,
     source: dict[str, Any],
-    sink: dict[str, Any],
+    sink: dict[str, Any] | None = None,
     transform_sql: str | None = None,
     output_mode: str = "append",
     trigger: dict[str, Any] | str | None = "available_now",
@@ -171,6 +195,7 @@ def run_stream_component(
     query_name: str | None = None,
     timeout_s: float | None = None,
     dedup_keys: list[str] | None = None,
+    neardup: dict[str, Any] | None = None,
 ) -> None:
     """Assemble + run one declarative streaming pipeline. The optional
     ``transform_sql`` sees the (watermarked, deduped) stream as view
@@ -197,9 +222,23 @@ def run_stream_component(
     wm = None
     if watermark:
         wm = (watermark["column"], watermark["delay"])
+    if neardup is not None:
+        from pyspark_pipeline_framework_spark.streaming.sinks import ForeachBatchSink
+        from pyspark_pipeline_framework_spark.streaming.stateful import (
+            incremental_neardup_batch,
+        )
+
+        nd = dict(neardup)
+        built_sink = ForeachBatchSink(
+            incremental_neardup_batch(nd.pop("store"), nd.pop("pairs"), **nd)
+        )
+    else:
+        if sink is None:
+            raise StreamingConfigError("stream component requires a 'sink' block")
+        built_sink = build_sink(sink)
     pipeline = StreamingPipeline(
         source=build_source(source),
-        sink=build_sink(sink),
+        sink=built_sink,
         output_mode=mode,
         trigger=build_trigger(trigger),
         checkpoint_location=checkpoint,

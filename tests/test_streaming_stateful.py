@@ -254,3 +254,44 @@ def test_incremental_neardup_batch_replay_idempotent(spark, tmp_path, sf_dir):
     process(b1, 1)  # replay
     assert sorted(map(tuple, spark.read.parquet(pairs).collect())) == once_pairs
     assert spark.read.parquet(store).count() == once_store
+
+
+def test_config_declared_streaming_neardup(spark, tmp_path, sf_dir):
+    """The declarative path: op:stream with a neardup block (no sink)
+    must run the incremental MinHash foreachBatch operator and land
+    both parquet outputs; load-time validation rejects sink+neardup
+    together and malformed blocks."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from pyspark_pipeline_framework_spark.llm.dedup import minhash_candidate_pairs
+    from pyspark_pipeline_framework_spark.streaming.config import (
+        StreamingConfigError,
+        run_stream_component,
+        validate_stream_params,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    src = str(tmp_path / "in")
+    for i in range(2):
+        docs.where(F.col("doc_id") % 2 == i).coalesce(1).write.mode("append").json(src)
+    store, pairs = str(tmp_path / "store"), str(tmp_path / "pairs")
+    params = {
+        "source": {"type": "file", "path": src, "file_format": "json",
+                   "schema": "doc_id BIGINT, text STRING",
+                   "options": {"maxFilesPerTrigger": "1"}},
+        "neardup": {"store": store, "pairs": pairs},
+        "trigger": "available_now",
+        "checkpoint": str(tmp_path / "ck"),
+        "timeout_s": 120,
+    }
+    validate_stream_params(params)
+    with _pytest.raises(StreamingConfigError, match="mutually exclusive"):
+        validate_stream_params({**params, "sink": {"type": "memory", "query_name": "x"}})
+    with _pytest.raises(StreamingConfigError, match="store"):
+        validate_stream_params({**params, "neardup": {"pairs": pairs}})
+
+    run_stream_component(spark, **params)
+    got = {(r.id_a, r.id_b) for r in spark.read.parquet(pairs).collect()}
+    want = {(r.id_a, r.id_b) for r in minhash_candidate_pairs(docs).collect()}
+    assert got == want and want
