@@ -121,3 +121,19 @@ def test_ann_index_example(spark):
     store = spark.read.parquet(store_root)
     assert "cell" in store.columns and store.count() > 0
     assert any(d.startswith("cell=") for d in os.listdir(store_root))
+
+
+def test_streaming_neardup_example(spark):
+    """Declarative streaming near-dup: the neardup block drains the
+    documents stream into candidate pairs + band store parquet."""
+    import shutil
+
+    for d in ("neardup_store", "neardup_pairs", "neardup_ck"):
+        shutil.rmtree(os.path.join(REPO, ".scratch/examples", d), ignore_errors=True)
+    assert main([os.path.join(REPO, "examples", "streaming_neardup.conf")]) == 0
+    pairs = spark.read.parquet(os.path.join(REPO, ".scratch/examples/neardup_pairs"))
+    got = pairs.collect()
+    assert got and all(r.id_a < r.id_b for r in got)
+    store = spark.read.parquet(os.path.join(REPO, ".scratch/examples/neardup_store"))
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    assert store.select("id").distinct().count() == docs.count()
