@@ -384,6 +384,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     max_doc_freq: int | None = None,
     log_dropped: bool = False,
+    broadcast_sizes: bool = True,
 ) -> DataFrame:
     """EXACT n-gram Jaccard near-dup pairs via an inverted index:
     explode distinct shingles (as 8-byte xxhash64 keys — shuffle hashes,
@@ -454,15 +455,19 @@ def ngram_jaccard_pairs(
         ).alias("p")
     ).select("p.id_a", "p.id_b")
     inter = pairs.groupBy("id_a", "id_b").agg(F.count(F.lit(1)).alias("n_common"))
-    # join the SAME broadcast(sizes) twice with the projection applied
-    # AFTER the join (not inside it) — the two BroadcastExchanges are
-    # then canonically identical and the sizes aggregation is built and
-    # broadcast once, not once per side
-    szb = F.broadcast(sizes)
-    with_a = inter.join(szb, F.col("id_a") == szb["id"]).select(
+    # join the SAME sizes plan twice with the projection applied AFTER
+    # the join (not inside it) — the two sides' plans are canonically
+    # identical, so one broadcast (or one pair of reusable exchanges)
+    # serves both size lookups. broadcast_sizes trades a measured 1.7×
+    # at bench scale (interleaved A/B at ×10: 5.6s vs 9.8s — AQE did
+    # NOT convert the shuffle plan at runtime) against driver memory:
+    # sizes is ~16 bytes/document, fine through ~10^7 docs; beyond
+    # that pass broadcast_sizes=False for the shuffle-join plan.
+    s = F.broadcast(sizes) if broadcast_sizes else sizes
+    with_a = inter.join(s, F.col("id_a") == s["id"]).select(
         "id_a", "id_b", "n_common", F.col("sz").alias("sz_a")
     )
-    with_b = with_a.join(szb, F.col("id_b") == szb["id"]).select(
+    with_b = with_a.join(s, F.col("id_b") == s["id"]).select(
         "id_a", "id_b", "n_common", "sz_a", F.col("sz").alias("sz_b")
     )
     return (

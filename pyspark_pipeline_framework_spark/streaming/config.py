@@ -148,6 +148,13 @@ def validate_stream_params(params: dict[str, Any]) -> None:
                 "operator IS the sink (foreachBatch writing the pairs and "
                 "band-store parquet)"
             )
+        if not params.get("checkpoint"):
+            raise StreamingConfigError(
+                "neardup requires a checkpoint — without one a restarted "
+                "stream's batch ids reset to 0, clobbering the band store's "
+                "existing batch partitions and silently skipping all "
+                "new-vs-history pairs"
+            )
     if "source" not in params or ("sink" not in params and nd is None):
         raise StreamingConfigError("stream component requires 'source' and 'sink' blocks")
     build_source(params["source"])

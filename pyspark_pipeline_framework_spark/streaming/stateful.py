@@ -196,22 +196,28 @@ def incremental_neardup_batch(
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        new = minhash_bands(
+        bands_df = minhash_bands(
             batch_df, id_col, text_col, num_hashes, bands, shingle_k, hash_fn
         )
-        # the band rows feed two consumers (pair join + store append);
-        # eager localCheckpoint computes the signature pipeline once
-        new = new.localCheckpoint(eager=True)
-        try:
-            corpus = (
-                spark.read.parquet(store_path)
-                .where(F.col("batch_id") < F.lit(batch_id))
-                .drop("batch_id")
-            )
-        except Exception:  # first batch: no store yet
-            corpus = spark.createDataFrame([], new.schema)
+        # write the batch's bands FIRST, then read them back for the
+        # pair join: the signature pipeline runs exactly once, nothing
+        # is pinned in executor storage between micro-batches (an
+        # eager localCheckpoint here would accumulate blocks for the
+        # life of a continuous stream), and a mid-batch failure is
+        # still safe — the retry overwrites the same partition before
+        # recomputing pairs
+        new_dir = f"{store_path}/batch_id={batch_id}"
+        bands_df.write.mode("overwrite").parquet(new_dir)
+        store = spark.read.parquet(store_path)
+        new = store.where(F.col("batch_id") == F.lit(batch_id)).drop("batch_id")
+        # batch_id < N (not just != N): a half-written FUTURE partition
+        # cannot exist, but a replayed batch must not see its own prior
+        # attempt as history. Missing-store is impossible here (this
+        # batch just wrote its partition), so no exception swallowing —
+        # any read failure is a real failure and must fail the batch
+        # rather than silently dropping corpus history.
+        corpus = store.where(F.col("batch_id") < F.lit(batch_id)).drop("batch_id")
         pairs = incremental_candidate_pairs(new, corpus)
         pairs.write.mode("overwrite").parquet(f"{pairs_path}/batch_id={batch_id}")
-        new.write.mode("overwrite").parquet(f"{store_path}/batch_id={batch_id}")
 
     return process

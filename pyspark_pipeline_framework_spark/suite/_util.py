@@ -63,13 +63,25 @@ def clear_shared() -> int:
     localCheckpoint blocks. Call between bench sections (sf0.1 →
     ×10) so one section's pinned RDD blocks don't occupy executor
     storage memory while the next section runs at 10× the data.
-    Returns the number of entries released."""
+    Returns the number of entries released.
+
+    Release goes through the JVM's persistent-RDD registry:
+    ``df.rdd.unpersist()`` would be a no-op — ``.rdd`` derives a NEW
+    (unpersisted) javaToPython RDD, not the checkpoint-pinned internal
+    one (verified on Spark 4.1.2: getPersistentRDDs unchanged after
+    it). This therefore unpersists EVERY persistent RDD in the
+    context — correct for the bench process, where the fixture memos
+    are the only pinned state; don't call it from code sharing a
+    session with unrelated caches."""
     with _SHARED_LOCK:
         n = len(_SHARED_DF)
-        for df in _SHARED_DF.values():
-            try:
-                df.rdd.unpersist()
-            except Exception:
-                pass
+        spark = next(iter(_SHARED_DF.values())).sparkSession if _SHARED_DF else None
         _SHARED_DF.clear()
+    if spark is not None:
+        try:
+            it = spark.sparkContext._jsc.sc().getPersistentRDDs().toList().iterator()
+            while it.hasNext():
+                it.next()._2().unpersist(False)
+        except Exception:
+            pass  # best-effort: a failed release only costs memory
     return n

@@ -1025,3 +1025,27 @@ def test_incremental_pairs_validate_catches_band_mismatch(spark, docs):
         incremental_candidate_pairs(b16, b8, validate=True)
     # matching stores pass validation and still work
     assert incremental_candidate_pairs(b16, b16, validate=True).count() >= 0
+
+
+def test_ngram_broadcast_sizes_dial_identical(spark, docs):
+    """broadcast_sizes=False (the >10^7-doc scale path) must return the
+    same pairs as the default broadcast plan."""
+    a = sorted(map(tuple, ngram_jaccard_pairs(
+        docs, shingle_k=3, threshold=0.8, max_doc_freq=50).collect()))
+    b = sorted(map(tuple, ngram_jaccard_pairs(
+        docs, shingle_k=3, threshold=0.8, max_doc_freq=50,
+        broadcast_sizes=False).collect()))
+    assert a == b and a
+
+
+def test_clear_shared_releases_pinned_blocks(spark):
+    """clear_shared must actually release localCheckpoint-pinned RDDs
+    (df.rdd.unpersist() is a no-op — it unpersists a freshly derived
+    RDD, not the pinned internal one)."""
+    from pyspark_pipeline_framework_spark.suite._util import clear_shared, shared_df
+
+    shared_df(spark, ("t_clear", "x"), lambda: spark.range(100))
+    jsc = spark.sparkContext._jsc.sc()
+    assert jsc.getPersistentRDDs().size() >= 1
+    assert clear_shared() >= 1
+    assert jsc.getPersistentRDDs().size() == 0
