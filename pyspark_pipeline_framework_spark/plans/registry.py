@@ -206,6 +206,73 @@ def op_dedup_incremental_pairs(
     )
 
 
+@default_registry.register("dedup_ngram_pairs")
+def op_dedup_ngram_pairs(
+    spark: SparkSession, catalog: Catalog, *, output: str, input: str, **params
+) -> DataFrame:
+    from pyspark_pipeline_framework_spark.llm.dedup import ngram_jaccard_pairs
+
+    return catalog.put(output, ngram_jaccard_pairs(catalog.get(input), **params))
+
+
+@default_registry.register("jaccard_verify")
+def op_jaccard_verify(
+    spark: SparkSession,
+    catalog: Catalog,
+    *,
+    output: str,
+    input: str,
+    candidates: str,
+    **params,
+) -> DataFrame:
+    """The scale composition's verify stage: exact Jaccard over the
+    candidate pairs from ``dedup_minhash_pairs`` /
+    ``dedup_incremental_pairs``."""
+    from pyspark_pipeline_framework_spark.llm.dedup import jaccard_verify
+
+    return catalog.put(
+        output,
+        jaccard_verify(catalog.get(input), catalog.get(candidates), **params),
+    )
+
+
+@default_registry.register("dedup_clusters")
+def op_dedup_clusters(
+    spark: SparkSession,
+    catalog: Catalog,
+    *,
+    output: str,
+    input: str,
+    pairs: str,
+    **params,
+) -> DataFrame:
+    """Near-dup canonicalization: connected components over the pair
+    edge list, keep the smallest id per cluster."""
+    from pyspark_pipeline_framework_spark.llm.dedup import dedup_clusters
+
+    return catalog.put(
+        output, dedup_clusters(catalog.get(input), catalog.get(pairs), **params)
+    )
+
+
+@default_registry.register("decontaminate")
+def op_decontaminate(
+    spark: SparkSession,
+    catalog: Catalog,
+    *,
+    output: str,
+    input: str,
+    eval_set: str,
+    **params,
+) -> DataFrame:
+    """Drop training docs sharing shingles with a (broadcast) eval set."""
+    from pyspark_pipeline_framework_spark.llm.dedup import decontaminate
+
+    return catalog.put(
+        output, decontaminate(catalog.get(input), catalog.get(eval_set), **params)
+    )
+
+
 @default_registry.register("ivf_train")
 def op_ivf_train(
     spark: SparkSession, catalog: Catalog, *, output: str, input: str, dim: int, **params

@@ -925,3 +925,54 @@ def test_ivf_registry_ops(spark, sf_dir):
         train_sample=256,
     ).collect()))
     assert sorted(map(tuple, runner.catalog.get("knn").collect())) == want
+
+
+def test_full_dedup_pipeline_registry_ops(spark, sf_dir):
+    """The complete near-dup pipeline in config: minhash candidates ->
+    exact-Jaccard verify -> connected-components canonicalization ->
+    decontaminate — each stage equal to the operator called directly."""
+    from pyspark.sql import functions as F
+
+    from pyspark_pipeline_framework_spark.io.readers import table as rtable
+    from pyspark_pipeline_framework_spark.llm.dedup import (
+        decontaminate,
+        dedup_clusters,
+        jaccard_verify,
+        minhash_candidate_pairs,
+    )
+
+    comps = [
+        {"name": "load", "op": "read", "output": "docs",
+         "params": {"format": "parquet", "path": f"{sf_dir}/documents.parquet"}},
+        {"name": "eval", "op": "sql", "output": "eval_docs",
+         "depends_on": ["load"],
+         "params": {"sql": "SELECT * FROM docs WHERE doc_id < 5"}},
+        {"name": "cand", "op": "dedup_minhash_pairs", "output": "cand",
+         "depends_on": ["load"], "params": {"input": "docs"}},
+        {"name": "verify", "op": "jaccard_verify", "output": "verified",
+         "depends_on": ["cand"],
+         "params": {"input": "docs", "candidates": "cand", "threshold": 0.8}},
+        {"name": "clusters", "op": "dedup_clusters", "output": "kept",
+         "depends_on": ["verify"],
+         "params": {"input": "docs", "pairs": "verified"}},
+        {"name": "decon", "op": "decontaminate", "output": "clean",
+         "depends_on": ["load", "eval"],
+         "params": {"input": "docs", "eval_set": "eval_docs"}},
+    ]
+    cfg = PipelineConfig.from_dict({"name": "dedup_full", "components": comps})
+    runner = PipelineRunner(cfg, spark, resilience=NO_RETRY)
+    assert runner.run().status == PipelineStatus.SUCCESS
+
+    docs = rtable(spark, sf_dir, "documents")
+    cand = minhash_candidate_pairs(docs)
+    ver = jaccard_verify(docs, cand, threshold=0.8)
+    want_clusters = dedup_clusters(docs, ver)
+    got_clusters = runner.catalog.get("kept")
+    assert sorted(map(tuple, got_clusters.collect())) == sorted(
+        map(tuple, want_clusters.collect())
+    )
+    want_clean = decontaminate(docs, docs.where(F.col("doc_id") < 5))
+    got_clean = runner.catalog.get("clean")
+    assert sorted(map(tuple, got_clean.collect())) == sorted(
+        map(tuple, want_clean.collect())
+    )
