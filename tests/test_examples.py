@@ -137,3 +137,17 @@ def test_streaming_neardup_example(spark):
     store = spark.read.parquet(os.path.join(REPO, ".scratch/examples/neardup_store"))
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     assert store.select("id").distinct().count() == docs.count()
+
+
+def test_neardup_pipeline_example(spark):
+    """The full near-dup chain (candidates -> verify -> clusters ->
+    decontaminate) declared in HOCON lands both outputs."""
+    assert main([os.path.join(REPO, "examples", "neardup_pipeline.conf")]) == 0
+    clusters = spark.read.parquet(
+        os.path.join(REPO, ".scratch/examples/neardup_clusters")
+    )
+    rows = clusters.collect()
+    assert rows and {"doc_id", "cluster_id", "is_duplicate"} <= set(clusters.columns)
+    assert any(r.is_duplicate for r in rows)  # planted near-dups collapse
+    cont = spark.read.parquet(os.path.join(REPO, ".scratch/examples/contamination"))
+    assert cont.count() > 0 and "contaminated" in cont.columns
