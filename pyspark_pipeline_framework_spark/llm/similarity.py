@@ -639,9 +639,15 @@ def ivf_search(
         F.explode(probe(F.col(vec_col))).alias("cell"),
     )
     if prune_cells:
-        probed = sorted(
-            r.cell for r in qb.select("cell").distinct().collect()  # ≤ nlist rows
-        )
+        # materialize the (query-side-sized) probe rows once: the
+        # distinct-cells collect below would otherwise execute the
+        # whole query subtree + probe UDF a second time when the join
+        # runs. The pinned footprint is #queries × nprobe rows — the
+        # side this operator already assumes is the small one (it is
+        # broadcast) — and the collect itself returns ≤ nlist values
+        # no matter how many queries there are.
+        qb = qb.localCheckpoint(eager=True)
+        probed = sorted(r.cell for r in qb.select("cell").distinct().collect())
         assigned = assigned.where(F.col("cell").isin(probed))
     scored = (
         assigned.join(F.broadcast(qb), "cell")

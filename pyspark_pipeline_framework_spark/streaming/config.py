@@ -119,6 +119,37 @@ _NEARDUP_OPTIONAL = {"id_col", "text_col", "num_hashes", "bands",
                      "shingle_k", "hash_fn"}
 
 
+def _check_neardup(nd: Any, *, has_sink: bool, checkpoint: Any) -> None:
+    """Invariants of the ``neardup`` block — enforced both at config
+    load (validate_stream_params) and at runtime (run_stream_component,
+    which is itself a public API and must not run a checkpoint-less
+    near-dup stream: on restart batch ids would reset to 0, clobbering
+    the band store and silently skipping new-vs-history pairs)."""
+    if not isinstance(nd, dict) or not _NEARDUP_REQUIRED <= set(nd):
+        raise StreamingConfigError(
+            f"neardup block requires 'store' and 'pairs' paths, got {nd!r}"
+        )
+    unknown_nd = set(nd) - _NEARDUP_REQUIRED - _NEARDUP_OPTIONAL
+    if unknown_nd:
+        raise StreamingConfigError(
+            f"unknown neardup fields {sorted(unknown_nd)} (allowed: "
+            f"{sorted(_NEARDUP_REQUIRED | _NEARDUP_OPTIONAL)})"
+        )
+    if has_sink:
+        raise StreamingConfigError(
+            "neardup and sink are mutually exclusive — the near-dup "
+            "operator IS the sink (foreachBatch writing the pairs and "
+            "band-store parquet)"
+        )
+    if not checkpoint:
+        raise StreamingConfigError(
+            "neardup requires a checkpoint — without one a restarted "
+            "stream's batch ids reset to 0, clobbering the band store's "
+            "existing batch partitions and silently skipping all "
+            "new-vs-history pairs"
+        )
+
+
 def validate_stream_params(params: dict[str, Any]) -> None:
     """Load-time validation of an ``op: stream`` component's params —
     every malformed block fails when the config is parsed, never
@@ -131,32 +162,15 @@ def validate_stream_params(params: dict[str, Any]) -> None:
         )
     nd = params.get("neardup")
     if nd is not None:
-        if not isinstance(nd, dict) or not _NEARDUP_REQUIRED <= set(nd):
-            raise StreamingConfigError(
-                "neardup block requires 'store' and 'pairs' paths, got "
-                f"{nd!r}"
-            )
-        unknown_nd = set(nd) - _NEARDUP_REQUIRED - _NEARDUP_OPTIONAL
-        if unknown_nd:
-            raise StreamingConfigError(
-                f"unknown neardup fields {sorted(unknown_nd)} (allowed: "
-                f"{sorted(_NEARDUP_REQUIRED | _NEARDUP_OPTIONAL)})"
-            )
-        if "sink" in params:
-            raise StreamingConfigError(
-                "neardup and sink are mutually exclusive — the near-dup "
-                "operator IS the sink (foreachBatch writing the pairs and "
-                "band-store parquet)"
-            )
-        if not params.get("checkpoint"):
-            raise StreamingConfigError(
-                "neardup requires a checkpoint — without one a restarted "
-                "stream's batch ids reset to 0, clobbering the band store's "
-                "existing batch partitions and silently skipping all "
-                "new-vs-history pairs"
-            )
-    if "source" not in params or ("sink" not in params and nd is None):
-        raise StreamingConfigError("stream component requires 'source' and 'sink' blocks")
+        _check_neardup(nd, has_sink="sink" in params,
+                       checkpoint=params.get("checkpoint"))
+    if "source" not in params:
+        raise StreamingConfigError("stream component requires a 'source' block")
+    if "sink" not in params and nd is None:
+        raise StreamingConfigError(
+            "stream component requires a 'sink' block (or a 'neardup' block "
+            "in its place)"
+        )
     build_source(params["source"])
     if "sink" in params:
         build_sink(params["sink"])
@@ -235,6 +249,7 @@ def run_stream_component(
             incremental_neardup_batch,
         )
 
+        _check_neardup(neardup, has_sink=sink is not None, checkpoint=checkpoint)
         nd = dict(neardup)
         built_sink = ForeachBatchSink(
             incremental_neardup_batch(nd.pop("store"), nd.pop("pairs"), **nd)

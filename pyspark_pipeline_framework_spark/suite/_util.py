@@ -34,7 +34,21 @@ def o_davg(expr: str, count_expr: str | None = None) -> str:
 import threading
 
 _SHARED_DF: dict[tuple, "object"] = {}
+#: per-memo java RDD handles pinned by the localCheckpoint — recorded
+#: at creation so clear_shared releases EXACTLY what the memo pinned,
+#: never persistent RDDs owned by other code in the same context
+_SHARED_RDDS: dict[tuple, list] = {}
 _SHARED_LOCK = threading.Lock()
+
+
+def _persistent_rdds(spark) -> list:
+    """(id, javaRDD) pairs currently pinned in the context."""
+    out = []
+    it = spark.sparkContext._jsc.sc().getPersistentRDDs().toList().iterator()
+    while it.hasNext():
+        t = it.next()
+        out.append((t._1(), t._2()))
+    return out
 
 
 def shared_df(spark, key: tuple, build):
@@ -53,8 +67,19 @@ def shared_df(spark, key: tuple, build):
     with _SHARED_LOCK:
         df = _SHARED_DF.get(full_key)
         if df is None:
+            try:
+                before = {i for i, _ in _persistent_rdds(spark)}
+            except Exception:
+                before = None
             df = build().localCheckpoint(eager=True)
             _SHARED_DF[full_key] = df
+            if before is not None:
+                try:
+                    _SHARED_RDDS[full_key] = [
+                        r for i, r in _persistent_rdds(spark) if i not in before
+                    ]
+                except Exception:
+                    pass
         return df
 
 
@@ -65,23 +90,21 @@ def clear_shared() -> int:
     storage memory while the next section runs at 10× the data.
     Returns the number of entries released.
 
-    Release goes through the JVM's persistent-RDD registry:
-    ``df.rdd.unpersist()`` would be a no-op — ``.rdd`` derives a NEW
-    (unpersisted) javaToPython RDD, not the checkpoint-pinned internal
-    one (verified on Spark 4.1.2: getPersistentRDDs unchanged after
-    it). This therefore unpersists EVERY persistent RDD in the
-    context — correct for the bench process, where the fixture memos
-    are the only pinned state; don't call it from code sharing a
-    session with unrelated caches."""
+    Release targets EXACTLY the java RDD handles recorded when each
+    memo was pinned (``df.rdd.unpersist()`` would be a no-op — ``.rdd``
+    derives a NEW, unpersisted javaToPython RDD, not the
+    checkpoint-pinned internal one; verified on Spark 4.1.2) — never
+    persistent RDDs owned by other code in the same context, and each
+    handle is released against its own (possibly stopped) session
+    independently."""
     with _SHARED_LOCK:
         n = len(_SHARED_DF)
-        spark = next(iter(_SHARED_DF.values())).sparkSession if _SHARED_DF else None
+        handles = [r for rs in _SHARED_RDDS.values() for r in rs]
         _SHARED_DF.clear()
-    if spark is not None:
+        _SHARED_RDDS.clear()
+    for r in handles:
         try:
-            it = spark.sparkContext._jsc.sc().getPersistentRDDs().toList().iterator()
-            while it.hasNext():
-                it.next()._2().unpersist(False)
+            r.unpersist(False)
         except Exception:
-            pass  # best-effort: a failed release only costs memory
+            pass  # stopped session / already released: only costs memory
     return n

@@ -1039,13 +1039,24 @@ def test_ngram_broadcast_sizes_dial_identical(spark, docs):
 
 
 def test_clear_shared_releases_pinned_blocks(spark):
-    """clear_shared must actually release localCheckpoint-pinned RDDs
-    (df.rdd.unpersist() is a no-op — it unpersists a freshly derived
-    RDD, not the pinned internal one)."""
-    from pyspark_pipeline_framework_spark.suite._util import clear_shared, shared_df
+    """clear_shared must release exactly the localCheckpoint-pinned
+    RDDs the memo created (df.rdd.unpersist() is a no-op — it
+    unpersists a freshly derived RDD, not the pinned internal one) —
+    and must NOT touch persistent RDDs it does not own."""
+    from pyspark_pipeline_framework_spark.suite._util import (
+        _persistent_rdds,
+        clear_shared,
+        shared_df,
+    )
 
+    pre = {i for i, _ in _persistent_rdds(spark)}
+    foreign = spark.range(50).localCheckpoint(eager=True)  # not memo-owned
+    foreign_ids = {i for i, _ in _persistent_rdds(spark)} - pre
     shared_df(spark, ("t_clear", "x"), lambda: spark.range(100))
-    jsc = spark.sparkContext._jsc.sc()
-    assert jsc.getPersistentRDDs().size() >= 1
+    pinned = {i for i, _ in _persistent_rdds(spark)} - pre - foreign_ids
+    assert pinned, "memo must pin at least one RDD"
     assert clear_shared() >= 1
-    assert jsc.getPersistentRDDs().size() == 0
+    after = {i for i, _ in _persistent_rdds(spark)}
+    assert not (pinned & after), "memo-owned pins must be released"
+    assert foreign_ids <= after, "foreign pins must survive"
+    assert foreign.count() == 50  # still usable (lineage was truncated)
