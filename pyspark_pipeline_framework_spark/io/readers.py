@@ -87,7 +87,13 @@ def _read_source_df(spark: SparkSession, config: SourceConfig) -> DataFrame:
         # RFC 4180 quoting (doubled "" inside quoted fields), matching
         # write_sink's CSV default — Spark's own default escape is
         # backslash, which round-trips with itself but not with
-        # standard CSV tooling. Embedded-newline fields additionally
+        # standard CSV tooling. BEHAVIOR CHANGE vs a stock
+        # spark.read.csv: datasets written EARLIER by plain Spark with
+        # its backslash-escape default read back corrupted in
+        # quote-bearing fields (silently — no parse error). For such
+        # legacy exports pass options={'escape': '\\'} explicitly
+        # (documented in docs/API.md § ReadCsv).
+        # Embedded-newline fields additionally
         # need options={'multiLine': 'true'} on read (each file then
         # reads as ONE task — non-splittable; keep newline-bearing
         # exports on parquet at scale). Empty string and NULL both read

@@ -34,11 +34,22 @@ def exact_text_dedup(
     # lump every failed-extraction row into ONE dedup group and
     # silently drop all but one — at corpus scale that deletes data on
     # zero content evidence (r6 degenerate-text tests). NULL ≠ NULL.
+    # The id inside the sentinel is coalesced AND salted with a
+    # monotonic row id: concat(.., NULL) is itself NULL, so without
+    # this a NULL-id + NULL-text row would re-create the exact
+    # collapse the sentinel exists to prevent (r6 ADVICE), and two
+    # distinct rows sharing one non-NULL id with NULL text must also
+    # both survive (ids are caller data, not a verified PK).
     hashed = df.withColumn(
         "__h",
         F.when(
             F.col(text_col).isNull(),
-            F.concat(F.lit("\x00null:"), F.col(id_col).cast("string")),
+            F.concat(
+                F.lit("\x00null:"),
+                F.coalesce(F.col(id_col).cast("string"), F.lit("\x00")),
+                F.lit(":"),
+                F.monotonically_increasing_id().cast("string"),
+            ),
         ).otherwise(F.sha2(normalize_text(text_col), 256)),
     )
     w = Window.partitionBy("__h").orderBy(F.col(id_col))

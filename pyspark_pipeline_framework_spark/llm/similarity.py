@@ -639,14 +639,17 @@ def ivf_search(
         F.explode(probe(F.col(vec_col))).alias("cell"),
     )
     if prune_cells:
-        # materialize the (query-side-sized) probe rows once: the
-        # distinct-cells collect below would otherwise execute the
-        # whole query subtree + probe UDF a second time when the join
-        # runs. The pinned footprint is #queries × nprobe rows — the
-        # side this operator already assumes is the small one (it is
-        # broadcast) — and the collect itself returns ≤ nlist values
-        # no matter how many queries there are.
-        qb = qb.localCheckpoint(eager=True)
+        # the collect returns ≤ nlist values (a model hyperparameter)
+        # no matter how many queries there are. It executes the query
+        # subtree + probe UDF once here and the join executes it once
+        # more — two passes over the side this operator already
+        # assumes is the small (broadcast) one. Deliberately NOT
+        # pinned: a localCheckpoint would hold storage blocks for the
+        # life of the app across repeated calls (the incremental
+        # search-in-a-loop pattern this API encourages) with nothing
+        # to unpersist them, and unpersisting a localCheckpoint's RDD
+        # is unsafe (it truncates lineage, so the join could no
+        # longer recompute it).
         probed = sorted(r.cell for r in qb.select("cell").distinct().collect())
         assigned = assigned.where(F.col("cell").isin(probed))
     scored = (

@@ -18,10 +18,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-#: epoch seconds per supported cohort-granularity bucket — exact
-#: integer arithmetic on truncated timestamps, identical in any engine
-#: (calendar units like month would need interval arithmetic instead)
-_GRANULARITY_SECONDS = {"day": 86_400, "week": 604_800}
+#: days per supported cohort-granularity bucket — offsets are computed
+#: with datediff on DATES of the truncated timestamps, so they are
+#: DST-immune in any session timezone (calendar units like month would
+#: need interval arithmetic instead)
+_GRANULARITY_DAYS = {"day": 1, "week": 7}
 
 
 def funnel_counts(
@@ -68,23 +69,29 @@ def cohort_retention(
     """Cohort retention: cohort = ``granularity`` bucket of the user's
     first event; each (cohort, offset) row counts distinct users active
     that many buckets after their cohort start. Offsets are exact
-    integer arithmetic on epoch seconds of truncated timestamps —
-    bit-identical in any engine."""
-    if granularity not in _GRANULARITY_SECONDS:
+    integer arithmetic — ``datediff`` on the DATES of the truncated
+    timestamps divided by the bucket's day width — so they are
+    bit-identical in any engine AND immune to DST: both endpoints are
+    granularity-aligned, so the day difference is always an exact
+    multiple of the bucket width regardless of session timezone
+    (epoch-second subtraction would be off by 3600s across a DST
+    transition in non-UTC sessions and truncate into the wrong
+    bucket)."""
+    if granularity not in _GRANULARITY_DAYS:
         raise ValueError(
-            f"granularity must be one of {sorted(_GRANULARITY_SECONDS)}, "
+            f"granularity must be one of {sorted(_GRANULARITY_DAYS)}, "
             f"got {granularity!r}"
         )
-    secs = _GRANULARITY_SECONDS[granularity]
+    days = _GRANULARITY_DAYS[granularity]
     firsts = df.groupBy(user_col).agg(
         F.date_trunc(granularity, F.min(ts_col)).alias("cohort_start")
     )
     offset = (
-        (
-            F.unix_timestamp(F.date_trunc(granularity, F.col(ts_col)))
-            - F.unix_timestamp(F.col("cohort_start"))
+        F.datediff(
+            F.to_date(F.date_trunc(granularity, F.col(ts_col))),
+            F.to_date(F.col("cohort_start")),
         )
-        / secs
+        / days
     ).cast("int")
     return (
         df.join(firsts, user_col)

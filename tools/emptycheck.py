@@ -47,7 +47,14 @@ import sys
 import tempfile
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-BASE = "/root/testdata/sf0.001"
+#: schema donor dir — only read_schema() is taken from it, so the
+#: smallest SF works; overridable like the other tools (r6 ADVICE:
+#: the hardcoded path broke the sweep off-container with an opaque
+#: pyarrow error)
+BASE = os.environ.get(
+    "SPARK_GRAFT_SCHEMA_DIR",
+    os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001"),
+)
 TABLES = [
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings",
@@ -68,22 +75,30 @@ EXPECTED_DIVERGENT = {
 }
 
 
-def synth_empty(dst: str) -> None:
+def synth_empty(dst: str, base: str) -> None:
     import pyarrow.parquet as pq
 
+    if not os.path.isdir(base):
+        raise SystemExit(
+            f"emptycheck: schema donor dir {base!r} does not exist — "
+            "pass --base or set SPARK_GRAFT_SCHEMA_DIR / SPARK_GRAFT_SF_DIR "
+            "to a directory holding the 10 testdata parquet tables"
+        )
     for t in TABLES:
-        src = f"{BASE}/{t}.parquet"
+        src = f"{base}/{t}.parquet"
         pq.write_table(pq.read_schema(src).empty_table(), f"{dst}/{t}.parquet")
 
 
 def main() -> int:
     ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
     ap.add_argument("--keep", action="store_true")
+    ap.add_argument("--base", default=BASE,
+                    help="schema donor dir (only read_schema is used)")
     args = ap.parse_args()
 
     tmp = tempfile.mkdtemp(prefix="emptycheck_")
     try:
-        synth_empty(tmp)
+        synth_empty(tmp, args.base)
         proc = subprocess.run(
             [sys.executable, os.path.join(REPO, "tools", "selfcheck.py"), tmp],
             capture_output=True, text=True,
