@@ -200,52 +200,124 @@ def minhash_signature(
         hashed = exploded.select(F.col(id_col), F.xxhash64("__s").alias("__h"))
         perms = [F.min(F.xxhash64("__h", F.lit(i))).alias(f"__m{i}") for i in range(num_hashes)]
     elif hash_fn == "md5":
-        # measured (sf0.1, local[32]): inline computation per shingle
-        # OCCURRENCE beats a per-DISTINCT-hash precompute + join-back
-        # 2× — JVM md5 is cheap enough that the extra shuffle/join
-        # materialization costs more than the 9.6× duplication it
-        # saves, and inline keeps the whole signature in one codegen
-        # stage with zero extra shuffles (re-measured at ×10, r5;
-        # re-measured r6 with F.broadcast on the 27k-distinct digest
-        # table to kill the join shuffle: 1.9s vs 1.2s inline — the
-        # distinct + broadcast build still loses).
-        # r6: one md5 per GROUP of 4 permutations, sliced into 4
-        # disjoint 8-hex words (see docstring) — the 16 group digests
-        # are materialized as explicit projection columns so the md5 is
-        # guaranteed computed once per group (not relying on aggregate-
-        # expression CSE), then the 64 mins run over cheap substrings.
-        # Measured-but-rejected next step: sha2-256 groups (64 hex → 8
-        # words/digest, 9 calls instead of 17) are only 17% faster on
-        # the signature stage at ×10 (<10% end-to-end) — not worth
-        # breaking the md5-only portability story every oracle,
-        # fuzzer shape, and doc already encodes.
-        # REJECTED alternative (r5, measured): Kirsch-Mitzenmacher
-        # double hashing (perm_i = a + i·b from two md5s) cuts 65 md5s
-        # to 3 but CORRELATES adjacent permutations ACROSS SHINGLES —
-        # the same dominant shingle wins whole bands, and the sf0.01
-        # candidate set blew up 25 → 182 pairs (7× false-positive
-        # candidates). Disjoint bit slices have no such correlation:
-        # slice-j winners are decided by disjoint digest bits.
-        n_groups = (num_hashes + 3) // 4
-        # two-step select: __h is referenced by all groups, so
-        # CollapseProject keeps it a real column (md5(__s) once per row)
-        hashed = exploded.select(F.col(id_col), F.md5("__s").alias("__h")).select(
-            F.col(id_col),
-            *[
-                F.md5(F.concat(F.lit(f"{g}:"), F.col("__h"))).alias(f"__g{g}")
-                for g in range(n_groups)
-            ],
-        )
-        perms = [
-            F.min(
-                F.substring(F.col(f"__g{i // 4}"), 8 * (i % 4) + 1, 8)
-            ).alias(f"__m{i}")
-            for i in range(num_hashes)
-        ]
+        # r7: base md5 JVM-side, group digests + mins in one Arrow
+        # stage — see _md5_signature_arrow for why pure SQL loses here
+        # (string-min SortAggregate fallback) and why the output is
+        # bit-identical. The digest-slicing SCHEME is unchanged from
+        # r6 (one md5 per group of 4 permutations, disjoint 8-hex
+        # slices — correlation-free, unlike the rejected
+        # Kirsch-Mitzenmacher double hashing whose constant per-shingle
+        # offsets let one dominant shingle win whole bands: 7×
+        # candidate blowup measured at sf0.01).
+        return _md5_signature_arrow(exploded, id_col, num_hashes)
     else:
         raise ValueError(f"hash_fn must be 'xxhash64' or 'md5', got {hash_fn!r}")
     mins = hashed.groupBy(id_col).agg(*perms)
     sig = F.array(*[F.col(f"__m{i}") for i in range(num_hashes)])
+    return mins.select(F.col(id_col), sig.alias("signature"))
+
+
+#: distinct-digest cache cap per python worker for the arrow md5
+#: signature path: 2^18 rows × num_hashes × 8 B ≈ 128 MB at 64 hashes —
+#: bounded regardless of corpus size (the cache resets past the cap;
+#: resets only cost recomputation, never correctness)
+_MD5_SIG_CACHE_CAP = 1 << 18
+
+
+def _md5_signature_arrow(exploded, id_col: str, num_hashes: int):
+    """The md5-portable signature's min-compute, as one Arrow
+    ``mapInPandas`` stage over the JVM-side base hashes.
+
+    Why not pure SQL: 64 ``min(<hex word>)`` aggregates are STRING
+    buffers, which Spark's HashAggregate cannot hold in its fixed-width
+    UnsafeRow — the plan silently degrades to SortAggregate, whose
+    interpreted per-row buffer updates (rows × 64 substring+compare)
+    dominate the whole LSH pipeline (measured 4.5 s of a 6.6 s
+    signature stage at bench ×10; parsing hex→long JVM-side with
+    ``conv`` to re-enable HashAggregate costs MORE than it saves —
+    conv + cast are three string ops per word). The Arrow stage
+    computes the same mins vectorized: one md5 per DISTINCT base hash
+    (a per-partition cache the JVM plan cannot express — measured ~10×
+    duplication in the shingle stream), ``np.minimum`` over uint32
+    words, a pandas groupby-min per batch. Measured 6.6 s → 1.9 s on
+    the ×10 signature stage, bit-identical output.
+
+    Bit-exactness: tokenization, shingling and the base ``md5(shingle)``
+    stay JVM-side, so Python only ever sees 32-hex ASCII digests — no
+    locale/unicode divergence is possible. ``md5(f"{g}:{h}")`` over
+    ASCII equals the JVM's ``md5(concat(g:, __h))``; min over uint32 ≡
+    min over fixed-width lowercase hex; the final projection restores
+    the exact hex words via lower(lpad(hex(min))).
+
+    Scale shape: map-only partials (one row per doc per batch), then
+    one tiny HashAggregate (long buffers) merges across batches and
+    partitions — correct even when a document's shingles span
+    partitions, so no co-location assumption. Python memory is bounded
+    by the cache cap; the emitted partials are ~docs-per-batch rows."""
+    import pandas as pd  # local: keep the module import-light
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    n_groups = (num_hashes + 3) // 4
+    base = exploded.select(F.col(id_col), F.md5("__s").alias("__h"))
+    id_field = base.schema[id_col]
+    cols = [f"__m{i}" for i in range(num_hashes)]
+    out_schema = StructType(
+        [StructField(id_field.name, id_field.dataType, True)]
+        + [StructField(c, LongType(), True) for c in cols]
+    )
+
+    def compute(batches):
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        cache: dict = {}
+        mat = np.empty((1024, num_hashes), dtype=np.int64)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            hs = pdf["__h"]
+            if len(cache) > _MD5_SIG_CACHE_CAP:
+                cache.clear()
+            new = [h for h in pd.unique(hs.to_numpy()) if h not in cache]
+            if new:
+                need = len(cache) + len(new)
+                if need > mat.shape[0]:
+                    grown = np.empty(
+                        (max(need, 2 * mat.shape[0]), num_hashes), dtype=np.int64
+                    )
+                    grown[: len(cache)] = mat[: len(cache)]
+                    mat = grown
+                pos = len(cache)
+                for h in new:
+                    ws: list = []
+                    for g in range(n_groups):
+                        dg = hashlib.md5(f"{g}:{h}".encode()).hexdigest()
+                        ws.extend(
+                            (
+                                int(dg[0:8], 16),
+                                int(dg[8:16], 16),
+                                int(dg[16:24], 16),
+                                int(dg[24:32], 16),
+                            )
+                        )
+                    mat[pos] = ws[:num_hashes]
+                    cache[h] = pos
+                    pos += 1
+            idx = hs.map(cache).to_numpy(dtype=np.int64)
+            W = pd.DataFrame(mat[idx], columns=cols)
+            W.insert(0, id_field.name, pdf[id_field.name].to_numpy())
+            yield W.groupby(id_field.name, sort=False, dropna=False).min().reset_index()
+
+    partial = base.mapInPandas(compute, out_schema)
+    mins = partial.groupBy(id_col).agg(
+        *[F.min(c).alias(c) for c in cols]  # long buffers → HashAggregate
+    )
+    # lower(lpad(hex)) restores the exact 8-hex word a string min would
+    # have produced — the signature (and every downstream band hash /
+    # oracle) is bit-identical to the pre-r7 pure-JVM form
+    sig = F.array(*[F.lower(F.lpad(F.hex(F.col(c)), 8, "0")) for c in cols])
     return mins.select(F.col(id_col), sig.alias("signature"))
 
 

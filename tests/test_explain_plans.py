@@ -202,16 +202,24 @@ def test_probe_media_is_map_only(spark, sf_dir):
 
 
 def test_minhash_md5_sliced_groups_plan(spark, sf_dir):
-    """r6 minhash-md5 scheme plan contract: the base shingle md5 (__h)
-    is materialized ONCE and the 16 group digests hash that column —
-    never a re-inlined nested md5(md5(shingle)) per group (the two-step
-    select exists exactly so CollapseProject can't duplicate it) — and
-    the banding self-join stays a hash join, never a cartesian."""
+    """r7 minhash-md5 plan contract: the base shingle md5 (__h) is
+    computed JVM-side (codegen, and the only place raw text is
+    touched), the group-digest/min stage is ONE Arrow MapInPandas (the
+    string-min SortAggregate fallback is gone — see
+    _md5_signature_arrow), the cross-batch merge is a HashAggregate
+    over long buffers (never a SortAggregate), and the banding
+    self-join stays a hash join, never a cartesian."""
     p = plan(spark, sf_dir, "q_dedup_minhash_md5")
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
-    # group digests reference the materialized __h column
-    assert "md5(cast(concat(0:, __h" in p
-    # no group digest recomputes the base md5 inline
-    assert "md5(cast(concat(0:, md5" not in p
-    assert "md5(md5" not in p
+    # base md5 of the shingle is JVM-side...
+    assert "md5(cast(__s" in p
+    # ...feeding the Arrow min-compute stage (appears once per join
+    # side in the STATIC plan — the band-store self-join subtree is
+    # planned twice pre-execution, and AQE reuses the materialized
+    # stage at runtime: the r7 bucket-grouping A/B that eliminated the
+    # self-join entirely did not change wall time, so the subtree
+    # executes once)
+    assert "MapInPandas" in p
+    # partial-merge agg runs on long buffers, not the string fallback
+    assert "SortAggregate" not in p
