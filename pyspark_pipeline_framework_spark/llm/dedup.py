@@ -193,8 +193,14 @@ def minhash_signature(
     # explode → 64 min-aggregates: flat columns keep whole-stage
     # codegen tight (64 nested array transforms per row do not), and the
     # partial agg collapses shingle rows before the doc_id shuffle
+    # key-aware spread: the signature ends in groupBy(id_col), so an
+    # under-split scan is hash-partitioned by id up front — the
+    # aggregate's distribution is pre-satisfied and the whole
+    # signature runs with ONE exchange instead of two (r7: one fewer
+    # stage wave; the dominant cost of small incremental batches is
+    # wave latency, not compute)
     exploded = _exploded_shingles(
-        ensure_parallelism(df), [F.col(id_col)], text_col, shingle_k
+        ensure_parallelism(df, key=id_col), [F.col(id_col)], text_col, shingle_k
     )
     if hash_fn == "xxhash64":
         hashed = exploded.select(F.col(id_col), F.xxhash64("__s").alias("__h"))

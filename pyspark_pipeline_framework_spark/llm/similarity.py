@@ -200,23 +200,41 @@ def rademacher_signs(
     ]
 
 
-def rademacher_buckets_col(vec_sql: str, signs: list[list[list[int]]]) -> Column:
-    """Per-table LSH bucket ids (array<long>, one per table) as pure
-    column expressions: quantize the vector once, then each plane bit
-    is the sign of an exact integer dot with a ±1 literal array. No
-    Python at execution time — whole-stage codegen end to end, and a
-    SQL oracle doing FLOOR(x·1e7) + the same ±1 sums matches exactly.
-
-    ``vec_sql`` is the vector column's SQL expression (usually just its
-    name): the whole bucket array is built as ONE ``F.expr`` string
-    parsed JVM-side. The naive construction (a ``F.lit`` per ±1 sign)
-    costs n_tables·n_planes·dim py4j round-trips from Python — ~2000
-    driver→JVM calls and several seconds of pure client latency per
-    invocation at (8, 4, 64); a single parsed string is two calls."""
-    vq = (
+def rademacher_quantize_col(vec_sql: str) -> Column:
+    """The integer quantization every Rademacher plane dot shares:
+    floor(x·1e7) per element as bigint. Materialize this as a REAL
+    column and hand its name to :func:`rademacher_buckets_col` —
+    higher-order functions are interpreted (no whole-stage codegen, no
+    subexpression elimination), so a quantize transform inlined into
+    each of the n_tables·n_planes dot expressions re-runs per plane
+    (32× at the default (8, 4); hoisting it was measured 1.4s → 1.15s
+    on the sf0.1 LSH ANN case — same pattern as the materialized word
+    split in llm/dedup._shingles_from_words)."""
+    return F.expr(
         f"transform({vec_sql}, x -> "
         f"CAST(FLOOR(CAST(x AS DOUBLE) * {_SIGN_SCALE:.0f}.0) AS BIGINT))"
     )
+
+
+def rademacher_buckets_col(vec_sql: str, signs: list[list[list[int]]]) -> Column:
+    """Per-table LSH bucket ids (array<long>, one per table) as pure
+    column expressions: each plane bit is the sign of an exact integer
+    dot between the quantized vector and a ±1 literal array. No Python
+    at execution time, and a SQL oracle doing FLOOR(x·1e7) + the same
+    ±1 sums matches exactly.
+
+    ``vec_sql`` should be the NAME of an already-materialized quantized
+    column from :func:`rademacher_quantize_col` (see there for why);
+    passing a raw vector expression still works — pre-quantized input
+    is recognized by the caller's contract, not sniffed here, so this
+    function simply substitutes the string into each dot.
+
+    The whole bucket array is built as ONE ``F.expr`` string parsed
+    JVM-side. The naive construction (a ``F.lit`` per ±1 sign) costs
+    n_tables·n_planes·dim py4j round-trips from Python — ~2000
+    driver→JVM calls and several seconds of pure client latency per
+    invocation at (8, 4, 64); a single parsed string is two calls."""
+    vq = vec_sql
     tables = []
     for planes in signs:
         bits = []
@@ -289,14 +307,31 @@ def cosine_topk_lsh(
     queries = drop_corrupt_vectors(queries, vec_col, dim)
     if hash_fn == "md5":
         signs = rademacher_signs(dim, n_planes, n_tables)
-        bucketer = lambda c: rademacher_buckets_col(vec_col, signs)  # noqa: E731
-    elif hash_fn == "numpy":
-        bucketer = lsh_buckets_udf(dim, n_planes, n_tables)
-    else:
+    elif hash_fn != "numpy":
         raise ValueError(f"hash_fn must be 'numpy' or 'md5', got {hash_fn!r}")
 
     def with_buckets(df: DataFrame, idc: str, vec_alias: str, norm_alias: str) -> DataFrame:
         # posexplode: (table idx, bucket) pairs join only within a table
+        if hash_fn == "md5":
+            # two-step select: the quantized vector is materialized as
+            # a real column so the n_tables·n_planes interpreted dot
+            # folds share ONE transform instead of re-quantizing per
+            # plane (see rademacher_quantize_col)
+            staged = df.select(
+                F.col(idc),
+                F.col(vec_col).alias(vec_alias),
+                _norm(F.col(vec_col)).alias(norm_alias),
+                rademacher_quantize_col(vec_col).alias("__vq"),
+            )
+            return staged.select(
+                F.col(idc),
+                F.col(vec_alias),
+                F.col(norm_alias),
+                F.posexplode(rademacher_buckets_col("__vq", signs)).alias(
+                    "__t", "__b"
+                ),
+            )
+        bucketer = lsh_buckets_udf(dim, n_planes, n_tables)
         return df.select(
             F.col(idc),
             F.col(vec_col).alias(vec_alias),

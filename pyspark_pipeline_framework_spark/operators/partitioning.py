@@ -11,18 +11,33 @@ how many cores the session has.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 
-def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
-    """Round-robin repartition ``df`` up to the session's default
-    parallelism — but ONLY when the scan actually under-splits (fewer
-    input partitions than the target). On a production-scale input this
-    is a metadata check and a no-op: no job runs, no shuffle is added.
-    On an under-split input the one-time shuffle of the payload buys a
+def ensure_parallelism(
+    df: DataFrame,
+    min_partitions: int | None = None,
+    key: str | None = None,
+) -> DataFrame:
+    """Repartition ``df`` up to the session's default parallelism — but
+    ONLY when the scan actually under-splits (fewer input partitions
+    than the target). On a production-scale input this is a metadata
+    check and a no-op: no job runs, no shuffle is added. On an
+    under-split input the one-time shuffle of the payload buys a
     cores-wide downstream pipeline, which dominates for CPU-bound ops.
+
+    ``key``: when the downstream pipeline ends in a ``groupBy(key)``,
+    pass the column name so the spread is HASH partitioning on that key
+    instead of round-robin — the aggregate's required distribution is
+    then already satisfied and Spark plans ONE exchange instead of two
+    (repartition + agg shuffle). Same parallelism, one fewer shuffle
+    wave; skew behavior is identical to what the aggregate's own
+    exchange would produce.
     """
     target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
     # getNumPartitions is plan metadata — it does not launch a job
     if df.rdd.getNumPartitions() < target:
+        if key is not None:
+            return df.repartition(target, F.col(key))
         return df.repartition(target)
     return df
