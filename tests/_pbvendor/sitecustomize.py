@@ -1,0 +1,36 @@
+"""Auto-imported (via site.py) in every python process whose
+PYTHONPATH includes this directory — which tests/conftest.py arranges
+ONLY when `google.protobuf` is absent and a vendored pure-python copy
+was found on the machine (see conftest._ensure_protobuf).
+
+Purpose: pyspark 4's transformWithStateInPandas state-server protocol
+ships protobuf gencode 6.33; the vendored runtime this container
+carries is 6.32. Protobuf's cross-version gate refuses runtime <
+gencode even across a single minor version, so the parity test would
+stay skipped forever. Relaxing the gate here is safe for THIS use:
+the StateMessage schema uses no 6.33-only feature, and the test that
+depends on it is a behavioral differential against the legacy
+applyInPandasWithState operator — a genuine incompatibility would
+fail that assertion loudly rather than pass silently.
+
+This must run in the python WORKERS too (they import the generated
+module independently), which is why it is a sitecustomize hook rather
+than a conftest-level monkeypatch.
+"""
+
+try:  # no-op when a real, new-enough protobuf is installed
+    from google.protobuf import runtime_version as _rv
+
+    _validate = _rv.ValidateProtobufRuntimeVersion
+
+    def _lenient(gen_domain, gen_major, gen_minor, gen_patch, gen_suffix, location):  # noqa: ANN001
+        try:
+            _validate(gen_domain, gen_major, gen_minor, gen_patch, gen_suffix, location)
+        except _rv.VersionError:
+            # runtime one minor behind gencode: accept (see module doc)
+            if (gen_major, gen_minor) > (_rv.MAJOR, _rv.MINOR + 1):
+                raise
+
+    _rv.ValidateProtobufRuntimeVersion = _lenient
+except Exception:  # pragma: no cover - protobuf absent entirely
+    pass
