@@ -2,8 +2,8 @@
 through Structured Streaming STATEFUL paths and asserted equal to their
 batch plans.
 
-Two families (VERDICT r5 item 7 — the r5 differential covered
-complete-mode aggregation only):
+Four families (1-2: VERDICT r5 item 7; 3-4: VERDICT r6 item 5 — route
+specs through stream_stream_join and session-window aggregation):
 
 1. **dropDuplicatesWithinWatermark**: qualifying distinct-terminal
    specs over `events` (derive/filter stages, no joins) run as
@@ -22,12 +22,35 @@ complete-mode aggregation only):
    across batches), which complete-mode cannot distinguish from a
    single-batch recompute.
 
+3. **stream-stream join** (`streaming/joins.py`): spec stages transform
+   the LEFT side of a watermarked, time-bounded inner
+   ``stream_stream_join`` against a second stream of the same events
+   copy; with a watermark far beyond the data span no state is evicted,
+   so the streamed pair set must equal the SAME operator run over the
+   batch frames (the time bound `within` is randomized per spec and
+   shapes the expected result on both sides identically). Exercises
+   two-sided join state carried across micro-batches.
+
+4. **session-window aggregation**: qualifying grouped-agg specs run as
+   ``withWatermark → groupBy(session_window(ts, gap), keys)`` in append
+   mode, gap randomized per spec. The multi-file copy is written as
+   TIME-ORDERED quartiles (no late data by construction) plus one
+   far-future sentinel file whose only job is to push the final
+   watermark past every real session's end so append mode emits them;
+   the sentinel's own (never-finalized) session is excluded on the
+   batch side by a timestamp filter. Batch twin: the identical
+   ``session_window`` aggregation over the same files. Exercises
+   session merge/finalization state across micro-batches.
+
 Determinism: both sides read the SAME materialized multi-file parquet
 copy (written once per table via io.readers.table, which normalizes
 the events nanos timestamps), and every compared value is a key set or
-an exact aggregate (no floats beyond bit-exact min/max).
+an exact aggregate (sum_dbl goes through DECIMAL(38,6) state, so even
+float sums are order-independent; count_distinct specs are excluded —
+unsupported in streaming aggregation).
 
 Usage: python tools/streamfuzz.py [--n-dedup 12] [--n-agg 12]
+                                  [--n-join 10] [--n-session 10]
                                   [--seed 2026] [--sf DIR]
 Exit 0 iff zero mismatches.
 """
@@ -52,11 +75,13 @@ import fuzzcheck  # noqa: E402
 from fuzzcheck import apply_stages, spec_for, to_spark  # noqa: E402
 
 
-def _qualifying_specs(stats: dict, seed: int, n_dedup: int, n_agg: int):
-    """Scan the seeded spec stream for the two qualifying families."""
-    dedup, agg = [], []
+def _qualifying_specs(stats: dict, seed: int, n_dedup: int, n_agg: int,
+                      n_join: int, n_session: int):
+    """Scan the seeded spec stream for the four qualifying families."""
+    dedup, agg, join, session = [], [], [], []
     i = 0
-    while (len(dedup) < n_dedup or len(agg) < n_agg) and i < 4000:
+    while (len(dedup) < n_dedup or len(agg) < n_agg
+           or len(join) < n_join or len(session) < n_session) and i < 6000:
         spec = spec_for(seed, i, stats)
         i += 1
         if spec.get("kind"):
@@ -71,7 +96,19 @@ def _qualifying_specs(stats: dict, seed: int, n_dedup: int, n_agg: int):
                 and not t.get("having") and not has_join
                 and all(a["fn"] != "count_distinct" for a in t["aggs"])):
             agg.append(spec)
-    return dedup, agg
+        elif (len(session) < n_session and t["op"] == "agg"
+                and spec["base"] == "events"
+                and t.get("grouping") == "plain" and t["keys"]
+                and "ts" not in t["keys"]
+                and not t.get("having") and not has_join
+                and all(a["fn"] != "count_distinct" for a in t["aggs"])):
+            session.append(spec)
+        elif (len(join) < n_join and spec["base"] == "events"
+                and not has_join):
+            # only the STAGES matter for the join family (the terminal
+            # is replaced by the stream-stream join itself)
+            join.append(spec)
+    return dedup, agg, join, session
 
 
 def _await(q, timeout_s: int = 180) -> None:
@@ -81,11 +118,33 @@ def _await(q, timeout_s: int = 180) -> None:
         raise TimeoutError("streaming query did not finish in time")
 
 
-def run(n_dedup: int, n_agg: int, seed: int, sf_dir: str) -> int:
+#: streaming-supported aggregate renderings (count_distinct excluded —
+#: unsupported in streaming aggregation; sum_dbl is DECIMAL(38,6)
+#: state, so cross-batch merge order cannot drift the float result)
+def _agg_expr(a):
+    from pyspark.sql import functions as F
+
+    c, fn = a["col"], a["fn"]
+    e = {
+        "count_star": lambda c: F.count(F.lit(1)),
+        "count": F.count,
+        "min": F.min,
+        "max": F.max,
+        "sum_int": lambda c: F.sum(c).cast("bigint"),
+        "sum_dbl": lambda c: F.sum(F.col(c).cast("decimal(38,6)")).cast("double"),
+    }[fn](c)
+    return e.alias(a["alias"])
+
+
+def run(n_dedup: int, n_agg: int, seed: int, sf_dir: str,
+        n_join: int = 10, n_session: int = 10) -> int:
+    import random
+
     from pyspark.sql import functions as F
 
     from pyspark_pipeline_framework_spark.io.readers import table
     from pyspark_pipeline_framework_spark.session import SparkConfig, build_session
+    from pyspark_pipeline_framework_spark.streaming.joins import stream_stream_join
 
     spark = build_session(SparkConfig(master="local[8]", shuffle_partitions=8))
     con = duckdb.connect()
@@ -94,8 +153,12 @@ def run(n_dedup: int, n_agg: int, seed: int, sf_dir: str) -> int:
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {tname} AS SELECT * FROM read_parquet('{p}')")
     stats = fuzzcheck.probe_stats(con)
-    dedup_specs, agg_specs = _qualifying_specs(stats, seed, n_dedup, n_agg)
-    print(f"qualifying specs: {len(dedup_specs)} dedup, {len(agg_specs)} update-agg")
+    dedup_specs, agg_specs, join_specs, session_specs = _qualifying_specs(
+        stats, seed, n_dedup, n_agg, n_join, n_session
+    )
+    print(f"qualifying specs: {len(dedup_specs)} dedup, {len(agg_specs)} "
+          f"update-agg, {len(join_specs)} stream-join, "
+          f"{len(session_specs)} session-window")
 
     # one normalized 4-file copy per base table → 4 micro-batches each
     tmp = tempfile.mkdtemp(prefix="streamfuzz_")
@@ -186,22 +249,179 @@ def run(n_dedup: int, n_agg: int, seed: int, sf_dir: str) -> int:
         elif not multi:
             print(f"  spec={spec}\n  only {len(batches)} micro-batch(es)")
 
+    # ---- family 3: stream-stream join -------------------------------
+    ev_path = multi_file("events") if join_specs else None
+    for n, spec in enumerate(join_specs):
+        t0 = time.perf_counter()
+        within = random.Random(seed * 1000003 + 17 + n).choice(
+            ["2 hours", "12 hours", "2 days"]
+        )
+        schema = spark.read.parquet(ev_path).schema
+
+        def sides(left_base, right_base):
+            left = apply_stages(left_base, spec["stages"], spark, sf_dir).filter(
+                F.col("ts").isNotNull()
+            )
+            right = right_base.filter(F.col("ts").isNotNull()).select(
+                "user_id", F.col("ts").alias("rts"), F.col("event_id").alias("r_eid")
+            )
+            # huge watermark → no state eviction → the streamed result
+            # must be EXACTLY the batch join under the same time bound
+            return stream_stream_join(
+                left, right, on="user_id", left_ts="ts", right_ts="rts",
+                watermark="3650 days", within=within, how="inner",
+            ).select("user_id", "event_id", "r_eid")
+
+        batch_base = spark.read.parquet(ev_path)
+        want = {tuple(r) for r in sides(batch_base, batch_base).collect()}
+        stream_base = (spark.readStream.schema(schema)
+                       .option("maxFilesPerTrigger", "1").parquet(ev_path))
+        stream_base2 = (spark.readStream.schema(schema)
+                        .option("maxFilesPerTrigger", "1").parquet(ev_path))
+        ckpt_i += 1
+        qname = f"sfz_ssj_{n}"
+        q = (sides(stream_base, stream_base2)
+             .writeStream.format("memory").queryName(qname)
+             .outputMode("append")
+             .option("checkpointLocation", f"{tmp}/ckpt{ckpt_i}")
+             .trigger(availableNow=True).start())
+        _await(q)
+        nprog = len([p for p in q.recentProgress
+                     if p["numInputRows"] > 0])
+        got = {tuple(r) for r in spark.sql(f"SELECT * FROM {qname}").collect()}
+        ok = got == want and nprog >= 2
+        failures += not ok
+        print(f"{'OK  ' if ok else 'FAIL'} ssj#{n} within={within} "
+              f"({len(want)} pairs, {nprog} data batches, "
+              f"{time.perf_counter() - t0:.1f}s)")
+        if got != want:
+            print(f"  spec={spec}\n  missing={list(want - got)[:3]} "
+                  f"extra={list(got - want)[:3]}")
+        elif nprog < 2:
+            print(f"  spec={spec}\n  only {nprog} data batch(es)")
+
+    # ---- family 4: session-window aggregation -----------------------
+    if session_specs:
+        # time-ordered quartiles (no late data by construction) + TWO
+        # far-future sentinel files: the first advances the watermark
+        # past every real session end, the second triggers the batch
+        # that emits them (watermark updates apply to the FOLLOWING
+        # micro-batch). Neither sentinel's own session can finalize, so
+        # the stream output excludes them automatically; the batch twin
+        # excludes them with a timestamp filter.
+        from pyspark.sql import Window as W
+
+        sdir = f"{tmp}/session_events"
+        os.makedirs(sdir, exist_ok=True)
+        ev = table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+        max_ts = ev.agg(F.max("ts")).first()[0]
+        quart = ev.withColumn(
+            "__q", F.ntile(4).over(W.partitionBy().orderBy("ts"))
+        )
+        for i in range(4):
+            part_dir = f"{tmp}/__sq{i}"
+            quart.filter(F.col("__q") == i + 1).drop("__q") \
+                .coalesce(1).write.mode("overwrite").parquet(part_dir)
+            src_file = next(f for f in os.listdir(part_dir)
+                            if f.endswith(".parquet"))
+            shutil.copy(f"{part_dir}/{src_file}", f"{sdir}/{i:02d}.parquet")
+        sentinel_ts = max_ts + __import__("datetime").timedelta(days=60)
+        for j, days in enumerate((60, 120)):
+            sen = spark.createDataFrame(
+                [(-1 - j, max_ts + __import__("datetime").timedelta(days=days),
+                  -999999, "zz_sentinel", 0.0, "{}")],
+                schema=ev.schema,
+            )
+            part_dir = f"{tmp}/__ssen{j}"
+            sen.coalesce(1).write.mode("overwrite").parquet(part_dir)
+            src_file = next(f for f in os.listdir(part_dir)
+                            if f.endswith(".parquet"))
+            shutil.copy(f"{part_dir}/{src_file}", f"{sdir}/{4 + j:02d}.parquet")
+        schema = spark.read.parquet(sdir).schema
+
+    for n, spec in enumerate(session_specs):
+        t0 = time.perf_counter()
+        t = spec["terminal"]
+        keys, aliases = t["keys"], [a["alias"] for a in t["aggs"]]
+        exprs = [_agg_expr(a) for a in t["aggs"]]
+        gap = random.Random(seed * 1000003 + 59 + n).choice(
+            ["30 minutes", "2 hours", "6 hours"]
+        )
+        win = F.session_window("ts", gap)
+
+        def norm(rows):
+            # sessions at/after the first sentinel are the sentinels'
+            # own (whether the engine happened to flush them or not) —
+            # excluded on BOTH sides, mirroring the batch ts cutoff
+            return {
+                (r["session_window"]["start"], r["session_window"]["end"])
+                + tuple(r[k] for k in keys): tuple(r[a] for a in aliases)
+                for r in rows
+                if r["session_window"]["start"] < sentinel_ts
+            }
+
+        batch = apply_stages(
+            spark.read.parquet(sdir).filter(F.col("ts") < F.lit(sentinel_ts)),
+            spec["stages"], spark, sf_dir,
+        )
+        want = norm(batch.groupBy(win, *keys).agg(*exprs).collect())
+        raw = (spark.readStream.schema(schema)
+               .option("maxFilesPerTrigger", "1").parquet(sdir))
+        # the sentinels bypass the spec's stages via a union branch:
+        # Catalyst pushes stage FILTERS below the EventTimeWatermark
+        # node (they don't reference ts), so a sentinel routed through
+        # the stages would be dropped before the watermark collector
+        # ever saw its event time — the tail sessions then never flush
+        # (observed: final watermark stuck at max-real-ts − delay).
+        # Derived columns the stages add are null on the sentinel
+        # branch; its own session never finalizes so it is never
+        # emitted either way.
+        real = apply_stages(raw.filter(F.col("user_id") != -999999),
+                            spec["stages"], spark, sf_dir)
+        sen = raw.filter(F.col("user_id") == -999999)
+        out = (real.unionByName(sen, allowMissingColumns=True)
+               .withWatermark("ts", "10 minutes")
+               .groupBy(win, *keys).agg(*exprs))
+        ckpt_i += 1
+        qname = f"sfz_sw_{n}"
+        q = (out.writeStream.format("memory").queryName(qname)
+             .outputMode("append")
+             .option("checkpointLocation", f"{tmp}/ckpt{ckpt_i}")
+             .trigger(availableNow=True).start())
+        _await(q)
+        nprog = len([p for p in q.recentProgress if p["numInputRows"] > 0])
+        got = norm(spark.sql(f"SELECT * FROM {qname}").collect())
+        ok = got == want and nprog >= 2
+        failures += not ok
+        print(f"{'OK  ' if ok else 'FAIL'} session#{n} gap={gap} keys={keys} "
+              f"({len(want)} sessions, {nprog} data batches, "
+              f"{time.perf_counter() - t0:.1f}s)")
+        if got != want:
+            diff = {k for k in set(got) | set(want) if got.get(k) != want.get(k)}
+            print(f"  spec={spec}\n  first diffs={list(diff)[:3]}")
+        elif nprog < 2:
+            print(f"  spec={spec}\n  only {nprog} data batch(es)")
+
     shutil.rmtree(tmp, ignore_errors=True)
-    total = len(dedup_specs) + len(agg_specs)
+    total = (len(dedup_specs) + len(agg_specs)
+             + len(join_specs) + len(session_specs))
     print(f"\n{total} stateful streaming specs, {failures} mismatches, "
           f"{time.time() - t_all:.0f}s (seed={seed})")
-    return 1 if failures or total < (n_dedup + n_agg) else 0
+    return 1 if failures or total < (n_dedup + n_agg + n_join + n_session) else 0
 
 
 def main() -> int:
     ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
     ap.add_argument("--n-dedup", type=int, default=12)
     ap.add_argument("--n-agg", type=int, default=12)
+    ap.add_argument("--n-join", type=int, default=10)
+    ap.add_argument("--n-session", type=int, default=10)
     ap.add_argument("--seed", type=int, default=2026)
     ap.add_argument("--sf", default=os.environ.get("SPARK_GRAFT_SF_DIR",
                                                    "/root/testdata/sf0.01"))
     a = ap.parse_args()
-    return run(a.n_dedup, a.n_agg, a.seed, a.sf)
+    return run(a.n_dedup, a.n_agg, a.seed, a.sf,
+               n_join=a.n_join, n_session=a.n_session)
 
 
 if __name__ == "__main__":

@@ -74,11 +74,14 @@ def main() -> int:
                        [sys.executable, os.path.join(TOOLS, "fuzzcheck.py"),
                         "--n", str(n), "--seed", str(s), "--sf", sf], None))
     # stateful streaming differential (dropDuplicatesWithinWatermark +
-    # update-mode aggregation vs batch) — 24 specs full, 6 fast
-    nd, na = (3, 3) if a.fast else (12, 12)
+    # update-mode aggregation + stream-stream join + session-window
+    # aggregation vs batch) — 44 specs full, 10 fast
+    nd, na, nj, ns = (3, 3, 2, 2) if a.fast else (12, 12, 10, 10)
     stages.append(("streamfuzz",
                    [sys.executable, os.path.join(TOOLS, "streamfuzz.py"),
-                    "--n-dedup", str(nd), "--n-agg", str(na), "--sf", sf], None))
+                    "--n-dedup", str(nd), "--n-agg", str(na),
+                    "--n-join", str(nj), "--n-session", str(ns),
+                    "--sf", sf], None))
     if not a.fast:
         # the whole suite over 0-row tables, oracle-compared (declared
         # divergences asserted) — ANSI-mode empty-input robustness
