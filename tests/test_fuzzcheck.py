@@ -307,8 +307,9 @@ def test_harness_detects_injected_bugs(spark, con, stats):
 
     caught = {"join_flip": False, "agg_swap": False, "filter_drop": False,
               "session_gap": False, "asof_how": False, "textops_thresh": False,
-              "dq_thresh": False, "retention_gran": False}
-    for i in range(300):
+              "dq_thresh": False, "retention_gran": False,
+              "packing_param": False}
+    for i in range(500):
         if all(caught.values()):
             break
         spec = spec_for(777, i, stats)
@@ -353,6 +354,26 @@ def test_harness_detects_injected_bugs(spark, con, stats):
                 if differs(spec, m):
                     caught["dq_thresh"] = True
             continue
+        if spec.get("kind") == "packing":
+            # a budget/stride/boundary shift must change the output:
+            # pack ids move when max_tokens halves, chunk boundaries
+            # move when the window halves, split membership moves when
+            # the train cut moves (empty-pred specs may not differ;
+            # any single catch suffices)
+            if not caught["packing_param"]:
+                m = copy.deepcopy(spec)
+                if spec["sub"] == "pack":
+                    m["max_tokens"] = max(1, spec["max_tokens"] // 2)
+                elif spec["sub"] == "chunk":
+                    m["chunk_tokens"] = spec["chunk_tokens"] // 2
+                    m["overlap"] = min(spec["overlap"],
+                                       m["chunk_tokens"] - 1)
+                else:
+                    c1, c2 = spec["cuts"]
+                    m["cuts"] = (max(10, c1 - 30), c2)
+                if differs(spec, m):
+                    caught["packing_param"] = True
+            continue
         if spec.get("kind") == "textops":
             # a quality-threshold shift must change the surviving set
             # (quality specs with loose thresholds may not differ; any
@@ -387,4 +408,20 @@ def test_harness_detects_injected_bugs(spark, con, stats):
             m["stages"] = [s for s in m["stages"] if s["op"] != "filter"]
             if differs(spec, m):
                 caught["filter_drop"] = True
+    if not caught["join_flip"]:
+        # seed 777's first 500 specs no longer contain a left join with
+        # unmatched rows at sf0.001 (the r7 packing shape shifted the
+        # stream); seed 779 has one within its first specs
+        for i in range(60):
+            spec = spec_for(779, i, stats)
+            if spec.get("kind"):
+                continue
+            joins = [s for s in spec["stages"] if s["op"] == "join"]
+            if any(j["type"] == "left" for j in joins):
+                m = copy.deepcopy(spec)
+                next(s for s in m["stages"]
+                     if s["op"] == "join" and s["type"] == "left")["type"] = "inner"
+                if differs(spec, m):
+                    caught["join_flip"] = True
+                    break
     assert all(caught.values()), f"harness failed to catch: {caught}"

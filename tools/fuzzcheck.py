@@ -295,6 +295,8 @@ class Gen:
             return self.ngram_pipeline()
         if r.random() < 0.015:
             return self.ivf_pipeline()
+        if r.random() < 0.03:
+            return self.packing_pipeline()
         if r.random() < 0.05:
             return self.textops_pipeline()
         if r.random() < 0.04:
@@ -793,6 +795,36 @@ class Gen:
                         if r.random() < 0.5 else None,
                 "terminal": {"op": "ngram"}}
 
+    def packing_pipeline(self) -> dict:
+        """Parameterized packing/chunking/split differential (VERDICT
+        r6 item 6): random parameters through `llm.packing` vs the
+        parameterized md5-portable SQL oracles — the fixed suite pins
+        one parameter point each (256/8 pack, 64/16 chunk, 80/10/10
+        split); this covers the space. All three sub-ops are state
+        machines or hash partitions whose bugs are parameter-dependent
+        (budget boundary off-by-one, stride arithmetic, cumulative
+        fraction edges), exactly what a single pinned point misses."""
+        r = self.r
+        sub = r.choice(["pack", "chunk", "split"])
+        pred = (self.predicate("documents",
+                               list(TABLES["documents"]["cols"].items()))
+                if r.random() < 0.5 else None)
+        spec = {"kind": "packing", "base": "documents", "stages": [],
+                "sub": sub, "pred": pred, "terminal": {"op": "packing"}}
+        if sub == "pack":
+            spec["max_tokens"] = r.choice([96, 128, 256, 512])
+            spec["num_shards"] = r.choice([4, 8])
+        elif sub == "chunk":
+            ct = r.choice([32, 48, 64, 96])
+            spec["chunk_tokens"] = ct
+            spec["overlap"] = r.choice([0, ct // 4, ct // 2 - 1])
+        else:
+            c1 = r.choice([60, 70, 80, 90])
+            c2 = r.choice([c1 + (100 - c1) // 3, c1 + (100 - c1) // 2])
+            spec["cuts"] = (c1, c2)  # percent boundaries train/valid/test
+            spec["salt"] = r.choice(["split", "fz", "s1"])
+        return spec
+
     #: language codes available for marker-subset language-ID specs —
     #: must be keys of llm.text.LANG_MARKERS (asserted in to_spark)
     LANGS = ("de", "en", "es", "fr", "zh")
@@ -1195,6 +1227,82 @@ def to_sql(spec: dict) -> str:
             nlist=spec["nlist"], nprobe=spec["nprobe"], k=spec["k"],
             n_train=spec["n_train"], n_query=spec["n_query"],
         )
+    if spec.get("kind") == "packing":
+        src = "SELECT * FROM documents" + (
+            f" WHERE {spec['pred']}" if spec["pred"] else "")
+        if spec["sub"] == "pack":
+            m, s = spec["max_tokens"], spec["num_shards"]
+            bucket = (
+                f"CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR), "
+                f"':shard')), 1, 8)) AS BIGINT) % {s}"
+            )
+            # greedy packing as a recursive CTE (independent formulation
+            # of pack_shard's sequential fold — same shape as the suite's
+            # _PACK_ORACLE, parameterized over (max_tokens, num_shards))
+            return rf"""
+            WITH RECURSIVE src AS ({src}), sharded AS (
+              SELECT doc_id, CAST({bucket} AS INT) AS shard,
+                     CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INT) AS n_tokens
+              FROM src
+            ), docs AS (
+              SELECT doc_id, shard, n_tokens,
+                     ROW_NUMBER() OVER (PARTITION BY shard ORDER BY doc_id) AS rn
+              FROM sharded
+            ), rec AS (
+              SELECT shard, rn, doc_id, n_tokens,
+                     0::BIGINT AS pack_id,
+                     CASE WHEN n_tokens >= {m} THEN 1 ELSE 0 END::BIGINT AS nxt_pack,
+                     CASE WHEN n_tokens >= {m} THEN 0 ELSE n_tokens END AS nxt_used
+              FROM docs WHERE rn = 1
+              UNION ALL
+              SELECT d.shard, d.rn, d.doc_id, d.n_tokens,
+                     CASE WHEN r.nxt_used > 0 AND r.nxt_used + d.n_tokens > {m}
+                          THEN r.nxt_pack + 1 ELSE r.nxt_pack END AS asg,
+                     CASE WHEN (CASE WHEN r.nxt_used > 0 AND r.nxt_used + d.n_tokens > {m}
+                                     THEN d.n_tokens ELSE r.nxt_used + d.n_tokens END) >= {m}
+                          THEN asg + 1 ELSE asg END AS np,
+                     CASE WHEN (CASE WHEN r.nxt_used > 0 AND r.nxt_used + d.n_tokens > {m}
+                                     THEN d.n_tokens ELSE r.nxt_used + d.n_tokens END) >= {m}
+                          THEN 0
+                          ELSE (CASE WHEN r.nxt_used > 0 AND r.nxt_used + d.n_tokens > {m}
+                                     THEN d.n_tokens ELSE r.nxt_used + d.n_tokens END) END AS nu
+              FROM rec r JOIN docs d ON d.shard = r.shard AND d.rn = r.rn + 1
+            )
+            SELECT doc_id, shard, pack_id, n_tokens FROM rec
+            """
+        if spec["sub"] == "chunk":
+            ct, ov = spec["chunk_tokens"], spec["overlap"]
+            stride = ct - ov
+            return rf"""
+            WITH src AS ({src}), words AS (
+              SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM src
+            ), starts AS (
+              SELECT doc_id, w,
+                     unnest(range(1, greatest(len(w) - {ov}, 1) + 1, {stride})) AS s
+              FROM words
+            )
+            SELECT doc_id,
+                   CAST((s - 1) // {stride} AS INT) AS chunk_id,
+                   CAST(len(list_slice(w, s, s + {ct - 1})) AS INT) AS n_chunk_tokens,
+                   array_to_string(list_slice(w, s, s + {ct - 1}), ' ') AS chunk_text
+            FROM starts
+            """
+        c1, c2 = spec["cuts"]
+        salt = spec["salt"]
+        return f"""
+        WITH src AS ({src}), b AS (
+          SELECT lang,
+                 CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR),
+                      ':{salt}')), 1, 8)) AS BIGINT) % 10000 AS bucket
+          FROM src
+        ), s AS (
+          SELECT lang, CASE WHEN bucket < {c1 * 100} THEN 'train'
+                            WHEN bucket < {c2 * 100} THEN 'valid'
+                            ELSE 'test' END AS split
+          FROM b
+        )
+        SELECT split, lang, CAST(COUNT(*) AS BIGINT) AS n FROM s GROUP BY split, lang
+        """
     if spec.get("kind") in ("minhash", "ngram"):
         src = "SELECT * FROM documents" + (
             f" WHERE {spec['pred']}" if spec["pred"] else "")
@@ -1695,6 +1803,36 @@ def to_spark(spec: dict, spark, sf_dir: str, base_df=None):
                 nprobe=spec["nprobe"], **kw,
             )
         return out.select("query_id", "vec_id", "cos_sim", "rank")
+    if spec.get("kind") == "packing":
+        from pyspark_pipeline_framework_spark.llm.packing import (
+            chunk_documents,
+            pack_sequences,
+            split_by_hash,
+        )
+        from pyspark_pipeline_framework_spark.llm.text import token_count_ws
+
+        d = table(spark, sf_dir, "documents")
+        if spec["pred"]:
+            d = d.filter(F.expr(spec["pred"]))
+        if spec["sub"] == "pack":
+            return pack_sequences(
+                d.select("doc_id", token_count_ws("text").alias("n_tokens")),
+                max_tokens=spec["max_tokens"], num_shards=spec["num_shards"],
+                hash_fn="md5",
+            )
+        if spec["sub"] == "chunk":
+            return chunk_documents(
+                d, chunk_tokens=spec["chunk_tokens"], overlap=spec["overlap"]
+            )
+        c1, c2 = spec["cuts"]
+        fr = {"train": c1 / 100, "valid": (c2 - c1) / 100,
+              "test": (100 - c2) / 100}
+        return (
+            split_by_hash(d.select("doc_id", "lang"), "doc_id", fr,
+                          salt=spec["salt"], hash_fn="md5")
+            .groupBy("split", "lang")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
     if spec.get("kind") in ("minhash", "ngram"):
         from pyspark_pipeline_framework_spark.llm.dedup import (
             minhash_candidate_pairs,
