@@ -50,6 +50,8 @@ def _norm(v: Column) -> Column:
 
 
 def cosine_similarity(a: Column, b: Column) -> Column:
+    """Exact fixed-point cosine of two vector columns (decimal dot /
+    norms) — bit-identical across engines, see ``_dot_decimal``."""
     return _dot_decimal(a, b) / (_norm(a) * _norm(b))
 
 

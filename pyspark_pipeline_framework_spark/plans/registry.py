@@ -106,6 +106,7 @@ default_registry = OperatorRegistry()
 
 @default_registry.register("read")
 def op_read(spark: SparkSession, catalog: Catalog, *, output: str, **params) -> DataFrame:
+    """Read a source (parquet/csv/json/orc/delta/iceberg/table) into the catalog."""
     df = read_source(spark, SourceConfig(**params))
     return catalog.put(output, df)
 
@@ -138,6 +139,7 @@ def op_transform(
 
 @default_registry.register("write")
 def op_write(spark: SparkSession, catalog: Catalog, *, input: str, **params) -> None:
+    """Write a dataset to a sink (format/mode/partitioning per SinkConfig)."""
     write_sink(catalog.get(input), SinkConfig(**params))
     return None
 
@@ -149,6 +151,7 @@ def op_write(spark: SparkSession, catalog: Catalog, *, input: str, **params) -> 
 def op_quality_filter(
     spark: SparkSession, catalog: Catalog, *, output: str, input: str, **params
 ) -> DataFrame:
+    """Length/symbol/uniqueness text-quality gate -- llm.text.quality_filter."""
     from pyspark_pipeline_framework_spark.llm.text import quality_filter
 
     return catalog.put(output, quality_filter(catalog.get(input), **params))
@@ -158,6 +161,7 @@ def op_quality_filter(
 def op_dedup_exact(
     spark: SparkSession, catalog: Catalog, *, output: str, input: str, **params
 ) -> DataFrame:
+    """Exact text dedup by sha256 content key -- llm.dedup.exact_text_dedup."""
     from pyspark_pipeline_framework_spark.llm.dedup import exact_text_dedup
 
     return catalog.put(output, exact_text_dedup(catalog.get(input), **params))
@@ -167,6 +171,7 @@ def op_dedup_exact(
 def op_dedup_minhash_pairs(
     spark: SparkSession, catalog: Catalog, *, output: str, input: str, **params
 ) -> DataFrame:
+    """MinHash-LSH near-dup candidate pairs -- llm.dedup.minhash_candidate_pairs."""
     from pyspark_pipeline_framework_spark.llm.dedup import minhash_candidate_pairs
 
     return catalog.put(output, minhash_candidate_pairs(catalog.get(input), **params))
@@ -210,6 +215,7 @@ def op_dedup_incremental_pairs(
 def op_dedup_ngram_pairs(
     spark: SparkSession, catalog: Catalog, *, output: str, input: str, **params
 ) -> DataFrame:
+    """Exact n-gram Jaccard pairs via inverted index -- llm.dedup.ngram_jaccard_pairs."""
     from pyspark_pipeline_framework_spark.llm.dedup import ngram_jaccard_pairs
 
     return catalog.put(output, ngram_jaccard_pairs(catalog.get(input), **params))
@@ -344,6 +350,7 @@ def op_ivf_search(
 def op_language_id(
     spark: SparkSession, catalog: Catalog, *, output: str, input: str, **params
 ) -> DataFrame:
+    """N-gram-marker language identification -- llm.text.language_id."""
     from pyspark_pipeline_framework_spark.llm.text import language_id
 
     return catalog.put(output, language_id(catalog.get(input), **params))
@@ -353,6 +360,7 @@ def op_language_id(
 def op_split_by_hash(
     spark: SparkSession, catalog: Catalog, *, output: str, input: str, **params
 ) -> DataFrame:
+    """Deterministic train/valid/test split -- llm.packing.split_by_hash."""
     from pyspark_pipeline_framework_spark.llm.packing import split_by_hash
 
     return catalog.put(output, split_by_hash(catalog.get(input), **params))
@@ -362,6 +370,7 @@ def op_split_by_hash(
 def op_pack_sequences(
     spark: SparkSession, catalog: Catalog, *, output: str, input: str, **params
 ) -> DataFrame:
+    """Greedy sequence packing into token budgets -- llm.packing.pack_sequences."""
     from pyspark_pipeline_framework_spark.llm.packing import pack_sequences
 
     return catalog.put(output, pack_sequences(catalog.get(input), **params))
@@ -371,6 +380,7 @@ def op_pack_sequences(
 def op_chunk_documents(
     spark: SparkSession, catalog: Catalog, *, output: str, input: str, **params
 ) -> DataFrame:
+    """Overlapping token-window chunking -- llm.packing.chunk_documents."""
     from pyspark_pipeline_framework_spark.llm.packing import chunk_documents
 
     return catalog.put(output, chunk_documents(catalog.get(input), **params))
@@ -391,6 +401,7 @@ def op_media_probe(
 def op_quantize_embeddings(
     spark: SparkSession, catalog: Catalog, *, output: str, input: str, **params
 ) -> DataFrame:
+    """Symmetric int8 embedding quantization -- llm.similarity.quantize_embeddings."""
     from pyspark_pipeline_framework_spark.llm.similarity import quantize_embeddings
 
     return catalog.put(output, quantize_embeddings(catalog.get(input), **params))
@@ -400,6 +411,7 @@ def op_quantize_embeddings(
 def op_funnel(
     spark: SparkSession, catalog: Catalog, *, output: str, input: str, **params
 ) -> DataFrame:
+    """Ordered event-funnel step counts -- operators.events.funnel_counts."""
     from pyspark_pipeline_framework_spark.operators.events import funnel_counts
 
     return catalog.put(output, funnel_counts(catalog.get(input), **params))
@@ -409,6 +421,7 @@ def op_funnel(
 def op_retention(
     spark: SparkSession, catalog: Catalog, *, output: str, input: str, **params
 ) -> DataFrame:
+    """Cohort retention matrix -- operators.events.cohort_retention."""
     from pyspark_pipeline_framework_spark.operators.events import cohort_retention
 
     return catalog.put(output, cohort_retention(catalog.get(input), **params))
