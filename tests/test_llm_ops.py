@@ -56,6 +56,24 @@ def test_minhash_signature_shape(spark, docs):
     assert {r.doc_id: r.signature for r in sig} == {r.doc_id: r.signature for r in sig2}
 
 
+def test_minhash_md5_signature_ragged_num_hashes(spark, docs):
+    """num_hashes not divisible by 4 exercises the arrow path's final
+    partial digest group (ws[:num_hashes] slice): width, 8-hex word
+    shape, determinism, and agreement with a wider signature's prefix
+    (permutation i never depends on num_hashes — group i//4, slice
+    i%4 — so a 30-wide signature IS the first 30 words of a 32-wide
+    one; a slicing bug would break that identity)."""
+    d = docs.limit(8)
+    sig30 = {r.doc_id: r.signature
+             for r in minhash_signature(d, num_hashes=30, hash_fn="md5").collect()}
+    assert all(len(s) == 30 for s in sig30.values())
+    assert all(len(w) == 8 and set(w) <= set("0123456789abcdef")
+               for s in sig30.values() for w in s)
+    sig32 = {r.doc_id: r.signature
+             for r in minhash_signature(d, num_hashes=32, hash_fn="md5").collect()}
+    assert {k: v[:30] for k, v in sig32.items()} == sig30
+
+
 def test_minhash_agreement_tracks_jaccard(spark, sf_dir):
     """Signature agreement rate ≈ Jaccard (within binomial noise) on the
     sf0.01 planted near-dups — catches positional/degenerate hashing."""
