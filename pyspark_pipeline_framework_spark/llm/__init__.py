@@ -36,8 +36,16 @@ from pyspark_pipeline_framework_spark.llm.similarity import (
     ivf_search,
 )
 from pyspark_pipeline_framework_spark.llm.packing import pack_sequences, split_by_hash
+from pyspark_pipeline_framework_spark.llm.retrieval import (
+    bm25_topk,
+    doc_postings,
+    tfidf_topk_terms,
+)
 
 __all__ = [
+    "bm25_topk",
+    "doc_postings",
+    "tfidf_topk_terms",
     "language_id",
     "md5_fingerprint",
     "normalize_text",

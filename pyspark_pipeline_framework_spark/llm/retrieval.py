@@ -1,0 +1,231 @@
+"""Lexical retrieval over a document corpus: term postings, TF-IDF and
+BM25 scoring, top-k keyword search ([beyond-ref] — the reference has no
+retrieval surface; this rounds out the LLM-training-data toolkit next
+to dedup/decontamination, e.g. for quality-weighted sampling or
+eval-leak auditing by query).
+
+Scale shape (the 100 TB contract):
+- the corpus is scanned and tokenized exactly ONCE into postings
+  ``(doc, term, tf)`` — one shuffle keyed by ``(doc, term)``; document
+  length is a window over the same partitioning, not a second scan;
+- corpus-level constants (N docs, total token count) are a one-row
+  aggregate broadcast via ``crossJoin`` (the scalar-subquery pattern
+  used throughout the suite — never a driver collect);
+- queries are the SMALL side by definition: query terms broadcast into
+  the postings scan, so only postings that match some query term are
+  ever scored — the wide score aggregation is keyed by
+  ``(query, doc)`` and bounded by matching postings, never corpus
+  size × query count;
+- document frequencies are computed AFTER the query-term semi-join, so
+  the df aggregation touches only needed terms (df per term is
+  identical either way — df counts distinct docs in the FULL postings
+  table for that term, and the semi-join keeps every posting of a
+  needed term).
+
+Determinism (cross-engine oracle gating): ``idf_mode="rational"``
+evaluates BM25 with k1=1.2, b=0.75 folded into exact BIGINT
+numerators/denominators, one double division each (IEEE division is
+exactly rounded → engine-independent), and a fixed-point
+``floor(1e6·idf·tf_part)`` per-term score summed as integers — exact
+and order-independent, so a DuckDB oracle matches bit-for-bit.
+``idf_mode="ln"`` is the classic Robertson/Lucene idf
+``ln(1 + (N-df+0.5)/(df+0.5))`` — transcendental, so last-ulp results
+may differ across engines; it is the user-facing default in the
+registry but the suite gates the rational mode.
+
+The rational-idf algebra (documented so the oracle SQL is auditable):
+with ``avgdl = S/N`` (S = total tokens, N = docs),
+
+  idf      = (N - df + ½)/(df + ½)            = (2N - 2df + 1)/(2df + 1)
+  tf_part  = tf·(k1+1)/(tf + k1·(1 - b + b·dl/avgdl))
+           = 22·S·tf / (10·S·tf + 3·S + 9·dl·N)      [k1=6/5, b=3/4]
+
+Both are ratios of exact BIGINTs (overflow bound: 22·S·tf < 2^63 —
+holds through ~10^16 total tokens, far past 100 TB of text).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = [
+    "doc_postings",
+    "bm25_topk",
+    "tfidf_topk_terms",
+]
+
+#: fixed-point scale for the rational per-term score
+_SCORE_SCALE = 1_000_000.0
+
+
+def _terms(text_col: str) -> Column:
+    """Lower/trim/whitespace-split tokens — the same tokenization as the
+    shingle operators (``llm.dedup._word_array``), so retrieval and
+    dedup agree on what a "word" is. Blank docs split to [''] and are
+    dropped by the ``term != ''`` filter in :func:`doc_postings`."""
+    return F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+
+
+def doc_postings(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Postings list ``(id, term, tf, dl)``: term frequency per
+    document plus the document's token count ``dl``, from ONE corpus
+    scan. ``dl`` is a window sum over the tf aggregation's own
+    partitioning (partitionBy is a prefix of the groupBy key, so no
+    extra scan; the window's exchange is the one re-keying by doc)."""
+    toks = df.select(F.col(id_col).alias("id"), F.explode(_terms(text_col)).alias("term"))
+    post = (
+        toks.filter(F.col("term") != "")
+        .groupBy("id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    return post.withColumn("dl", F.sum("tf").over(Window.partitionBy("id")))
+
+
+def _rational_part(n_docs: Column, s_total: Column, dfreq: Column, tf: Column, dl: Column) -> Column:
+    """floor(1e6 · idf · tf_part) as BIGINT — see module docstring.
+    Expression shape (two exact-integer casts, two divisions, two
+    multiplications, left-associative) is mirrored verbatim in the
+    suite oracle; every op is exactly rounded IEEE, so the value is
+    engine-independent."""
+    idf = (F.lit(2) * n_docs - F.lit(2) * dfreq + F.lit(1)).cast("double") / (
+        F.lit(2) * dfreq + F.lit(1)
+    ).cast("double")
+    tfp = (F.lit(22) * s_total * tf).cast("double") / (
+        F.lit(10) * s_total * tf + F.lit(3) * s_total + F.lit(9) * dl * n_docs
+    ).cast("double")
+    return F.floor(F.lit(_SCORE_SCALE) * idf * tfp)
+
+
+def _ln_part(n_docs: Column, s_total: Column, dfreq: Column, tf: Column, dl: Column) -> Column:
+    """Classic BM25 term score (Robertson idf, k1=1.2, b=0.75) as a
+    double — the user-facing mode; not cross-engine hash-stable
+    (ln is transcendental)."""
+    nd, dfq, tfd, dld = (c.cast("double") for c in (n_docs, dfreq, tf, dl))
+    avgdl = s_total.cast("double") / nd
+    idf = F.log(F.lit(1.0) + (nd - dfq + F.lit(0.5)) / (dfq + F.lit(0.5)))
+    tfp = (tfd * F.lit(2.2)) / (tfd + F.lit(1.2) * (F.lit(0.25) + F.lit(0.75) * dld / avgdl))
+    return idf * tfp
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    top_k: int = 10,
+    idf_mode: str = "rational",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    query_id_col: str = "query_id",
+    query_text_col: str = "query",
+) -> DataFrame:
+    """Top-k BM25 keyword search: score every document containing at
+    least one query term against each query; rank per query (score
+    desc, doc id asc — deterministic tie-break) and keep ``top_k``.
+
+    Query TERM SET semantics: duplicate terms in a query string count
+    once (the common analyzer behavior; qtf weighting would multiply
+    the per-term part by query tf — trivially added, deliberately not
+    default).
+
+    Returns ``(query_id, doc_id, score_fp BIGINT, rank)`` in rational
+    mode (``score_fp`` = sum of floor(1e6·part); monotone in the real
+    score at fixed-point resolution) or ``(query_id, doc_id,
+    score DOUBLE, rank)`` in ``"ln"`` mode.
+
+    Plan at scale: queries broadcast twice (term match + df lookup),
+    postings scanned once, one (query, doc) score shuffle bounded by
+    term-matching postings, one per-query rank window.
+    """
+    if idf_mode not in ("rational", "ln"):
+        raise ValueError(f"idf_mode must be 'rational' or 'ln', got {idf_mode!r}")
+    post = doc_postings(docs, id_col, text_col)
+    stats = post.groupBy().agg(
+        F.countDistinct("id").alias("n_docs"),
+        F.sum("tf").alias("s_total"),
+    )
+    qterms = (
+        queries.select(
+            F.col(query_id_col).alias("query_id"),
+            F.explode(_terms(query_text_col)).alias("term"),
+        )
+        .filter(F.col("term") != "")
+        .distinct()
+    )
+    # only terms some query mentions are ever scored; df for those
+    # terms over the full postings (one small aggregate, broadcast back)
+    hits = post.join(F.broadcast(qterms.select("term").distinct()), "term")
+    dfreq = hits.groupBy("term").agg(F.countDistinct("id").alias("dfreq"))
+    part = _rational_part if idf_mode == "rational" else _ln_part
+    score_col = "score_fp" if idf_mode == "rational" else "score"
+    scored = (
+        hits.join(F.broadcast(qterms), "term")
+        .join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("query_id", "id")
+        .agg(
+            F.sum(
+                part(
+                    F.col("n_docs"), F.col("s_total"), F.col("dfreq"), F.col("tf"), F.col("dl")
+                )
+            ).alias(score_col)
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col(score_col).desc(), F.col("id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select("query_id", F.col("id").alias(id_col), score_col, "rank")
+    )
+
+
+def tfidf_topk_terms(
+    docs: DataFrame,
+    top_n: int = 3,
+    idf_mode: str = "rational",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The ``top_n`` most characteristic terms per document by TF-IDF.
+
+    ``idf_mode="rational"`` ranks by the log-free monotone surrogate
+    ``tf · N / df`` — within one document, ``tf·ln(N/df)`` and
+    ``tf·N/df`` induce different orders in general, so this is a
+    DOCUMENTED variant chosen for cross-engine exactness: the ranking
+    key is ``floor(1e6 · (tf·N as double)/(df as double))``, one exact
+    division. ``"ln"`` ranks by standard smoothed
+    ``tf · ln(1 + N/df)``. Ties break on term asc.
+
+    Returns ``(id_col, term, tf, dfreq, tfidf_fp|tfidf, rank)``.
+    Plan: postings scan + one term-df aggregate joined back (shuffle on
+    term — at 100 TB the term dimension is vocabulary-sized, naturally
+    bounded), one per-doc rank window.
+    """
+    if idf_mode not in ("rational", "ln"):
+        raise ValueError(f"idf_mode must be 'rational' or 'ln', got {idf_mode!r}")
+    post = doc_postings(docs, id_col, text_col).drop("dl")
+    stats = post.groupBy().agg(F.countDistinct("id").alias("n_docs"))
+    dfreq = post.groupBy("term").agg(F.countDistinct("id").alias("dfreq"))
+    joined = post.join(dfreq, "term").crossJoin(F.broadcast(stats))
+    if idf_mode == "rational":
+        key = F.floor(
+            F.lit(_SCORE_SCALE)
+            * (
+                (F.col("tf") * F.col("n_docs")).cast("double")
+                / F.col("dfreq").cast("double")
+            )
+        ).alias("tfidf_fp")
+    else:
+        key = (
+            F.col("tf").cast("double")
+            * F.log(F.lit(1.0) + F.col("n_docs").cast("double") / F.col("dfreq").cast("double"))
+        ).alias("tfidf")
+    keyed = joined.select("id", "term", "tf", "dfreq", key)
+    kname = keyed.columns[-1]
+    w = Window.partitionBy("id").orderBy(F.col(kname).desc(), F.col("term"))
+    return (
+        keyed.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_n)
+        .select(F.col("id").alias(id_col), "term", "tf", "dfreq", kname, "rank")
+    )

@@ -407,6 +407,38 @@ def op_quantize_embeddings(
     return catalog.put(output, quantize_embeddings(catalog.get(input), **params))
 
 
+@default_registry.register("bm25_topk")
+def op_bm25_topk(
+    spark: SparkSession,
+    catalog: Catalog,
+    *,
+    output: str,
+    input: str,
+    queries: str,
+    **params,
+) -> DataFrame:
+    """Top-k BM25 keyword search (queries = small catalog frame) --
+    llm.retrieval.bm25_topk. Default idf_mode='ln' (classic
+    Robertson); 'rational' is the cross-engine-exact variant."""
+    from pyspark_pipeline_framework_spark.llm.retrieval import bm25_topk
+
+    params.setdefault("idf_mode", "ln")
+    return catalog.put(
+        output, bm25_topk(catalog.get(input), catalog.get(queries), **params)
+    )
+
+
+@default_registry.register("tfidf_terms")
+def op_tfidf_terms(
+    spark: SparkSession, catalog: Catalog, *, output: str, input: str, **params
+) -> DataFrame:
+    """Top-n characteristic terms per doc -- llm.retrieval.tfidf_topk_terms."""
+    from pyspark_pipeline_framework_spark.llm.retrieval import tfidf_topk_terms
+
+    params.setdefault("idf_mode", "ln")
+    return catalog.put(output, tfidf_topk_terms(catalog.get(input), **params))
+
+
 @default_registry.register("funnel")
 def op_funnel(
     spark: SparkSession, catalog: Catalog, *, output: str, input: str, **params

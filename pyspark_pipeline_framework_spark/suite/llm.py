@@ -1453,3 +1453,117 @@ def q_emb_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = table(spark, sf_dir, "embeddings")
     return quantize_embeddings(emb).select("vec_id", "q_embedding", "q_scale")
+
+
+# ------------------------------------------------------------------ retrieval
+
+#: the three fixed benchmark queries of the BM25 suite case
+_BM25_QUERIES = [(0, "hash join"), (1, "vector scan filter"), (2, "slow batch merge")]
+_BM25_QUERY_VALUES = ", ".join(f"({i}, '{q}')" for i, q in _BM25_QUERIES)
+
+
+@case(
+    "q_text_bm25",
+    # the FULL BM25 pipeline replayed in SQL: tokenize -> postings ->
+    # doc length -> corpus stats -> query-term df -> rational-idf
+    # fixed-point score (exact BIGINT numerators/denominators, one
+    # exactly-rounded double division each; see llm/retrieval.py
+    # module docstring for the k1=1.2,b=0.75 algebra) -> per-query
+    # rank. Every arithmetic step mirrors bm25_topk(idf_mode=
+    # "rational") bit-for-bit.
+    oracle=rf"""
+    WITH q(query_id, query) AS (VALUES {_BM25_QUERY_VALUES}),
+    toks AS (
+      SELECT doc_id AS id,
+             unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+      FROM documents
+    ), post AS (
+      SELECT id, term, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM toks WHERE term <> '' GROUP BY 1, 2
+    ), dl AS (
+      SELECT id, CAST(SUM(tf) AS BIGINT) AS dl FROM post GROUP BY 1
+    ), stats AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(dl) AS BIGINT) AS s_total FROM dl
+    ), qt AS (
+      SELECT DISTINCT query_id,
+             unnest(regexp_split_to_array(trim(lower(query)), '\s+')) AS term
+      FROM q
+    ), dfreq AS (
+      SELECT p.term, CAST(COUNT(*) AS BIGINT) AS dfreq
+      FROM post p WHERE p.term IN (SELECT term FROM qt) GROUP BY 1
+    ), sc AS (
+      SELECT qt.query_id, p.id,
+             CAST(SUM(CAST(FLOOR(1000000.0
+               * (CAST(2 * st.n_docs - 2 * d.dfreq + 1 AS DOUBLE)
+                  / CAST(2 * d.dfreq + 1 AS DOUBLE))
+               * (CAST(22 * st.s_total * p.tf AS DOUBLE)
+                  / CAST(10 * st.s_total * p.tf + 3 * st.s_total
+                         + 9 * l.dl * st.n_docs AS DOUBLE))) AS BIGINT))
+             AS BIGINT) AS score_fp
+      FROM qt
+      JOIN post p ON p.term = qt.term
+      JOIN dfreq d ON d.term = qt.term
+      JOIN dl l ON l.id = p.id
+      CROSS JOIN stats st
+      GROUP BY 1, 2
+    )
+    SELECT CAST(query_id AS BIGINT) AS query_id, id AS doc_id, score_fp, rank
+    FROM (SELECT query_id, id, score_fp,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                         ORDER BY score_fp DESC, id) AS INT) AS rank
+          FROM sc)
+    WHERE rank <= 10
+    """,
+    category="llm",
+)
+def q_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 BM25 keyword search for three fixed queries over the
+    documents corpus (rational-idf fixed-point mode — the oracle-exact
+    variant; classic ln-idf mode is pytest-covered)."""
+    from pyspark_pipeline_framework_spark.llm.retrieval import bm25_topk
+
+    d = table(spark, sf_dir, "documents")
+    queries = spark.createDataFrame(_BM25_QUERIES, "query_id long, query string")
+    return bm25_topk(d, queries, top_k=10, idf_mode="rational")
+
+
+@case(
+    "q_text_tfidf",
+    # top-3 characteristic terms per doc under the log-free monotone
+    # idf surrogate tf*N/df (documented variant for cross-engine
+    # exactness; ranking key = floor(1e6 * (tf*N)/df), one exactly
+    # rounded division)
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id AS id,
+             unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+      FROM documents
+    ), post AS (
+      SELECT id, term, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM toks WHERE term <> '' GROUP BY 1, 2
+    ), stats AS (
+      SELECT CAST(COUNT(DISTINCT id) AS BIGINT) AS n_docs FROM post
+    ), dfreq AS (
+      SELECT term, CAST(COUNT(*) AS BIGINT) AS dfreq FROM post GROUP BY 1
+    ), keyed AS (
+      SELECT p.id, p.term, p.tf, d.dfreq,
+             CAST(FLOOR(1000000.0 * (CAST(p.tf * st.n_docs AS DOUBLE)
+                                     / CAST(d.dfreq AS DOUBLE))) AS BIGINT) AS tfidf_fp
+      FROM post p JOIN dfreq d ON d.term = p.term CROSS JOIN stats st
+    )
+    SELECT id AS doc_id, term, tf, dfreq, tfidf_fp, rank
+    FROM (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY id
+                                            ORDER BY tfidf_fp DESC, term) AS INT) AS rank
+          FROM keyed)
+    WHERE rank <= 3
+    """,
+    category="llm",
+)
+def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document (rational surrogate ranking —
+    oracle-exact; ln mode pytest-covered)."""
+    from pyspark_pipeline_framework_spark.llm.retrieval import tfidf_topk_terms
+
+    d = table(spark, sf_dir, "documents")
+    return tfidf_topk_terms(d, top_n=3, idf_mode="rational")
