@@ -31,6 +31,7 @@ from pyspark_pipeline_framework_spark.llm.similarity import (
     cosine_topk_bruteforce,
     cosine_topk_lsh,
     embedding_dedup_pairs,
+    semantic_dedup_pairs,
     ivf_add,
     ivf_index,
     ivf_search,
@@ -46,6 +47,7 @@ __all__ = [
     "bm25_topk",
     "doc_postings",
     "tfidf_topk_terms",
+    "semantic_dedup_pairs",
     "language_id",
     "md5_fingerprint",
     "normalize_text",

@@ -841,3 +841,75 @@ def quantize_embeddings(
     return df.withColumn("q_embedding", q).withColumn(
         "q_scale", (max_abs / F.lit(float(levels))).alias("q_scale")
     )
+
+
+def semantic_dedup_pairs(
+    corpus: DataFrame,
+    dim: int,
+    threshold: float = 0.9,
+    nlist: int = 64,
+    train_iters: int = 2,
+    train_sample: int | None = None,
+    mode: str = "exact",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic near-duplicate pairs (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the corpus with the IVF coarse
+    quantizer, then compare embeddings PAIRWISE ONLY WITHIN a cluster
+    and keep pairs with cosine ≥ ``threshold``. Same
+    train-once/assign-map-only machinery as the ANN index
+    (:func:`ivf_train_centroids_exact` / :func:`ivf_add`), so an
+    existing IVF store doubles as the semantic-dedup partitioning.
+
+    Returns ``(id_a, id_b, cos_sim, cell)`` with ``id_a < id_b``.
+    Feed into ``dedup_clusters`` (llm/dedup.py) for keep/drop
+    decisions, exactly like the MinHash candidate flow.
+
+    Scale contract (the SemDeDup tradeoff made explicit): work is
+    Σ_cells |cell|² / 2 ≈ N²/(2·nlist) for balanced cells — ``nlist``
+    MUST grow with the corpus so the expected cell size stays bounded
+    (the paper uses ~10⁴-10⁵ clusters for 10⁸-10⁹ docs; size nlist ≈
+    N / target_cell_size). The cell equi-join is the only wide op; the
+    per-row norm is computed once on the assigned store (one dot per
+    PAIR, not three); the merge hint prevents AQE from broadcasting
+    one side of the self-join and re-executing the assignment subtree
+    twice (build + probe), mirroring the measured rationale in
+    ``minhash_candidate_pairs``.
+
+    ``mode="exact"`` (default): md5-ordered training sample +
+    fixed-point Lloyd + integer-dot assignment + decimal-exact cosine
+    — the ENTIRE pipeline including the trained model replays
+    bit-for-bit in SQL (suite case ``q_dedup_semantic``).
+    ``mode="fast"``: xxhash64 sample + float BLAS — same shape,
+    no cross-engine oracle."""
+    if mode not in ("exact", "fast"):
+        raise ValueError(f"mode must be 'exact' or 'fast', got {mode!r}")
+    corpus = drop_corrupt_vectors(corpus, vec_col, dim)
+    trainer = ivf_train_centroids_exact if mode == "exact" else ivf_train_centroids
+    C = trainer(
+        corpus, dim, nlist=nlist, train_iters=train_iters,
+        id_col=id_col, vec_col=vec_col, train_sample=train_sample,
+    )
+    assigned = ivf_add(
+        ensure_parallelism(corpus), C, dim,
+        id_col=id_col, vec_col=vec_col, mode=mode, _pre_validated=True,
+    )
+    a, b = assigned.alias("a"), assigned.hint("merge").alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.cell") == F.col("b.cell"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            (
+                _dot_decimal(F.col("a.vec"), F.col("b.vec"))
+                / (F.col("a.norm") * F.col("b.norm"))
+            ).alias("cos_sim"),
+            F.col("a.cell").alias("cell"),
+        )
+        .filter(F.col("cos_sim") >= F.lit(threshold))
+    )

@@ -407,6 +407,17 @@ def op_quantize_embeddings(
     return catalog.put(output, quantize_embeddings(catalog.get(input), **params))
 
 
+@default_registry.register("semantic_dedup_pairs")
+def op_semantic_dedup_pairs(
+    spark: SparkSession, catalog: Catalog, *, output: str, input: str, dim: int, **params
+) -> DataFrame:
+    """SemDeDup-style within-cluster cosine pairs --
+    llm.similarity.semantic_dedup_pairs (feed into dedup_clusters)."""
+    from pyspark_pipeline_framework_spark.llm.similarity import semantic_dedup_pairs
+
+    return catalog.put(output, semantic_dedup_pairs(catalog.get(input), dim, **params))
+
+
 @default_registry.register("bm25_topk")
 def op_bm25_topk(
     spark: SparkSession,

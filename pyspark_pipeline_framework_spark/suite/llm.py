@@ -660,22 +660,18 @@ def _o_doti(x: str, y: str) -> str:
     )
 
 
-def _ivf_exact_oracle(
-    dim: int = 64,
-    nlist: int = 8,
-    nprobe: int = 3,
-    train_iters: int = 2,
-    n_train: int = 256,
-    k: int = 5,
-    n_query: int = 5,
-) -> str:
-    """Oracle that replays the ENTIRE IVF pipeline in SQL — including
-    training: md5-ordered sample, init centroids, each Lloyd iteration
-    (exact-integer assign + fixed-point means + renormalize), corpus
-    cell assignment, query probing, candidate join, scoring, ranking.
-    Every arithmetic step mirrors ``ivf_train_centroids_exact`` /
-    ``ivf_cells_exact_udf`` bit-for-bit, so a training bug (not just a
-    search bug) breaks the hash match."""
+def _ivf_model_ctes(
+    dim: int, nlist: int, train_iters: int, n_train: int
+) -> tuple[list[str], str]:
+    """The SQL replay of exact-mode IVF TRAINING + corpus cell
+    assignment (md5-ordered sample, init centroids, each Lloyd
+    iteration — exact-integer assign + fixed-point means + renormalize
+    — then every corpus vector's argmax cell). Shared by the IVF ANN
+    oracle and the semantic-dedup oracle; every arithmetic step mirrors
+    ``ivf_train_centroids_exact`` / ``ivf_cells_exact_udf``
+    bit-for-bit, so a TRAINING bug (not just a search bug) breaks the
+    hash match. Returns (ctes ending in ``corpuscell``, final centroid
+    CTE name)."""
     norm_of = lambda arr: f"SQRT(CAST({_o_doti(arr, arr)} AS DOUBLE) / 1e14)"  # noqa: E731
     ctes = [
         f"""sample AS (
@@ -719,6 +715,24 @@ def _ivf_exact_oracle(
                ROW_NUMBER() OVER (PARTITION BY e.vec_id
                                   ORDER BY {_o_doti("e.embedding", "c.c")} DESC, c.j) AS r
         FROM embeddings e CROSS JOIN {final} c) WHERE r = 1)""",
+    ]
+    return ctes, final
+
+
+def _ivf_exact_oracle(
+    dim: int = 64,
+    nlist: int = 8,
+    nprobe: int = 3,
+    train_iters: int = 2,
+    n_train: int = 256,
+    k: int = 5,
+    n_query: int = 5,
+) -> str:
+    """IVF ANN oracle: trained model + cell assignment from
+    :func:`_ivf_model_ctes`, then query probing, candidate join,
+    scoring, ranking replayed in SQL."""
+    ctes, final = _ivf_model_ctes(dim, nlist, train_iters, n_train)
+    ctes += [
         f"""probe AS (
       SELECT query_id, cell FROM (
         SELECT e.vec_id AS query_id, c.j AS cell,
@@ -1567,3 +1581,47 @@ def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = table(spark, sf_dir, "documents")
     return tfidf_topk_terms(d, top_n=3, idf_mode="rational")
+
+
+def _semantic_dedup_oracle(
+    dim: int = 64,
+    nlist: int = 64,
+    train_iters: int = 2,
+    n_train: int = 256,
+    threshold: float = 0.4,
+) -> str:
+    """Semantic-dedup oracle: the shared IVF training/assignment replay
+    (:func:`_ivf_model_ctes` — the trained model is hash-gated), then
+    within-cell pairs scored with the decimal-exact cosine and
+    thresholded. Exact doubles on both sides, so the >= compare can't
+    straddle engines."""
+    ctes, _ = _ivf_model_ctes(dim, nlist, train_iters, n_train)
+    joined = ",\n    ".join(ctes)
+    return f"""
+    WITH {joined}
+    SELECT id_a, id_b, cos_sim, cell FROM (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             {_o_cos("ea.embedding", "eb.embedding")} AS cos_sim,
+             CAST(a.cell AS INT) AS cell
+      FROM corpuscell a
+      JOIN corpuscell b ON b.cell = a.cell AND b.vec_id > a.vec_id
+      JOIN embeddings ea ON ea.vec_id = a.vec_id
+      JOIN embeddings eb ON eb.vec_id = b.vec_id)
+    WHERE cos_sim >= {threshold}
+    """
+
+
+@case("q_dedup_semantic", oracle=_semantic_dedup_oracle(), category="llm")
+def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic near-dup pairs (exact mode): IVF
+    kmeans clustering (64 cells, the scale knob — cells must grow
+    with the corpus), within-cell pairwise decimal-exact cosine,
+    threshold 0.4 (data-dependent: this synthetic corpus has no true
+    semantic dups — max pair cosine ~0.5-0.6; real corpora run 0.9+).
+    The oracle replays TRAINING, assignment, pairing, and scoring."""
+    from pyspark_pipeline_framework_spark.llm.similarity import semantic_dedup_pairs
+
+    emb = table(spark, sf_dir, "embeddings")
+    return semantic_dedup_pairs(
+        emb, dim=64, threshold=0.4, nlist=64, train_sample=256, mode="exact"
+    )

@@ -8,6 +8,7 @@ plan shape."""
 import math
 
 import pytest
+from pyspark.sql import functions as F
 
 from pyspark_pipeline_framework_spark.llm.retrieval import (
     bm25_topk,
@@ -97,3 +98,51 @@ def test_bm25_plan_broadcasts_query_side(spark, sf_dir):
     plan = bm25_topk(d, q, idf_mode="rational")._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan  # query terms / dfreq / stats side
     assert "CartesianProduct" not in plan  # the stats crossJoin is a broadcast NLJ
+
+
+# ------------------------------------------------------- semantic dedup
+
+def test_semantic_dedup_finds_planted_near_dup(spark):
+    from pyspark_pipeline_framework_spark.llm.similarity import semantic_dedup_pairs
+
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal((40, 16)).astype("float64")
+    rows = [(i, [float(x) for x in base[i]]) for i in range(40)]
+    # plant: vec 100 = vec 0 + tiny noise -> cosine ~1, same cell
+    rows.append((100, [float(x) for x in base[0] + 0.01 * rng.standard_normal(16)]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    for mode in ("exact", "fast"):
+        pairs = semantic_dedup_pairs(
+            emb, dim=16, threshold=0.95, nlist=4, train_sample=32, mode=mode
+        ).collect()
+        assert [(p.id_a, p.id_b) for p in pairs] == [(0, 100)], mode
+        assert pairs[0].cos_sim > 0.99
+
+
+def test_semantic_dedup_pairs_feed_dedup_clusters(spark):
+    from pyspark_pipeline_framework_spark.llm.dedup import dedup_clusters
+    from pyspark_pipeline_framework_spark.llm.similarity import semantic_dedup_pairs
+
+    v = [1.0] * 8
+    emb = spark.createDataFrame(
+        [(1, v), (2, v), (3, [1.0] * 4 + [-1.0] * 4)],
+        "vec_id long, embedding array<double>",
+    )
+    pairs = semantic_dedup_pairs(emb, dim=8, threshold=0.99, nlist=2, train_sample=8)
+    dec = dedup_clusters(
+        emb, pairs.select(F.col("id_a").alias("id_a"), F.col("id_b").alias("id_b")),
+        id_col="vec_id",
+    )
+    dup = {r.vec_id: r.is_duplicate for r in dec.collect()}
+    assert dup == {1: False, 2: True, 3: False}  # min id survives the dup cluster
+
+
+def test_semantic_dedup_empty_and_bad_mode(spark):
+    from pyspark_pipeline_framework_spark.llm.similarity import semantic_dedup_pairs
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    assert semantic_dedup_pairs(empty, dim=8, nlist=2).count() == 0
+    with pytest.raises(ValueError, match="mode"):
+        semantic_dedup_pairs(empty, dim=8, mode="gpu")
