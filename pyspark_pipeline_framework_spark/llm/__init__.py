@@ -19,6 +19,7 @@ from pyspark_pipeline_framework_spark.llm.text import (
     token_count_ws,
 )
 from pyspark_pipeline_framework_spark.llm.dedup import (
+    bloom_decontaminate,
     exact_text_dedup,
     incremental_candidate_pairs,
     minhash_bands,
@@ -56,6 +57,7 @@ __all__ = [
     "token_count_regex",
     "token_count_ws",
     "exact_text_dedup",
+    "bloom_decontaminate",
     "incremental_candidate_pairs",
     "minhash_bands",
     "minhash_candidate_pairs",

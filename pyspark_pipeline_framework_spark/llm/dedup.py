@@ -1047,3 +1047,94 @@ def passage_dedup(
     )
     w = Window.partitionBy("passage_hash").orderBy(F.col(id_col), F.col("pos"))
     return ex.withColumn("is_duplicate", F.row_number().over(w) > 1)
+
+
+def _bloom_pos(shingle: Column, j: int, m_bits: int) -> Column:
+    """Bloom bit position j of a shingle: the top 15 hex chars of
+    md5(j ':' shingle) as a 60-bit non-negative int, mod ``m_bits`` —
+    engine-portable (DuckDB replays it with the same CAST/substr)."""
+    h = F.md5(F.concat(F.lit(f"{j}:"), shingle))
+    return F.conv(F.substring(h, 1, 15), 16, 10).cast("long") % F.lit(m_bits)
+
+
+def bloom_decontaminate(
+    train: DataFrame,
+    eval_set: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+    m_bits: int = 1 << 20,
+    k_hashes: int = 4,
+) -> DataFrame:
+    """Benchmark decontamination against a BLOOM FILTER of the eval
+    set's shingles — the bounded-memory variant of
+    :func:`decontaminate` for when the eval/blocklist side is too big
+    to broadcast as an exact shingle set (multi-benchmark unions,
+    contractual blocklists): the broadcast side is AT MOST ``m_bits``
+    distinct bit positions (8 B each; 2^20 bits ≈ 8 MB worst-case as a
+    join table) no matter how many eval shingles exist.
+
+    A training shingle is *maybe-contaminated* when all ``k_hashes``
+    of its bit positions are set — one-sided error: every true overlap
+    is flagged (no false negatives, the property decontamination
+    needs); false-positive rate ≈ (1 - e^{-kE/m})^k for E distinct
+    eval shingles, so flagged ratios are an UPPER BOUND on true
+    overlap. Size ``m_bits`` ≥ ~10·E for ~1e-4 fp; positions are
+    md5-derived (engine-portable — the suite oracle replays filter
+    construction AND probing in SQL).
+
+    Plan shape (mirrors :func:`decontaminate`): train text exploded
+    and hashed once; the k membership probes are k broadcast LEFT
+    joins against the SAME distinct-position table (map-side, no
+    shuffle — AQE reuses the broadcast exchange); the only wide op is
+    the final (id, counts) shuffle. Never collects — the filter lives
+    as a distinct DataFrame, not a driver-side bitmap.
+
+    Returns ``(id, n_shingles, n_maybe, overlap_ratio_ub,
+    maybe_contaminated)``.
+    """
+    if k_hashes < 1:
+        raise ValueError(f"k_hashes must be >= 1, got {k_hashes}")
+    if m_bits < 2:
+        raise ValueError(f"m_bits must be >= 2, got {m_bits}")
+    tr = _exploded_shingles(
+        ensure_parallelism(train), [F.col(id_col).alias("id")], text_col, shingle_k
+    )
+    bits = (
+        _exploded_shingles(eval_set, [], text_col, shingle_k)
+        .select(
+            F.explode(
+                F.array(*[_bloom_pos(F.col("__s"), j, m_bits) for j in range(k_hashes)])
+            ).alias("pos")
+        )
+        .distinct()
+    )
+    probed = tr.select(
+        "id", *[_bloom_pos(F.col("__s"), j, m_bits).alias(f"__p{j}") for j in range(k_hashes)]
+    )
+    for j in range(k_hashes):
+        probed = probed.join(
+            F.broadcast(bits.select(F.col("pos").alias(f"__p{j}"), F.lit(1).alias(f"__h{j}"))),
+            f"__p{j}",
+            "left",
+        )
+    maybe = F.when(
+        sum((F.col(f"__h{j}").isNotNull().cast("int") for j in range(k_hashes)), F.lit(0))
+        == k_hashes,
+        1,
+    ).otherwise(0)
+    return (
+        probed.groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(maybe).cast("long").alias("n_maybe"),
+        )
+        .select(
+            "id",
+            "n_shingles",
+            "n_maybe",
+            (F.col("n_maybe").cast("double") / F.col("n_shingles")).alias("overlap_ratio_ub"),
+        )
+        .withColumn("maybe_contaminated", F.col("overlap_ratio_ub") >= F.lit(threshold))
+    )

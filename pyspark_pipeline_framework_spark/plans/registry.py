@@ -279,6 +279,25 @@ def op_decontaminate(
     )
 
 
+@default_registry.register("bloom_decontaminate")
+def op_bloom_decontaminate(
+    spark: SparkSession,
+    catalog: Catalog,
+    *,
+    output: str,
+    input: str,
+    eval_set: str,
+    **params,
+) -> DataFrame:
+    """Bounded-memory bloom-filter decontamination --
+    llm.dedup.bloom_decontaminate (one-sided: no false negatives)."""
+    from pyspark_pipeline_framework_spark.llm.dedup import bloom_decontaminate
+
+    return catalog.put(
+        output, bloom_decontaminate(catalog.get(input), catalog.get(eval_set), **params)
+    )
+
+
 @default_registry.register("ivf_train")
 def op_ivf_train(
     spark: SparkSession, catalog: Catalog, *, output: str, input: str, dim: int, **params

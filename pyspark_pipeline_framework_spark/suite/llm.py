@@ -1625,3 +1625,64 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semantic_dedup_pairs(
         emb, dim=64, threshold=0.4, nlist=64, train_sample=256, mode="exact"
     )
+
+
+@case(
+    "q_decontaminate_bloom",
+    # the oracle replays bloom-filter CONSTRUCTION (eval shingles ->
+    # 4 md5-derived bit positions mod 65536, distinct) and PROBING
+    # (a training shingle is maybe-hit when all 4 positions are set).
+    # m=65536 is deliberately small at this sf so the case exercises
+    # real false positives (cross-checked against exact
+    # q_decontaminate in tests) — one-sided: flagged ratio is an
+    # upper bound on the true overlap.
+    oracle=r"""
+    WITH tr AS (
+      SELECT id, s FROM (
+        SELECT doc_id AS id, unnest(list_distinct(list_transform(
+                 range(1, greatest(len(w) - 2, 1) + 1),
+                 i -> array_to_string(list_slice(w, i, i + 2), ' ')))) AS s
+        FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS w
+              FROM documents WHERE source <> 'src0')) WHERE s <> ''
+    ), ev AS (
+      SELECT DISTINCT s FROM (
+        SELECT unnest(list_distinct(list_transform(
+                 range(1, greatest(len(w) - 2, 1) + 1),
+                 i -> array_to_string(list_slice(w, i, i + 2), ' ')))) AS s
+        FROM (SELECT regexp_split_to_array(trim(lower(text)), '\s+') AS w
+              FROM documents WHERE source = 'src0')) WHERE s <> ''
+    ), bits AS (
+      SELECT DISTINCT CAST(concat('0x', substr(md5(concat(CAST(j AS VARCHAR), ':', s)),
+                                   1, 15)) AS BIGINT) % 65536 AS pos
+      FROM ev, range(4) t(j)
+    ), probes AS (
+      SELECT id, s,
+             SUM(CASE WHEN CAST(concat('0x', substr(md5(concat(CAST(j AS VARCHAR), ':', s)),
+                                        1, 15)) AS BIGINT) % 65536
+                      IN (SELECT pos FROM bits) THEN 1 ELSE 0 END) AS hits
+      FROM tr, range(4) t(j) GROUP BY id, s
+    )
+    SELECT id, n_shingles, n_maybe,
+           CAST(n_maybe AS DOUBLE) / n_shingles AS overlap_ratio_ub,
+           (CAST(n_maybe AS DOUBLE) / n_shingles) >= 0.5 AS maybe_contaminated
+    FROM (SELECT id, CAST(COUNT(*) AS BIGINT) AS n_shingles,
+                 CAST(SUM(CASE WHEN hits = 4 THEN 1 ELSE 0 END) AS BIGINT) AS n_maybe
+          FROM probes GROUP BY id)
+    """,
+    category="llm",
+)
+def q_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter decontamination (bounded-memory variant of
+    q_decontaminate): same train/eval split, 65536-bit filter with 4
+    md5-derived hashes — construction and probing both hash-gated."""
+    from pyspark_pipeline_framework_spark.llm.dedup import bloom_decontaminate
+
+    d = table(spark, sf_dir, "documents")
+    return bloom_decontaminate(
+        d.filter(F.col("source") != "src0"),
+        d.filter(F.col("source") == "src0"),
+        shingle_k=3,
+        threshold=0.5,
+        m_bits=65536,
+        k_hashes=4,
+    )

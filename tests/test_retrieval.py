@@ -146,3 +146,49 @@ def test_semantic_dedup_empty_and_bad_mode(spark):
     assert semantic_dedup_pairs(empty, dim=8, nlist=2).count() == 0
     with pytest.raises(ValueError, match="mode"):
         semantic_dedup_pairs(empty, dim=8, mode="gpu")
+
+
+# ------------------------------------------------- bloom decontamination
+
+def test_bloom_decontaminate_one_sided_vs_exact(spark, sf_dir):
+    from pyspark_pipeline_framework_spark.llm.dedup import (
+        bloom_decontaminate,
+        decontaminate,
+    )
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    train, ev = d.filter(F.col("source") != "src0"), d.filter(F.col("source") == "src0")
+    exact = {r.id: r.n_matched for r in decontaminate(train, ev).collect()}
+    # tiny filter: heavy false positives allowed, false negatives never
+    small = {r.id: r.n_maybe for r in
+             bloom_decontaminate(train, ev, m_bits=4096).collect()}
+    assert set(small) == set(exact)
+    assert all(small[i] >= exact[i] for i in exact)
+    # big filter: fp rate ~(kE/m)^k ~ 0 -> counts collapse to exact
+    big = {r.id: r.n_maybe for r in
+           bloom_decontaminate(train, ev, m_bits=1 << 24).collect()}
+    assert big == exact
+
+
+def test_bloom_decontaminate_flags_verbatim_copy(spark):
+    from pyspark_pipeline_framework_spark.llm.dedup import bloom_decontaminate
+
+    ev = spark.createDataFrame([(0, "alpha beta gamma delta epsilon zeta")],
+                               "doc_id long, text string")
+    tr = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta"),   # verbatim
+         (2, "totally different words here none shared at all")],
+        "doc_id long, text string")
+    out = {r.id: r.maybe_contaminated for r in bloom_decontaminate(tr, ev).collect()}
+    assert out[1] is True
+    assert out[2] is False  # m=2^20, 4 shingles set -> fp ~0
+
+
+def test_bloom_decontaminate_param_validation(spark):
+    from pyspark_pipeline_framework_spark.llm.dedup import bloom_decontaminate
+
+    d = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="k_hashes"):
+        bloom_decontaminate(d, d, k_hashes=0)
+    with pytest.raises(ValueError, match="m_bits"):
+        bloom_decontaminate(d, d, m_bits=1)
