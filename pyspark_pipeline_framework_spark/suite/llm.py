@@ -1476,17 +1476,16 @@ _BM25_QUERIES = [(0, "hash join"), (1, "vector scan filter"), (2, "slow batch me
 _BM25_QUERY_VALUES = ", ".join(f"({i}, '{q}')" for i, q in _BM25_QUERIES)
 
 
-@case(
-    "q_text_bm25",
-    # the FULL BM25 pipeline replayed in SQL: tokenize -> postings ->
-    # doc length -> corpus stats -> query-term df -> rational-idf
-    # fixed-point score (exact BIGINT numerators/denominators, one
-    # exactly-rounded double division each; see llm/retrieval.py
-    # module docstring for the k1=1.2,b=0.75 algebra) -> per-query
-    # rank. Every arithmetic step mirrors bm25_topk(idf_mode=
-    # "rational") bit-for-bit.
-    oracle=rf"""
-    WITH q(query_id, query) AS (VALUES {_BM25_QUERY_VALUES}),
+def _bm25_oracle(query_values: str, top_k: int = 10) -> str:
+    """The FULL BM25 pipeline replayed in SQL: tokenize -> postings ->
+    doc length -> corpus stats -> query-term df -> rational-idf
+    fixed-point score (exact BIGINT numerators/denominators, one
+    exactly-rounded double division each; see llm/retrieval.py module
+    docstring for the k1=1.2,b=0.75 algebra) -> per-query rank. Every
+    arithmetic step mirrors bm25_topk(idf_mode="rational") bit-for-bit.
+    Parameterized over the query set and k for the fuzzer."""
+    return rf"""
+    WITH q(query_id, query) AS (VALUES {query_values}),
     toks AS (
       SELECT doc_id AS id,
              unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
@@ -1527,10 +1526,11 @@ _BM25_QUERY_VALUES = ", ".join(f"({i}, '{q}')" for i, q in _BM25_QUERIES)
                  CAST(ROW_NUMBER() OVER (PARTITION BY query_id
                                          ORDER BY score_fp DESC, id) AS INT) AS rank
           FROM sc)
-    WHERE rank <= 10
-    """,
-    category="llm",
-)
+    WHERE rank <= {top_k}
+    """
+
+
+@case("q_text_bm25", oracle=_bm25_oracle(_BM25_QUERY_VALUES, 10), category="llm")
 def q_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-10 BM25 keyword search for three fixed queries over the
     documents corpus (rational-idf fixed-point mode — the oracle-exact
@@ -1542,13 +1542,12 @@ def q_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(d, queries, top_k=10, idf_mode="rational")
 
 
-@case(
-    "q_text_tfidf",
-    # top-3 characteristic terms per doc under the log-free monotone
-    # idf surrogate tf*N/df (documented variant for cross-engine
-    # exactness; ranking key = floor(1e6 * (tf*N)/df), one exactly
-    # rounded division)
-    oracle=r"""
+def _tfidf_oracle(top_n: int = 3) -> str:
+    """Top-n characteristic terms per doc under the log-free monotone
+    idf surrogate tf*N/df (documented variant for cross-engine
+    exactness; ranking key = floor(1e6 * (tf*N)/df), one exactly
+    rounded division). Parameterized over n for the fuzzer."""
+    return rf"""
     WITH toks AS (
       SELECT doc_id AS id,
              unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
@@ -1570,10 +1569,11 @@ def q_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY id
                                             ORDER BY tfidf_fp DESC, term) AS INT) AS rank
           FROM keyed)
-    WHERE rank <= 3
-    """,
-    category="llm",
-)
+    WHERE rank <= {top_n}
+    """
+
+
+@case("q_text_tfidf", oracle=_tfidf_oracle(3), category="llm")
 def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 TF-IDF terms per document (rational surrogate ranking —
     oracle-exact; ln mode pytest-covered)."""
@@ -1627,50 +1627,61 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@case(
-    "q_decontaminate_bloom",
-    # the oracle replays bloom-filter CONSTRUCTION (eval shingles ->
-    # 4 md5-derived bit positions mod 65536, distinct) and PROBING
-    # (a training shingle is maybe-hit when all 4 positions are set).
-    # m=65536 is deliberately small at this sf so the case exercises
-    # real false positives (cross-checked against exact
-    # q_decontaminate in tests) — one-sided: flagged ratio is an
-    # upper bound on the true overlap.
-    oracle=r"""
+def _bloom_oracle(
+    m_bits: int = 65536,
+    k_hashes: int = 4,
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+    train_pred: str = "source <> 'src0'",
+    eval_pred: str = "source = 'src0'",
+) -> str:
+    """Bloom decontamination oracle: replays filter CONSTRUCTION (eval
+    shingles -> k md5-derived bit positions mod m, distinct) and
+    PROBING (a training shingle is maybe-hit when all k positions are
+    set). Parameterized over every knob for the fuzzer; the suite pins
+    (65536, 4, 3, 0.5) — m deliberately small at suite sf so the case
+    exercises real false positives (cross-checked against exact
+    q_decontaminate in tests). One-sided: flagged ratio is an upper
+    bound on true overlap."""
+    km1 = shingle_k - 1
+    pos = (
+        "CAST(concat('0x', substr(md5(concat(CAST(j AS VARCHAR), ':', s)),"
+        f" 1, 15)) AS BIGINT) % {m_bits}"
+    )
+    return rf"""
     WITH tr AS (
       SELECT id, s FROM (
         SELECT doc_id AS id, unnest(list_distinct(list_transform(
-                 range(1, greatest(len(w) - 2, 1) + 1),
-                 i -> array_to_string(list_slice(w, i, i + 2), ' ')))) AS s
+                 range(1, greatest(len(w) - {km1}, 1) + 1),
+                 i -> array_to_string(list_slice(w, i, i + {km1}), ' ')))) AS s
         FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS w
-              FROM documents WHERE source <> 'src0')) WHERE s <> ''
+              FROM documents WHERE {train_pred})) WHERE s <> ''
     ), ev AS (
       SELECT DISTINCT s FROM (
         SELECT unnest(list_distinct(list_transform(
-                 range(1, greatest(len(w) - 2, 1) + 1),
-                 i -> array_to_string(list_slice(w, i, i + 2), ' ')))) AS s
+                 range(1, greatest(len(w) - {km1}, 1) + 1),
+                 i -> array_to_string(list_slice(w, i, i + {km1}), ' ')))) AS s
         FROM (SELECT regexp_split_to_array(trim(lower(text)), '\s+') AS w
-              FROM documents WHERE source = 'src0')) WHERE s <> ''
+              FROM documents WHERE {eval_pred})) WHERE s <> ''
     ), bits AS (
-      SELECT DISTINCT CAST(concat('0x', substr(md5(concat(CAST(j AS VARCHAR), ':', s)),
-                                   1, 15)) AS BIGINT) % 65536 AS pos
-      FROM ev, range(4) t(j)
+      SELECT DISTINCT {pos} AS pos
+      FROM ev, range({k_hashes}) t(j)
     ), probes AS (
       SELECT id, s,
-             SUM(CASE WHEN CAST(concat('0x', substr(md5(concat(CAST(j AS VARCHAR), ':', s)),
-                                        1, 15)) AS BIGINT) % 65536
+             SUM(CASE WHEN {pos}
                       IN (SELECT pos FROM bits) THEN 1 ELSE 0 END) AS hits
-      FROM tr, range(4) t(j) GROUP BY id, s
+      FROM tr, range({k_hashes}) t(j) GROUP BY id, s
     )
     SELECT id, n_shingles, n_maybe,
            CAST(n_maybe AS DOUBLE) / n_shingles AS overlap_ratio_ub,
-           (CAST(n_maybe AS DOUBLE) / n_shingles) >= 0.5 AS maybe_contaminated
+           (CAST(n_maybe AS DOUBLE) / n_shingles) >= {threshold} AS maybe_contaminated
     FROM (SELECT id, CAST(COUNT(*) AS BIGINT) AS n_shingles,
-                 CAST(SUM(CASE WHEN hits = 4 THEN 1 ELSE 0 END) AS BIGINT) AS n_maybe
+                 CAST(SUM(CASE WHEN hits = {k_hashes} THEN 1 ELSE 0 END) AS BIGINT) AS n_maybe
           FROM probes GROUP BY id)
-    """,
-    category="llm",
-)
+    """
+
+
+@case("q_decontaminate_bloom", oracle=_bloom_oracle(), category="llm")
 def q_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-filter decontamination (bounded-memory variant of
     q_decontaminate): same train/eval split, 65536-bit filter with 4

@@ -297,6 +297,12 @@ class Gen:
             return self.ivf_pipeline()
         if r.random() < 0.03:
             return self.packing_pipeline()
+        if r.random() < 0.03:
+            return self.retrieval_pipeline()
+        if r.random() < 0.02:
+            return self.bloom_pipeline()
+        if r.random() < 0.015:
+            return self.semdedup_pipeline()
         if r.random() < 0.05:
             return self.textops_pipeline()
         if r.random() < 0.04:
@@ -825,6 +831,62 @@ class Gen:
             spec["salt"] = r.choice(["split", "fz", "s1"])
         return spec
 
+    #: corpus-frequent words the BM25 fuzz queries draw from (probed
+    #: from the synthetic documents tables; rare misses are fine — a
+    #: term matching nothing scores nothing in both engines)
+    QUERY_WORDS = ("hash", "join", "row", "batch", "scan", "customer",
+                   "column", "filter", "small", "slow", "merge", "order",
+                   "vector", "line", "data", "key", "agg", "table")
+
+    def retrieval_pipeline(self) -> dict:
+        """Parameterized lexical-retrieval differential: random BM25
+        query sets / top_k (rational-idf fixed-point scoring) or
+        random TF-IDF top_n through llm.retrieval vs the parameterized
+        suite oracles — the fixed suite pins one point each
+        (3 queries/k=10; top_n=3)."""
+        r = self.r
+        if r.random() < 0.6:
+            queries = [
+                (qid, " ".join(r.sample(self.QUERY_WORDS, r.randint(1, 3))))
+                for qid in range(r.randint(1, 4))
+            ]
+            return {"kind": "retrieval", "base": "documents", "stages": [],
+                    "sub": "bm25", "queries": queries,
+                    "top_k": r.choice([3, 5, 10, 20]),
+                    "terminal": {"op": "retrieval"}}
+        return {"kind": "retrieval", "base": "documents", "stages": [],
+                "sub": "tfidf", "top_n": r.randint(1, 5),
+                "terminal": {"op": "retrieval"}}
+
+    def bloom_pipeline(self) -> dict:
+        """Parameterized bloom-decontamination differential: random
+        (m_bits, k_hashes, shingle_k, threshold, eval split) through
+        llm.dedup.bloom_decontaminate vs the parameterized oracle —
+        filter construction AND probing replayed. Small m values
+        deliberately saturate the filter (all-maybe); large ones
+        collapse to the exact op — both edges covered."""
+        r = self.r
+        src = r.randint(0, 3)
+        return {"kind": "bloom", "base": "documents", "stages": [],
+                "m_bits": r.choice([512, 4096, 65536, 1 << 20]),
+                "k_hashes": r.randint(1, 6),
+                "shingle_k": r.randint(2, 4),
+                "threshold": r.choice([0.3, 0.5, 0.7]),
+                "eval_src": f"src{src}",
+                "terminal": {"op": "bloom"}}
+
+    def semdedup_pipeline(self) -> dict:
+        """Parameterized semantic-dedup differential: random (nlist,
+        threshold, train_sample) through semantic_dedup_pairs
+        (exact mode) vs the Lloyd-replay + within-cell-cosine oracle —
+        fuzzing clustering granularity and the threshold edge."""
+        r = self.r
+        return {"kind": "semdedup", "base": "embeddings", "stages": [],
+                "nlist": r.choice([4, 8, 16, 32]),
+                "threshold": r.choice([0.0, 0.2, 0.4, 0.5]),
+                "n_train": r.choice([128, 256]),
+                "terminal": {"op": "semdedup"}}
+
     #: language codes available for marker-subset language-ID specs —
     #: must be keys of llm.text.LANG_MARKERS (asserted in to_spark)
     LANGS = ("de", "en", "es", "fr", "zh")
@@ -1220,6 +1282,31 @@ def to_sql(spec: dict) -> str:
                     f"FROM src GROUP BY lang")
         cols = ", ".join(f"{feat_sql[f]} AS {f}" for f in spec["feats"])
         return f"WITH src AS ({src}) SELECT doc_id, {cols} FROM src"
+    if spec.get("kind") == "retrieval":
+        if spec["sub"] == "bm25":
+            from pyspark_pipeline_framework_spark.suite.llm import _bm25_oracle
+
+            vals = ", ".join(f"({i}, '{q}')" for i, q in spec["queries"])
+            return _bm25_oracle(vals, spec["top_k"])
+        from pyspark_pipeline_framework_spark.suite.llm import _tfidf_oracle
+
+        return _tfidf_oracle(spec["top_n"])
+    if spec.get("kind") == "bloom":
+        from pyspark_pipeline_framework_spark.suite.llm import _bloom_oracle
+
+        return _bloom_oracle(
+            m_bits=spec["m_bits"], k_hashes=spec["k_hashes"],
+            shingle_k=spec["shingle_k"], threshold=spec["threshold"],
+            train_pred=f"source <> '{spec['eval_src']}'",
+            eval_pred=f"source = '{spec['eval_src']}'",
+        )
+    if spec.get("kind") == "semdedup":
+        from pyspark_pipeline_framework_spark.suite.llm import _semantic_dedup_oracle
+
+        return _semantic_dedup_oracle(
+            nlist=spec["nlist"], n_train=spec["n_train"],
+            threshold=spec["threshold"],
+        )
     if spec.get("kind") == "ivf":
         from pyspark_pipeline_framework_spark.suite.llm import _ivf_exact_oracle
 
@@ -1773,6 +1860,38 @@ def to_spark(spec: dict, spark, sf_dir: str, base_df=None):
             )
         return d.select(
             "doc_id", *[feat_col[f].alias(f) for f in spec["feats"]])
+    if spec.get("kind") == "retrieval":
+        from pyspark_pipeline_framework_spark.llm.retrieval import (
+            bm25_topk,
+            tfidf_topk_terms,
+        )
+
+        d = table(spark, sf_dir, "documents")
+        if spec["sub"] == "bm25":
+            q = spark.createDataFrame(
+                [(int(i), t) for i, t in spec["queries"]],
+                "query_id long, query string",
+            )
+            return bm25_topk(d, q, top_k=spec["top_k"], idf_mode="rational")
+        return tfidf_topk_terms(d, top_n=spec["top_n"], idf_mode="rational")
+    if spec.get("kind") == "bloom":
+        from pyspark_pipeline_framework_spark.llm.dedup import bloom_decontaminate
+
+        d = table(spark, sf_dir, "documents")
+        return bloom_decontaminate(
+            d.filter(F.col("source") != spec["eval_src"]),
+            d.filter(F.col("source") == spec["eval_src"]),
+            shingle_k=spec["shingle_k"], threshold=spec["threshold"],
+            m_bits=spec["m_bits"], k_hashes=spec["k_hashes"],
+        )
+    if spec.get("kind") == "semdedup":
+        from pyspark_pipeline_framework_spark.llm.similarity import semantic_dedup_pairs
+
+        emb = table(spark, sf_dir, "embeddings")
+        return semantic_dedup_pairs(
+            emb, dim=64, threshold=spec["threshold"], nlist=spec["nlist"],
+            train_sample=spec["n_train"], mode="exact",
+        )
     if spec.get("kind") == "ivf":
         from pyspark_pipeline_framework_spark.llm.similarity import (
             cosine_topk_ivf,
@@ -1982,13 +2101,28 @@ def to_spark(spec: dict, spark, sf_dir: str, base_df=None):
 # Harness
 # ---------------------------------------------------------------------------
 
+def is_known_empty_grouping_divergence(spec: dict, spdf, opdf) -> bool:
+    """The one accepted engine divergence (module docstring): empty-input
+    ROLLUP/CUBE — Spark emits 0 rows, the standard emits the grand-total
+    grouping-set row (all keys NULL). Exactly that shape, nothing else."""
+    term = spec["terminal"]
+    return (
+        len(spdf) == 0
+        and len(opdf) == 1
+        and term["op"] == "agg"
+        and term.get("grouping") in ("rollup", "cube")
+        and all(opdf[k].isnull().all() for k in term["keys"])
+    )
+
+
 def is_portable_sql(spec: dict) -> bool:
     """True when to_sql(spec) is ANSI SQL both engines parse — the
     framework op:sql differential needs this. DuckDB-only renderings:
     ASOF JOIN, unnest(string_split(...)), the WINDOW-clause session
     oracle, and json_extract_string (derive_json)."""
     if spec.get("kind") in ("asof", "explode", "session", "minhash", "ngram",
-                            "ivf", "textops", "dq", "funnel"):
+                            "ivf", "textops", "dq", "funnel",
+                            "retrieval", "bloom", "semdedup"):
         return False
     return not any(st["op"] == "derive_json" for st in spec["stages"])
 
@@ -2074,15 +2208,11 @@ def run(n: int, seed: int, sf_dir: str, only: set[int], dump: bool) -> int:
         spdf.columns = [c.lower() for c in spdf.columns]
         opdf.columns = [c.lower() for c in opdf.columns]
         if len(spdf) != len(opdf):
-            term = spec["terminal"]
-            if (len(spdf) == 0 and len(opdf) == 1
-                    and term["op"] == "agg"
-                    and term.get("grouping") in ("rollup", "cube")
-                    and all(opdf[k].isnull().all() for k in term["keys"])):
+            if is_known_empty_grouping_divergence(spec, spdf, opdf):
                 # documented Spark-vs-standard divergence: empty-input
                 # ROLLUP/CUBE grand-total row (see module docstring)
                 print(f"OK*   #{i} known divergence: empty-input "
-                      f"{term['grouping']} grand-total row")
+                      f"{spec['terminal']['grouping']} grand-total row")
                 continue
             failures.append(i)
             print(f"FAIL  #{i}: rows spark={len(spdf)} oracle={len(opdf)}\n  sql={sql}\n  spec={json.dumps(spec)}")
