@@ -151,3 +151,16 @@ def test_neardup_pipeline_example(spark):
     assert any(r.is_duplicate for r in rows)  # planted near-dups collapse
     cont = spark.read.parquet(os.path.join(REPO, ".scratch/examples/contamination"))
     assert cont.count() > 0 and "contaminated" in cont.columns
+
+
+def test_retrieval_and_decontamination_example(spark):
+    """The r7 retrieval/bloom ops declared in HOCON: BM25 hits land
+    ranked per query; bloom decontamination flags the eval docs'
+    training twins (one-sided)."""
+    assert main([os.path.join(REPO, "examples", "retrieval_and_decontamination.conf")]) == 0
+    hits = spark.read.parquet(os.path.join(REPO, ".scratch/examples/bm25_hits"))
+    rows = hits.collect()
+    assert rows and {"query_id", "doc_id", "score", "rank"} <= set(hits.columns)
+    assert all(1 <= r.rank <= 10 for r in rows)
+    decon = spark.read.parquet(os.path.join(REPO, ".scratch/examples/bloom_decon"))
+    assert decon.count() > 0 and "maybe_contaminated" in decon.columns

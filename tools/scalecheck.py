@@ -276,6 +276,38 @@ def run_battery(spark: SparkSession, docs_path: str, emb_path: str, meter: Stage
     # fixed eval set (base replica only) — broadcast side must not grow
     eval_docs = docs.filter(F.col("doc_id") < ID_STRIDE).limit(50)
     timed("decontaminate", lambda: decontaminate(docs, eval_docs).count())
+    # bloom variant: the broadcast side is capped at m_bits positions
+    # regardless of eval size — same fixed eval here, so wall must
+    # track the exact op's (train-scan dominated)
+    from pyspark_pipeline_framework_spark.llm.dedup import bloom_decontaminate
+
+    timed(
+        "bloom_decontaminate",
+        lambda: bloom_decontaminate(docs, eval_docs, m_bits=1 << 16).count(),
+    )
+    # BM25: fixed query set, corpus grows — postings scan + bounded
+    # score shuffle must stay linear
+    from pyspark_pipeline_framework_spark.llm.retrieval import bm25_topk
+
+    q3 = spark.createDataFrame(
+        [(0, "hash join"), (1, "vector scan filter"), (2, "slow batch merge")],
+        "query_id long, query string",
+    )
+    timed("bm25_topk", lambda: bm25_topk(docs, q3, top_k=10).count())
+    # semantic dedup: nlist GROWS with the corpus (the documented scale
+    # knob — constant expected cell size keeps within-cell pair work
+    # linear in R); fast mode, training sample constant
+    from pyspark_pipeline_framework_spark.llm.similarity import semantic_dedup_pairs
+
+    def _semdedup():
+        r_factor = max(1, emb.count() // 5000)
+        nlist = 64 * r_factor
+        return semantic_dedup_pairs(
+            emb, dim=64, threshold=0.5, nlist=nlist,
+            train_sample=max(256, 4 * nlist), mode="fast",
+        ).count()
+
+    timed("semantic_dedup", _semdedup)
 
     cand = minhash_candidate_pairs(docs).localCheckpoint(eager=False)
     n_pairs = timed("minhash_lsh_candidates", cand.count)
