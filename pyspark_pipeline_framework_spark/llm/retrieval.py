@@ -72,16 +72,19 @@ def doc_postings(
 ) -> DataFrame:
     """Postings list ``(id, term, tf, dl)``: term frequency per
     document plus the document's token count ``dl``, from ONE corpus
-    scan. ``dl`` is a window sum over the tf aggregation's own
-    partitioning (partitionBy is a prefix of the groupBy key, so no
-    extra scan; the window's exchange is the one re-keying by doc)."""
-    toks = df.select(F.col(id_col).alias("id"), F.explode(_terms(text_col)).alias("term"))
-    post = (
-        toks.filter(F.col("term") != "")
-        .groupBy("id", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
+    scan and ONE exchange. ``dl`` is the size of the filtered token
+    array, attached map-side to every exploded token row and folded
+    into the tf aggregation as ``min`` (constant within a doc) — the
+    alternative (window-sum or per-doc re-aggregate of tf) costs a
+    second full-postings exchange keyed by doc, which at corpus scale
+    is the single biggest avoidable shuffle in the scoring plan."""
+    tt = F.filter(_terms(text_col), lambda x: x != "")
+    toks = df.select(F.col(id_col).alias("id"), tt.alias("__t")).select(
+        "id", F.explode("__t").alias("term"), F.size("__t").alias("__dl")
     )
-    return post.withColumn("dl", F.sum("tf").over(Window.partitionBy("id")))
+    return toks.groupBy("id", "term").agg(
+        F.count(F.lit(1)).alias("tf"), F.min("__dl").alias("dl")
+    )
 
 
 def _rational_part(n_docs: Column, s_total: Column, dfreq: Column, tf: Column, dl: Column) -> Column:

@@ -1487,17 +1487,18 @@ def _bm25_oracle(query_values: str, top_k: int = 10) -> str:
     return rf"""
     WITH q(query_id, query) AS (VALUES {query_values}),
     toks AS (
-      SELECT doc_id AS id,
-             unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
-      FROM documents
+      SELECT id, unnest(tt) AS term, len(tt) AS dl
+      FROM (SELECT doc_id AS id,
+                   list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                               x -> x <> '') AS tt
+            FROM documents)
     ), post AS (
-      SELECT id, term, CAST(COUNT(*) AS BIGINT) AS tf
-      FROM toks WHERE term <> '' GROUP BY 1, 2
-    ), dl AS (
-      SELECT id, CAST(SUM(tf) AS BIGINT) AS dl FROM post GROUP BY 1
+      SELECT id, term, CAST(COUNT(*) AS BIGINT) AS tf,
+             CAST(MIN(dl) AS BIGINT) AS dl
+      FROM toks GROUP BY 1, 2
     ), stats AS (
-      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
-             CAST(SUM(dl) AS BIGINT) AS s_total FROM dl
+      SELECT CAST(COUNT(DISTINCT id) AS BIGINT) AS n_docs,
+             CAST(SUM(tf) AS BIGINT) AS s_total FROM post
     ), qt AS (
       SELECT DISTINCT query_id,
              unnest(regexp_split_to_array(trim(lower(query)), '\s+')) AS term
@@ -1512,12 +1513,11 @@ def _bm25_oracle(query_values: str, top_k: int = 10) -> str:
                   / CAST(2 * d.dfreq + 1 AS DOUBLE))
                * (CAST(22 * st.s_total * p.tf AS DOUBLE)
                   / CAST(10 * st.s_total * p.tf + 3 * st.s_total
-                         + 9 * l.dl * st.n_docs AS DOUBLE))) AS BIGINT))
+                         + 9 * p.dl * st.n_docs AS DOUBLE))) AS BIGINT))
              AS BIGINT) AS score_fp
       FROM qt
       JOIN post p ON p.term = qt.term
       JOIN dfreq d ON d.term = qt.term
-      JOIN dl l ON l.id = p.id
       CROSS JOIN stats st
       GROUP BY 1, 2
     )
