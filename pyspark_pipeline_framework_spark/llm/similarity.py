@@ -881,8 +881,14 @@ def semantic_dedup_pairs(
     fixed-point Lloyd + integer-dot assignment + decimal-exact cosine
     — the ENTIRE pipeline including the trained model replays
     bit-for-bit in SQL (suite case ``q_dedup_semantic``).
-    ``mode="fast"``: xxhash64 sample + float BLAS — same shape,
-    no cross-engine oracle."""
+    ``mode="fast"``: xxhash64 sample + float BLAS training, and the
+    within-cell scoring runs as ONE Arrow ``applyInPandas`` matmul per
+    cell (each cell's vectors arrive as a single pandas group; the
+    N_cell × N_cell upper triangle is a BLAS gram matrix instead of
+    ~N_cell²/2 interpreted 64-element expression folds — the 100 TB
+    hot path; cell size is already bounded by the nlist contract, so
+    the per-group matrix fits executor memory by construction). Same
+    shape, no cross-engine oracle."""
     if mode not in ("exact", "fast"):
         raise ValueError(f"mode must be 'exact' or 'fast', got {mode!r}")
     corpus = drop_corrupt_vectors(corpus, vec_col, dim)
@@ -895,6 +901,43 @@ def semantic_dedup_pairs(
         ensure_parallelism(corpus), C, dim,
         id_col=id_col, vec_col=vec_col, mode=mode, _pre_validated=True,
     )
+    if mode == "fast":
+        # fast mode emits long ids (numeric id contract — documented);
+        # exact mode preserves the id column's own type
+        out_schema = "id_a long, id_b long, cos_sim double, cell int"
+
+        def score_cell(pdf: pd.DataFrame) -> pd.DataFrame:
+            n = len(pdf)
+            if n < 2:
+                return pd.DataFrame(
+                    {"id_a": pd.Series(dtype="int64"),
+                     "id_b": pd.Series(dtype="int64"),
+                     "cos_sim": pd.Series(dtype="float64"),
+                     "cell": pd.Series(dtype="int32")}
+                )
+            pdf = pdf.sort_values("__sd_id").reset_index(drop=True)
+            M = np.stack(pdf["vec"].values).astype("float64")
+            nrm = np.linalg.norm(M, axis=1)
+            nrm[nrm == 0.0] = 1.0
+            G = (M / nrm[:, None]) @ (M / nrm[:, None]).T
+            iu, ju = np.triu_indices(n, k=1)
+            keep = G[iu, ju] >= threshold
+            ids = pdf["__sd_id"].to_numpy()
+            return pd.DataFrame(
+                {"id_a": ids[iu[keep]], "id_b": ids[ju[keep]],
+                 "cos_sim": G[iu, ju][keep],
+                 "cell": np.full(int(keep.sum()), int(pdf["cell"].iloc[0]),
+                                 dtype="int32")}
+            )
+
+        prepared = assigned.select(
+            F.col(id_col).cast("long").alias("__sd_id"), "vec", "cell"
+        )
+        return (
+            prepared.groupBy("cell")
+            .applyInPandas(score_cell, schema=out_schema)
+            .select("id_a", "id_b", "cos_sim", "cell")
+        )
     a, b = assigned.alias("a"), assigned.hint("merge").alias("b")
     return (
         a.join(
