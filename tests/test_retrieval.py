@@ -221,3 +221,14 @@ def test_semantic_dedup_fast_matches_exact_pair_set(spark, sf_dir):
     common = set(e) & set(f)
     for k in common:
         assert abs(e[k] - f[k]) < 1e-9
+
+
+def test_doc_postings_single_exchange(spark, sf_dir):
+    # the dl-rides-the-explode optimization: postings (id, term, tf,
+    # dl) must cost exactly ONE exchange — a second corpus-wide
+    # exchange (the old window-by-doc formulation) is the biggest
+    # avoidable shuffle in the scoring plan at corpus scale
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = doc_postings(d)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
+    assert "Window" not in plan
