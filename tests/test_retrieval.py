@@ -232,3 +232,56 @@ def test_doc_postings_single_exchange(spark, sf_dir):
     plan = doc_postings(d)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1, plan
     assert "Window" not in plan
+
+
+# ------------------------------------------------ property: BM25 reference
+
+from hypothesis import HealthCheck, given, settings, strategies as st  # noqa: E402
+
+_WORDS = ["a", "b", "c", "dd", "ee"]
+docs_strategy = st.lists(
+    st.lists(st.sampled_from(_WORDS), min_size=0, max_size=8),
+    min_size=1, max_size=10,
+)
+query_strategy = st.lists(st.sampled_from(_WORDS), min_size=1, max_size=3)
+
+
+def _bm25_reference(doc_words: list[list[str]], query: list[str], top_k: int):
+    """Pure-python BM25 (rational idf, fixed-point parts) — the exact
+    integer formula from llm/retrieval.py re-derived independently."""
+    import math
+
+    docs = {i: ws for i, ws in enumerate(doc_words) if ws}
+    n_docs = len(docs)
+    s_total = sum(len(ws) for ws in docs.values())
+    tf = {(i, w): ws.count(w) for i, ws in docs.items() for w in set(ws)}
+    df = {}
+    for (i, w) in tf:
+        df[w] = df.get(w, 0) + 1
+    scores = {}
+    for w in set(query):
+        if w not in df:
+            continue
+        for i, ws in docs.items():
+            if (i, w) not in tf:
+                continue
+            t, dl, d = tf[(i, w)], len(ws), df[w]
+            idf = float(2 * n_docs - 2 * d + 1) / float(2 * d + 1)
+            tfp = float(22 * s_total * t) / float(
+                10 * s_total * t + 3 * s_total + 9 * dl * n_docs
+            )
+            scores[i] = scores.get(i, 0) + int(math.floor(1e6 * idf * tfp))
+    ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:top_k]
+    return {(i, s, r + 1) for r, (i, s) in enumerate(ranked)}
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(doc_words=docs_strategy, query=query_strategy)
+def test_bm25_matches_python_reference(spark, doc_words, query):
+    d = _docs(spark, [(i, " ".join(ws)) for i, ws in enumerate(doc_words)])
+    q = _queries(spark, [(0, " ".join(query))])
+    got = {
+        (r.doc_id, r.score_fp, r.rank)
+        for r in bm25_topk(d, q, top_k=5, idf_mode="rational").collect()
+    }
+    assert got == _bm25_reference(doc_words, query, 5)
