@@ -6,8 +6,9 @@ eval-leak auditing by query).
 
 Scale shape (the 100 TB contract):
 - the corpus is scanned and tokenized exactly ONCE into postings
-  ``(doc, term, tf)`` — one shuffle keyed by ``(doc, term)``; document
-  length is a window over the same partitioning, not a second scan;
+  ``(doc, term, tf, dl)`` — one shuffle keyed by ``(doc, term)``;
+  document length rides the explode map-side (see
+  :func:`doc_postings`), never a second scan or exchange;
 - corpus-level constants (N docs, total token count) are a one-row
   aggregate broadcast via ``crossJoin`` (the scalar-subquery pattern
   used throughout the suite — never a driver collect);
@@ -49,6 +50,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from pyspark_pipeline_framework_spark.llm.dedup import _word_array
+
 __all__ = [
     "doc_postings",
     "bm25_topk",
@@ -60,11 +63,11 @@ _SCORE_SCALE = 1_000_000.0
 
 
 def _terms(text_col: str) -> Column:
-    """Lower/trim/whitespace-split tokens — the same tokenization as the
-    shingle operators (``llm.dedup._word_array``), so retrieval and
-    dedup agree on what a "word" is. Blank docs split to [''] and are
-    dropped by the ``term != ''`` filter in :func:`doc_postings`."""
-    return F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    """Tokens — literally ``llm.dedup._word_array``, imported rather
+    than re-implemented so retrieval and the shingle operators can
+    never disagree on what a "word" is. Blank docs split to [''] and
+    are dropped by the ``term != ''`` filter in :func:`doc_postings`."""
+    return _word_array(text_col)
 
 
 def doc_postings(
@@ -137,9 +140,10 @@ def bm25_topk(
     score at fixed-point resolution) or ``(query_id, doc_id,
     score DOUBLE, rank)`` in ``"ln"`` mode.
 
-    Plan at scale: queries broadcast twice (term match + df lookup),
-    postings scanned once, one (query, doc) score shuffle bounded by
-    term-matching postings, one per-query rank window.
+    Plan at scale: query terms broadcast once into the postings scan
+    (filter + query_id attach in one join), the matched-term df
+    aggregate broadcast back, one (query, doc) score shuffle bounded
+    by term-matching postings, one per-query rank window.
     """
     if idf_mode not in ("rational", "ln"):
         raise ValueError(f"idf_mode must be 'rational' or 'ln', got {idf_mode!r}")
@@ -156,15 +160,16 @@ def bm25_topk(
         .filter(F.col("term") != "")
         .distinct()
     )
-    # only terms some query mentions are ever scored; df for those
-    # terms over the full postings (one small aggregate, broadcast back)
-    hits = post.join(F.broadcast(qterms.select("term").distinct()), "term")
+    # only terms some query mentions are ever scored: ONE broadcast
+    # join both filters the postings and attaches query_id; df for the
+    # matched terms is a small aggregate over it (countDistinct(id) is
+    # immune to the per-query row multiplicity), broadcast back
+    hits = post.join(F.broadcast(qterms), "term")
     dfreq = hits.groupBy("term").agg(F.countDistinct("id").alias("dfreq"))
     part = _rational_part if idf_mode == "rational" else _ln_part
     score_col = "score_fp" if idf_mode == "rational" else "score"
     scored = (
-        hits.join(F.broadcast(qterms), "term")
-        .join(F.broadcast(dfreq), "term")
+        hits.join(F.broadcast(dfreq), "term")
         .crossJoin(F.broadcast(stats))
         .groupBy("query_id", "id")
         .agg(
@@ -225,7 +230,7 @@ def tfidf_topk_terms(
             * F.log(F.lit(1.0) + F.col("n_docs").cast("double") / F.col("dfreq").cast("double"))
         ).alias("tfidf")
     keyed = joined.select("id", "term", "tf", "dfreq", key)
-    kname = keyed.columns[-1]
+    kname = "tfidf_fp" if idf_mode == "rational" else "tfidf"
     w = Window.partitionBy("id").orderBy(F.col(kname).desc(), F.col("term"))
     return (
         keyed.withColumn("rank", F.row_number().over(w))

@@ -1667,7 +1667,12 @@ def _bloom_oracle(
       SELECT DISTINCT {pos} AS pos
       FROM ev, range({k_hashes}) t(j)
     ), probes AS (
-      SELECT id, s,
+      -- occurrence-aware: a duplicated source row yields nk = occ*k
+      -- probe rows per (id, s); all occurrences share positions, so
+      -- hits = nk <=> every hash position is set, and nk/k recovers
+      -- the occurrence count (mirrors the engine's per-row grouping
+      -- even when one id spans several train rows)
+      SELECT id, s, COUNT(*) AS nk,
              SUM(CASE WHEN {pos}
                       IN (SELECT pos FROM bits) THEN 1 ELSE 0 END) AS hits
       FROM tr, range({k_hashes}) t(j) GROUP BY id, s
@@ -1675,8 +1680,8 @@ def _bloom_oracle(
     SELECT id, n_shingles, n_maybe,
            CAST(n_maybe AS DOUBLE) / n_shingles AS overlap_ratio_ub,
            (CAST(n_maybe AS DOUBLE) / n_shingles) >= {threshold} AS maybe_contaminated
-    FROM (SELECT id, CAST(COUNT(*) AS BIGINT) AS n_shingles,
-                 CAST(SUM(CASE WHEN hits = {k_hashes} THEN 1 ELSE 0 END) AS BIGINT) AS n_maybe
+    FROM (SELECT id, CAST(SUM(nk) // {k_hashes} AS BIGINT) AS n_shingles,
+                 CAST(SUM(CASE WHEN hits = nk THEN nk ELSE 0 END) // {k_hashes} AS BIGINT) AS n_maybe
           FROM probes GROUP BY id)
     """
 

@@ -296,18 +296,22 @@ def run_battery(spark: SparkSession, docs_path: str, emb_path: str, meter: Stage
     timed("bm25_topk", lambda: bm25_topk(docs, q3, top_k=10).count())
     # semantic dedup: nlist GROWS with the corpus (the documented scale
     # knob — constant expected cell size keeps within-cell pair work
-    # linear in R); fast mode, training sample constant
+    # linear in R); the train sample must grow with nlist too
+    # (>= nlist rows seed the centroids), which keeps the driver-side
+    # Lloyd linear in R as well — both growths are part of the
+    # operator's scaling contract, not overhead to pin. The sizing
+    # count runs OUTSIDE the timed closure so the measurement is the
+    # operator alone.
     from pyspark_pipeline_framework_spark.llm.similarity import semantic_dedup_pairs
 
-    def _semdedup():
-        r_factor = max(1, emb.count() // 5000)
-        nlist = 64 * r_factor
-        return semantic_dedup_pairs(
-            emb, dim=64, threshold=0.5, nlist=nlist,
-            train_sample=max(256, 4 * nlist), mode="fast",
-        ).count()
-
-    timed("semantic_dedup", _semdedup)
+    sd_nlist = 64 * max(1, emb.count() // 5000)
+    timed(
+        "semantic_dedup",
+        lambda: semantic_dedup_pairs(
+            emb, dim=64, threshold=0.5, nlist=sd_nlist,
+            train_sample=max(256, 4 * sd_nlist), mode="fast",
+        ).count(),
+    )
 
     cand = minhash_candidate_pairs(docs).localCheckpoint(eager=False)
     n_pairs = timed("minhash_lsh_candidates", cand.count)
