@@ -285,3 +285,21 @@ def test_bm25_matches_python_reference(spark, doc_words, query):
         for r in bm25_topk(d, q, top_k=5, idf_mode="rational").collect()
     }
     assert got == _bm25_reference(doc_words, query, 5)
+
+
+def test_bloom_decontaminate_duplicate_ids_sum_per_row(spark):
+    # pre-chunked corpora repeat the doc id across rows: counts must
+    # sum per row (engine groups at the end; the oracle's occ-aware
+    # formulation mirrors this — guarded here since suite data has
+    # unique ids)
+    from pyspark_pipeline_framework_spark.llm.dedup import bloom_decontaminate
+
+    ev = spark.createDataFrame([(0, "alpha beta gamma delta")], "doc_id long, text string")
+    tr = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (1, "alpha beta gamma delta"),
+         (1, "unrelated words entirely here")],
+        "doc_id long, text string")
+    row = bloom_decontaminate(tr, ev).collect()[0]
+    # chunks 1+2: 2 shingles each, all maybe-hit; chunk 3: 2 shingles, none
+    assert (row.n_shingles, row.n_maybe) == (6, 4)
+    assert abs(row.overlap_ratio_ub - 4 / 6) < 1e-12
