@@ -862,7 +862,9 @@ def semantic_dedup_pairs(
     (:func:`ivf_train_centroids_exact` / :func:`ivf_add`), so an
     existing IVF store doubles as the semantic-dedup partitioning.
 
-    Returns ``(id_a, id_b, cos_sim, cell)`` with ``id_a < id_b``.
+    Returns ``(id_a, id_b, cos_sim, cell)`` with ``id_a < id_b``;
+    ids are emitted as ``long`` in both modes (numeric-id contract —
+    the per-cell Arrow scorer sorts and indexes them as int64).
     Feed into ``dedup_clusters`` (llm/dedup.py) for keep/drop
     decisions, exactly like the MinHash candidate flow.
 
