@@ -37,7 +37,12 @@ from pyspark_pipeline_framework_spark.llm.similarity import (
     ivf_index,
     ivf_search,
 )
-from pyspark_pipeline_framework_spark.llm.packing import pack_sequences, split_by_hash
+from pyspark_pipeline_framework_spark.llm.packing import (
+    global_shuffle,
+    pack_sequences,
+    sample_to_token_budget,
+    split_by_hash,
+)
 from pyspark_pipeline_framework_spark.llm.retrieval import (
     bm25_topk,
     doc_postings,
@@ -58,6 +63,8 @@ __all__ = [
     "token_count_ws",
     "exact_text_dedup",
     "bloom_decontaminate",
+    "global_shuffle",
+    "sample_to_token_budget",
     "incremental_candidate_pairs",
     "minhash_bands",
     "minhash_candidate_pairs",

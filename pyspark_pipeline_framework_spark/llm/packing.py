@@ -280,3 +280,103 @@ def chunk_documents(
         F.size(chunk).cast("int").alias("n_chunk_tokens"),
         F.array_join(chunk, " ").alias("chunk_text"),
     )
+
+
+def global_shuffle(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    num_shards: int = 64,
+    salt: str = "shuffle",
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Deterministic GLOBAL shuffle into training order: every row gets
+    a ``(shard, pos)`` address — shard by hash, position by the hash's
+    order within the shard (ties broken by id) — so reading shards
+    0..S-1 each ordered by ``pos`` yields a pseudorandom but perfectly
+    reproducible permutation of the corpus. No RNG state, no
+    ``ORDER BY rand()`` nondeterminism: re-running on any cluster
+    layout produces the identical order, and appending new data leaves
+    existing (shard, pos) pairs stable within their shard prefix only
+    if ids are new — re-shuffle per epoch by changing ``salt``.
+
+    Scale shape: ONE hash-partitioned exchange + per-shard sort
+    (``row_number`` over partitionBy(shard)) — never a single global
+    window; shards sort in parallel and a 100 TB corpus is S
+    independent sorts. Write with ``partitionBy("shard")`` and the
+    training loader streams shards in order.
+
+    ``hash_fn="md5"`` is the engine-portable mode (suite-oracled)."""
+    if num_shards < 1:
+        raise ValueError(f"num_shards must be >= 1, got {num_shards}")
+    from pyspark.sql import Window
+
+    order_h = (
+        F.md5(F.concat(F.col(id_col).cast("string"), F.lit(":" + salt + ":pos")))
+        if hash_fn == "md5"
+        else F.xxhash64(F.col(id_col), F.lit(salt + ":pos"))
+    )
+    shard = _hash_bucket(id_col, salt, num_shards, hash_fn).cast("int")
+    w = Window.partitionBy("shard").orderBy("__h", id_col)
+    return (
+        df.withColumn("shard", shard)
+        .withColumn("__h", order_h)
+        .withColumn("pos", F.row_number().over(w).cast("long"))
+        .drop("__h")
+    )
+
+
+def sample_to_token_budget(
+    df: DataFrame,
+    budget_tokens: int,
+    id_col: str = "doc_id",
+    tokens_col: str = "n_tokens",
+    num_shards: int = 32,
+    salt: str = "budget",
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Deterministic subsample of ~``budget_tokens`` worth of rows: a
+    hash-ordered prefix of the corpus under a per-shard running token
+    total. The budget is split evenly across ``num_shards`` hash
+    shards and each shard keeps rows while its own cumulative total
+    (in hash order, ties by id) stays within ``budget_tokens /
+    num_shards`` — the distributed prefix-sum shape: one exchange +
+    per-shard sort, never a single global window. The kept set is a
+    pure function of (ids, salt), so re-runs and re-partitioning
+    cannot change it.
+
+    Accuracy contract: per-shard budgets make the total land within
+    one document of the per-shard target (the first overshooting doc
+    is EXCLUDED — kept totals are <= budget), so the realized total
+    undershoots by at most ``num_shards · max_doc_tokens``; shrink
+    ``num_shards`` (or raise the budget) when single documents are
+    huge relative to ``budget_tokens``.
+
+    Expects a precomputed ``tokens_col`` (compose with
+    ``token_count_ws``/``token_count_regex`` from ``llm.text``).
+    Returns the kept rows plus ``(shard, cum_tokens)``.
+    ``hash_fn="md5"`` is the engine-portable mode (suite-oracled)."""
+    if budget_tokens < 0:
+        raise ValueError(f"budget_tokens must be >= 0, got {budget_tokens}")
+    if num_shards < 1:
+        raise ValueError(f"num_shards must be >= 1, got {num_shards}")
+    from pyspark.sql import Window
+
+    order_h = (
+        F.md5(F.concat(F.col(id_col).cast("string"), F.lit(":" + salt + ":pos")))
+        if hash_fn == "md5"
+        else F.xxhash64(F.col(id_col), F.lit(salt + ":pos"))
+    )
+    per_shard = budget_tokens // num_shards
+    shard = _hash_bucket(id_col, salt, num_shards, hash_fn).cast("int")
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("__h", id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        df.withColumn("shard", shard)
+        .withColumn("__h", order_h)
+        .withColumn("cum_tokens", F.sum(F.col(tokens_col).cast("long")).over(w))
+        .filter(F.col("cum_tokens") <= per_shard)
+        .drop("__h")
+    )

@@ -279,6 +279,31 @@ def op_decontaminate(
     )
 
 
+@default_registry.register("global_shuffle")
+def op_global_shuffle(
+    spark: SparkSession, catalog: Catalog, *, output: str, input: str, **params
+) -> DataFrame:
+    """Deterministic global shuffle into (shard, pos) training order --
+    llm.packing.global_shuffle."""
+    from pyspark_pipeline_framework_spark.llm.packing import global_shuffle
+
+    return catalog.put(output, global_shuffle(catalog.get(input), **params))
+
+
+@default_registry.register("token_budget_sample")
+def op_token_budget_sample(
+    spark: SparkSession, catalog: Catalog, *, output: str, input: str,
+    budget_tokens: int, **params,
+) -> DataFrame:
+    """Deterministic ~N-token subsample (per-shard prefix sums) --
+    llm.packing.sample_to_token_budget."""
+    from pyspark_pipeline_framework_spark.llm.packing import sample_to_token_budget
+
+    return catalog.put(
+        output, sample_to_token_budget(catalog.get(input), budget_tokens, **params)
+    )
+
+
 @default_registry.register("bloom_decontaminate")
 def op_bloom_decontaminate(
     spark: SparkSession,

@@ -1702,3 +1702,75 @@ def q_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         m_bits=65536,
         k_hashes=4,
     )
+
+
+@case(
+    "q_llm_shuffle",
+    # deterministic global shuffle: shard = md5-bucket, pos = rank of
+    # an independent md5 within the shard — the oracle recomputes the
+    # whole permutation (hex-string ordering is plain lexicographic in
+    # both engines)
+    oracle=r"""
+    WITH b AS (
+      SELECT doc_id,
+             CAST(CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR),
+                    ':shuffle')), 1, 8)) AS BIGINT) % 8 AS INT) AS shard,
+             md5(concat(CAST(doc_id AS VARCHAR), ':shuffle:pos')) AS h
+      FROM documents
+    )
+    SELECT doc_id, shard,
+           CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY h, doc_id)
+                AS BIGINT) AS pos
+    FROM b
+    """,
+    category="llm",
+)
+def q_llm_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle into training order (md5-portable
+    mode): one exchange + S parallel per-shard sorts, never a global
+    window."""
+    from pyspark_pipeline_framework_spark.llm.packing import global_shuffle
+
+    d = table(spark, sf_dir, "documents")
+    return global_shuffle(d, num_shards=8, salt="shuffle", hash_fn="md5").select(
+        "doc_id", "shard", "pos"
+    )
+
+
+@case(
+    "q_llm_token_budget",
+    # distributed prefix-sum subsample: per-shard running token totals
+    # in hash order, keep while <= budget/num_shards (3000 here); the
+    # oracle replays bucketing, ordering, cumsum, and the cutoff
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id,
+             CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INT) AS n_tokens
+      FROM documents
+    ), b AS (
+      SELECT doc_id, n_tokens,
+             CAST(CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR),
+                    ':budget')), 1, 8)) AS BIGINT) % 8 AS INT) AS shard,
+             md5(concat(CAST(doc_id AS VARCHAR), ':budget:pos')) AS h
+      FROM t
+    ), c AS (
+      SELECT doc_id, shard,
+             SUM(CAST(n_tokens AS BIGINT)) OVER (
+               PARTITION BY shard ORDER BY h, doc_id
+               ROWS UNBOUNDED PRECEDING) AS cum_tokens
+      FROM b
+    )
+    SELECT doc_id, shard, CAST(cum_tokens AS BIGINT) AS cum_tokens
+    FROM c WHERE cum_tokens <= 3000
+    """,
+    category="llm",
+)
+def q_llm_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget subsample (md5-portable mode): ~24k tokens kept as
+    8 per-shard hash-ordered prefixes of 3k tokens each."""
+    from pyspark_pipeline_framework_spark.llm.packing import sample_to_token_budget
+
+    d = table(spark, sf_dir, "documents").withColumn("n_tokens", token_count_ws("text"))
+    return sample_to_token_budget(
+        d, budget_tokens=24_000, num_shards=8, salt="budget", hash_fn="md5"
+    ).select("doc_id", "shard", "cum_tokens")

@@ -123,3 +123,63 @@ def test_packing_budget_validation():
         pack_sequences(None, max_tokens=1, num_shards=0)
     with pytest.raises(ValueError, match="auto"):
         pack_sequences(None, max_tokens=1, num_shards="auto", max_rows_per_shard=None)
+
+
+# ------------------------------------------- global shuffle / token budget
+
+def test_global_shuffle_is_a_permutation_and_deterministic(spark):
+    from pyspark_pipeline_framework_spark.llm.packing import global_shuffle
+
+    d = spark.createDataFrame([(i, f"doc {i}") for i in range(97)],
+                              "doc_id long, text string")
+    a = global_shuffle(d, num_shards=4, salt="s1").select("doc_id", "shard", "pos")
+    b = global_shuffle(d, num_shards=4, salt="s1").select("doc_id", "shard", "pos")
+    ra, rb = sorted(map(tuple, a.collect())), sorted(map(tuple, b.collect()))
+    assert ra == rb  # deterministic across runs
+    # every row addressed exactly once; per-shard positions are 1..n
+    assert len(ra) == 97 and len({t[0] for t in ra}) == 97
+    by_shard = {}
+    for _, sh, pos in ra:
+        by_shard.setdefault(sh, []).append(pos)
+    for sh, ps in by_shard.items():
+        assert sorted(ps) == list(range(1, len(ps) + 1)), sh
+    # a different salt produces a different order
+    c = global_shuffle(d, num_shards=4, salt="s2").select("doc_id", "shard", "pos")
+    assert sorted(map(tuple, c.collect())) != ra
+
+
+def test_token_budget_keeps_prefix_within_budget(spark):
+    from pyspark_pipeline_framework_spark.llm.packing import sample_to_token_budget
+
+    d = spark.createDataFrame(
+        [(i, 10 + (i % 7)) for i in range(200)], "doc_id long, n_tokens int"
+    )
+    out = sample_to_token_budget(d, budget_tokens=800, num_shards=4).collect()
+    per_shard = 800 // 4
+    totals = {}
+    for r in out:
+        assert r.cum_tokens <= per_shard
+        totals[r.shard] = max(totals.get(r.shard, 0), r.cum_tokens)
+    assert sum(totals.values()) <= 800
+    assert sum(totals.values()) > 0
+    # determinism: same kept set on re-run
+    again = sample_to_token_budget(d, budget_tokens=800, num_shards=4).collect()
+    assert sorted((r.doc_id, r.cum_tokens) for r in out) == sorted(
+        (r.doc_id, r.cum_tokens) for r in again
+    )
+
+
+def test_token_budget_validation_and_zero_budget(spark):
+    from pyspark_pipeline_framework_spark.llm.packing import (
+        global_shuffle,
+        sample_to_token_budget,
+    )
+
+    d = spark.createDataFrame([(1, 5)], "doc_id long, n_tokens int")
+    assert sample_to_token_budget(d, budget_tokens=0).count() == 0
+    with pytest.raises(ValueError, match="budget_tokens"):
+        sample_to_token_budget(d, budget_tokens=-1)
+    with pytest.raises(ValueError, match="num_shards"):
+        sample_to_token_budget(d, budget_tokens=10, num_shards=0)
+    with pytest.raises(ValueError, match="num_shards"):
+        global_shuffle(d, num_shards=0)
