@@ -372,6 +372,10 @@ def test_harness_detects_injected_bugs(spark, con, stats):
                 m = copy.deepcopy(spec)
                 if spec["sub"] == "pack":
                     m["max_tokens"] = max(1, spec["max_tokens"] // 2)
+                elif spec["sub"] == "shuffle":
+                    m["salt"] = spec["salt"] + "_mut"
+                elif spec["sub"] == "budget":
+                    m["budget"] = max(1, spec["budget"] // 4)
                 elif spec["sub"] == "chunk":
                     m["chunk_tokens"] = spec["chunk_tokens"] // 2
                     m["overlap"] = min(spec["overlap"],

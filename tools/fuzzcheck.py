@@ -811,7 +811,7 @@ class Gen:
         (budget boundary off-by-one, stride arithmetic, cumulative
         fraction edges), exactly what a single pinned point misses."""
         r = self.r
-        sub = r.choice(["pack", "chunk", "split"])
+        sub = r.choice(["pack", "chunk", "split", "shuffle", "budget"])
         pred = (self.predicate("documents",
                                list(TABLES["documents"]["cols"].items()))
                 if r.random() < 0.5 else None)
@@ -820,6 +820,13 @@ class Gen:
         if sub == "pack":
             spec["max_tokens"] = r.choice([96, 128, 256, 512])
             spec["num_shards"] = r.choice([4, 8])
+        elif sub == "shuffle":
+            spec["num_shards"] = r.choice([2, 4, 8, 16])
+            spec["salt"] = r.choice(["shuffle", "ep1", "ep2"])
+        elif sub == "budget":
+            spec["budget"] = r.choice([2000, 8000, 24000, 80000])
+            spec["num_shards"] = r.choice([2, 4, 8])
+            spec["salt"] = r.choice(["budget", "b1"])
         elif sub == "chunk":
             ct = r.choice([32, 48, 64, 96])
             spec["chunk_tokens"] = ct
@@ -1356,6 +1363,45 @@ def to_sql(spec: dict) -> str:
               FROM rec r JOIN docs d ON d.shard = r.shard AND d.rn = r.rn + 1
             )
             SELECT doc_id, shard, pack_id, n_tokens FROM rec
+            """
+        if spec["sub"] == "shuffle":
+            ns, salt = spec["num_shards"], spec["salt"]
+            return rf"""
+            WITH src AS ({src}), b AS (
+              SELECT doc_id,
+                     CAST(CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR),
+                            ':{salt}')), 1, 8)) AS BIGINT) % {ns} AS INT) AS shard,
+                     md5(concat(CAST(doc_id AS VARCHAR), ':{salt}:pos')) AS h
+              FROM src
+            )
+            SELECT doc_id, shard,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY h, doc_id)
+                        AS BIGINT) AS pos
+            FROM b
+            """
+        if spec["sub"] == "budget":
+            ns, salt, budget = spec["num_shards"], spec["salt"], spec["budget"]
+            per = budget // ns
+            return rf"""
+            WITH src AS ({src}), t AS (
+              SELECT doc_id,
+                     CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INT) AS n_tokens
+              FROM src
+            ), b AS (
+              SELECT doc_id, n_tokens,
+                     CAST(CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR),
+                            ':{salt}')), 1, 8)) AS BIGINT) % {ns} AS INT) AS shard,
+                     md5(concat(CAST(doc_id AS VARCHAR), ':{salt}:pos')) AS h
+              FROM t
+            ), c AS (
+              SELECT doc_id, shard,
+                     SUM(CAST(n_tokens AS BIGINT)) OVER (
+                       PARTITION BY shard ORDER BY h, doc_id
+                       ROWS UNBOUNDED PRECEDING) AS cum_tokens
+              FROM b
+            )
+            SELECT doc_id, shard, CAST(cum_tokens AS BIGINT) AS cum_tokens
+            FROM c WHERE cum_tokens <= {per}
             """
         if spec["sub"] == "chunk":
             ct, ov = spec["chunk_tokens"], spec["overlap"]
@@ -1939,6 +1985,22 @@ def to_spark(spec: dict, spark, sf_dir: str, base_df=None):
                 max_tokens=spec["max_tokens"], num_shards=spec["num_shards"],
                 hash_fn="md5",
             )
+        if spec["sub"] == "shuffle":
+            from pyspark_pipeline_framework_spark.llm.packing import global_shuffle
+
+            return global_shuffle(
+                d, num_shards=spec["num_shards"], salt=spec["salt"], hash_fn="md5"
+            ).select("doc_id", "shard", "pos")
+        if spec["sub"] == "budget":
+            from pyspark_pipeline_framework_spark.llm.packing import (
+                sample_to_token_budget,
+            )
+
+            return sample_to_token_budget(
+                d.withColumn("n_tokens", token_count_ws("text")),
+                budget_tokens=spec["budget"], num_shards=spec["num_shards"],
+                salt=spec["salt"], hash_fn="md5",
+            ).select("doc_id", "shard", "cum_tokens")
         if spec["sub"] == "chunk":
             return chunk_documents(
                 d, chunk_tokens=spec["chunk_tokens"], overlap=spec["overlap"]
