@@ -24,7 +24,7 @@ Scale shape (the 100 TB contract):
   needed term).
 
 Determinism (cross-engine oracle gating): ``idf_mode="rational"``
-evaluates BM25 with k1=1.2, b=0.75 folded into exact BIGINT
+evaluates BM25 with k1=1.2, b=0.75 folded into exact wide-integer
 numerators/denominators, one double division each (IEEE division is
 exactly rounded → engine-independent), and a fixed-point
 ``floor(1e6·idf·tf_part)`` per-term score summed as integers — exact
@@ -41,8 +41,14 @@ with ``avgdl = S/N`` (S = total tokens, N = docs),
   tf_part  = tf·(k1+1)/(tf + k1·(1 - b + b·dl/avgdl))
            = 22·S·tf / (10·S·tf + 3·S + 9·dl·N)      [k1=6/5, b=3/4]
 
-Both are ratios of exact BIGINTs (overflow bound: 22·S·tf < 2^63 —
-holds through ~10^16 total tokens, far past 100 TB of text).
+Both are ratios of exact integers. The products are computed in
+DECIMAL(38,0) on the Spark side and HUGEINT (int128) in the oracle —
+still exact (both engines' wide-int→double casts are correctly
+rounded; unit-verified in ``tests/test_retrieval.py``), with the
+overflow bound now 22·S·tf < 10^38: S·tf < 4.5·10^36, unreachable even
+at 100 TB with a pathological multi-billion-tf document (the previous
+BIGINT formulation aborted under ANSI mode once S·tf > ~4.2·10^17 —
+a tf of ~2·10^4 in one spammy doc at 10^13 corpus tokens).
 """
 
 from __future__ import annotations
@@ -99,8 +105,14 @@ def _rational_part(n_docs: Column, s_total: Column, dfreq: Column, tf: Column, d
     idf = (F.lit(2) * n_docs - F.lit(2) * dfreq + F.lit(1)).cast("double") / (
         F.lit(2) * dfreq + F.lit(1)
     ).cast("double")
-    tfp = (F.lit(22) * s_total * tf).cast("double") / (
-        F.lit(10) * s_total * tf + F.lit(3) * s_total + F.lit(9) * dl * n_docs
+    # DECIMAL(38,0) keeps the numerator/denominator exact far past
+    # BIGINT range (S·tf bound 4.5e36, not 4.2e17 — ANSI-overflow-safe
+    # for any real corpus); the decimal→double cast is correctly
+    # rounded, so the value is unchanged wherever BIGINT also fit
+    s_dec = s_total.cast("decimal(38,0)")
+    dl_dec = dl.cast("decimal(38,0)")
+    tfp = (F.lit(22) * s_dec * tf).cast("double") / (
+        F.lit(10) * s_dec * tf + F.lit(3) * s_dec + F.lit(9) * dl_dec * n_docs
     ).cast("double")
     return F.floor(F.lit(_SCORE_SCALE) * idf * tfp)
 

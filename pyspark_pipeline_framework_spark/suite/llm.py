@@ -1479,7 +1479,9 @@ _BM25_QUERY_VALUES = ", ".join(f"({i}, '{q}')" for i, q in _BM25_QUERIES)
 def _bm25_oracle(query_values: str, top_k: int = 10) -> str:
     """The FULL BM25 pipeline replayed in SQL: tokenize -> postings ->
     doc length -> corpus stats -> query-term df -> rational-idf
-    fixed-point score (exact BIGINT numerators/denominators, one
+    fixed-point score (exact wide-integer numerators/denominators —
+    HUGEINT here mirroring Spark's DECIMAL(38,0), both overflow-safe
+    past BIGINT and correctly rounded on the double cast — one
     exactly-rounded double division each; see llm/retrieval.py module
     docstring for the k1=1.2,b=0.75 algebra) -> per-query rank. Every
     arithmetic step mirrors bm25_topk(idf_mode="rational") bit-for-bit.
@@ -1511,9 +1513,10 @@ def _bm25_oracle(query_values: str, top_k: int = 10) -> str:
              CAST(SUM(CAST(FLOOR(1000000.0
                * (CAST(2 * st.n_docs - 2 * d.dfreq + 1 AS DOUBLE)
                   / CAST(2 * d.dfreq + 1 AS DOUBLE))
-               * (CAST(22 * st.s_total * p.tf AS DOUBLE)
-                  / CAST(10 * st.s_total * p.tf + 3 * st.s_total
-                         + 9 * p.dl * st.n_docs AS DOUBLE))) AS BIGINT))
+               * (CAST(22 * CAST(st.s_total AS HUGEINT) * p.tf AS DOUBLE)
+                  / CAST(10 * CAST(st.s_total AS HUGEINT) * p.tf
+                         + 3 * CAST(st.s_total AS HUGEINT)
+                         + 9 * CAST(p.dl AS HUGEINT) * st.n_docs AS DOUBLE))) AS BIGINT))
              AS BIGINT) AS score_fp
       FROM qt
       JOIN post p ON p.term = qt.term

@@ -51,15 +51,84 @@ def test_bm25_ln_hand_computed(spark):
 
 
 def test_bm25_rational_and_ln_agree_on_ranking(spark, sf_dir):
+    # SINGLE-term queries only: for one term, both modes' scores are
+    # the same monotone function of (tf, dl) times a positive idf, so
+    # rank order is provably identical. Multi-term queries sum scores
+    # under two DIFFERENT monotone idf transforms, where order
+    # agreement is corpus-dependent — asserting it was a latent flake
+    # (r7 ADVICE finding).
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    q = _queries(spark, [(0, "hash join"), (1, "vector scan")])
+    q = _queries(spark, [(0, "hash"), (1, "vector")])
     r1 = bm25_topk(d, q, top_k=5, idf_mode="rational").collect()
     r2 = bm25_topk(d, q, top_k=5, idf_mode="ln").collect()
-    # same docs in the same order per query (fixed-point resolution is
-    # 1e-6 of the score and the rational idf is a monotone transform
-    # of df at fixed N; guard with the real corpus)
     key = lambda rows: sorted((r.query_id, r.rank, r.doc_id) for r in rows)  # noqa: E731
     assert key(r1) == key(r2)
+
+
+def test_bm25_rational_high_tf_no_ansi_overflow(spark):
+    # r7 ADVICE: the BIGINT formulation of 22·S·tf aborted under ANSI
+    # once S·tf > ~4.2e17 — one spammy doc with tf ~2e4 at corpus
+    # scale. The DECIMAL(38,0) products must survive a doc whose
+    # S·tf alone overflows BIGINT. Build tf=5e5 on a doc, then check
+    # against an exact-arithmetic python replay of the algebra.
+    tf_big = 500_000
+    d = _docs(
+        spark,
+        [(1, " ".join(["x"] * tf_big)), (2, "x " + "y " * 50), (3, "y z")],
+    )
+    # force S·tf past 2^63 by inflating S with filler docs of distinct
+    # terms is impractical at unit scale; instead verify (a) the query
+    # runs under ANSI with a very large tf and (b) the score equals
+    # the exact-integer replay (floor(1e6·idf·22STf/(10STf+3S+9·dl·N)))
+    out = {
+        r.doc_id: r.score_fp
+        for r in bm25_topk(d, _queries(spark, [(0, "x")]), idf_mode="rational").collect()
+    }
+    N, S = 3, tf_big + 51 + 2
+    df_x = 2
+    idf = (2 * N - 2 * df_x + 1) / (2 * df_x + 1)
+
+    def score(tf, dl):
+        return math.floor(1e6 * idf * ((22 * S * tf) / (10 * S * tf + 3 * S + 9 * dl * N)))
+
+    assert out == {1: score(tf_big, tf_big), 2: score(1, 51)}
+
+
+def test_rational_part_past_bigint_range(spark):
+    # the ADVICE scenario verbatim: S=1e13 corpus tokens (~100 TB of
+    # text), one spammy doc with tf=1e5 → 22·S·tf = 2.2e19 > 2^63.
+    # The old BIGINT products aborted here under ANSI; DECIMAL(38,0)
+    # must return the exact value (python int arithmetic is the
+    # ground truth — both sides do one correctly-rounded double cast
+    # of an exact integer, then one exactly-rounded division).
+    from pyspark_pipeline_framework_spark.llm.retrieval import _rational_part
+
+    N, S, dfq, tf, dl = 10**9, 10**13, 10**6, 10**5, 10**6
+    col = _rational_part(
+        *(F.lit(v).cast("bigint") for v in (N, S, dfq, tf, dl))
+    )
+    (got,) = spark.range(1).select(col.alias("s")).collect()[0]
+    idf = float(2 * N - 2 * dfq + 1) / float(2 * dfq + 1)
+    tfp = float(22 * S * tf) / float(10 * S * tf + 3 * S + 9 * dl * N)
+    assert got == math.floor(1e6 * idf * tfp)
+
+
+def test_wide_int_to_double_cast_correctly_rounded(spark):
+    # the DECIMAL(38,0)→double (Spark) and HUGEINT→double (DuckDB
+    # oracle) casts must both be correctly rounded for the rational
+    # BM25 bit-exactness claim to hold past BIGINT range
+    import duckdb
+
+    vals = [2**63, 2**63 + 1, 2**64 - 1, 10**25 + 3, 10**30 + 7,
+            22 * 10**16 * 12345, 10**37, 3**70, 7**40 + 11]
+    df = spark.createDataFrame([(str(v),) for v in vals], "s string")
+    got = df.select(F.col("s").cast("decimal(38,0)").cast("double").alias("d"), "s").collect()
+    for r in got:
+        assert r.d == float(int(r.s)), f"spark decimal cast misrounds {r.s}"
+    con = duckdb.connect()
+    for v in vals:
+        (d,) = con.execute(f"SELECT CAST(CAST('{v}' AS HUGEINT) AS DOUBLE)").fetchone()
+        assert d == float(v), f"duckdb hugeint cast misrounds {v}"
 
 
 def test_bm25_query_term_set_semantics(spark):
