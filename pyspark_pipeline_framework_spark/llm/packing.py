@@ -305,6 +305,15 @@ def global_shuffle(
     independent sorts. Write with ``partitionBy("shard")`` and the
     training loader streams shards in order.
 
+    PRECONDITION — ``id_col`` values must be UNIQUE and NON-NULL:
+    the sort key is (hash(id), id), so duplicate or NULL ids tie and
+    Spark may order tied rows differently run-to-run, silently
+    breaking the reproducible-permutation contract (same caveat as
+    the numeric-id contract on the dedup operators). Dedup or
+    synthesize a unique key first; uniqueness is NOT checked here —
+    a check costs a full aggregation pass, compose
+    ``quality.checks.unique_check`` upstream when ids are untrusted.
+
     ``hash_fn="md5"`` is the engine-portable mode (suite-oracled)."""
     if num_shards < 1:
         raise ValueError(f"num_shards must be >= 1, got {num_shards}")
@@ -354,6 +363,14 @@ def sample_to_token_budget(
     Expects a precomputed ``tokens_col`` (compose with
     ``token_count_ws``/``token_count_regex`` from ``llm.text``).
     Returns the kept rows plus ``(shard, cum_tokens)``.
+
+    PRECONDITION — ``id_col`` values must be UNIQUE and NON-NULL:
+    the prefix order is (hash(id), id), so duplicate or NULL ids tie
+    and the run-to-run row order within a tie is arbitrary — the
+    cumulative totals, and therefore the KEPT SET, would differ
+    across runs. Not checked here (a full-pass aggregation); compose
+    ``quality.checks.unique_check`` upstream when ids are untrusted.
+
     ``hash_fn="md5"`` is the engine-portable mode (suite-oracled)."""
     if budget_tokens < 0:
         raise ValueError(f"budget_tokens must be >= 0, got {budget_tokens}")

@@ -893,14 +893,28 @@ def semantic_dedup_pairs(
     shape, no cross-engine oracle.
 
     Exact mode uses the SAME per-cell gram matmul as a PREFILTER with
-    a 1e-6 safety margin (float64 matmul vs the fixed-point cosine
-    differ at ~1e-10, four orders inside the margin, so no true pair
-    can be dropped), then rescores only the surviving candidates with
-    the decimal-exact cosine and applies the threshold on THAT — the
-    published values and the >= decision are bit-identical to the
+    a PER-PAIR safety margin derived from the vectors' actual norms:
+    ``_dot_decimal`` quantizes per-element products at absolute 1e-14,
+    so the fixed-point-vs-float cosine gap is bounded by
+    d·1e-14·(1/(‖a‖‖b‖) + 1/(2‖a‖²) + 1/(2‖b‖²)) — tiny for unit-ish
+    vectors but material for small-magnitude embeddings (a FIXED 1e-6
+    margin silently dropped true pairs once elements fell below ~1e-4;
+    r7 ADVICE finding). The bound is doubled and padded with 1e-9 for
+    the float64 matmul's own d·ε error, then candidates are rescored
+    with the decimal-exact cosine and the threshold applied on THAT —
+    the published values and the >= decision are bit-identical to the
     naive exact join, measured ~2× faster at sf0.1 and widening with
-    cell size. Zero-norm vectors: the exact cosine is NaN and the
-    final exact filter drops them, prefilter notwithstanding."""
+    cell size.
+
+    Zero-norm vectors (fixed-point norm 0, i.e. every |element| <
+    1e-7): excluded from pair scoring in BOTH modes and in the oracle.
+    They carry no geometry at the engine's resolution, and the exact
+    cosine's 0/0 is engine-divergent (Spark double 0/0 is NULL, which
+    the >= filter drops; DuckDB yields NaN, which its total order
+    compares greater than any threshold) — filtering is the only
+    semantics both engines can agree on. Training is unaffected: a
+    zero vector's assignment (all-zero dots, tie-broken by cell id)
+    and its contribution to means replay exactly in SQL either way."""
     if mode not in ("exact", "fast"):
         raise ValueError(f"mode must be 'exact' or 'fast', got {mode!r}")
     corpus = drop_corrupt_vectors(corpus, vec_col, dim)
@@ -918,7 +932,6 @@ def semantic_dedup_pairs(
     # carries the surviving pair's vectors out so the decimal-exact
     # cosine + threshold decide the published result
     exact = mode == "exact"
-    cut = threshold - 1e-6 if exact else threshold
     out_schema = "id_a long, id_b long, cos_sim double, cell int"
     if exact:
         out_schema += ", va array<double>, vb array<double>"
@@ -937,10 +950,21 @@ def semantic_dedup_pairs(
         pdf = pdf.sort_values("__sd_id").reset_index(drop=True)
         M = np.stack(pdf["vec"].values).astype("float64")
         nrm = np.linalg.norm(M, axis=1)
-        nrm[nrm == 0.0] = 1.0
+        nrm[nrm == 0.0] = 1.0  # defensive; zero-norm rows are filtered upstream
         G = (M / nrm[:, None]) @ (M / nrm[:, None]).T
         iu, ju = np.triu_indices(n, k=1)
-        keep = G[iu, ju] >= cut
+        if exact:
+            # per-pair prefilter margin: fixed-point quantization error
+            # on the exact cosine is < d·1e-14·(1/(na·nb) + 1/(2na²)
+            # + 1/(2nb²)); ×2 headroom + 1e-9 float-matmul slack keeps
+            # the prefilter lossless for ANY vector magnitude
+            inv = 1.0 / nrm
+            qerr = 2.0 * M.shape[1] * 1e-14
+            margin = qerr * (inv[iu] * inv[ju]
+                             + 0.5 * inv[iu] ** 2 + 0.5 * inv[ju] ** 2) + 1e-9
+            keep = G[iu, ju] >= (threshold - margin)
+        else:
+            keep = G[iu, ju] >= threshold
         ids = pdf["__sd_id"].to_numpy()
         ia, ib = iu[keep], ju[keep]
         out = {"id_a": ids[ia], "id_b": ids[ib], "cos_sim": G[iu, ju][keep],
@@ -952,7 +976,9 @@ def semantic_dedup_pairs(
             out["vb"] = pd.Series([M[j].tolist() for j in ib], dtype="object")
         return pd.DataFrame(out)
 
-    prepared = assigned.select(
+    # fixed-point norm 0 ⟺ every |element| < 1e-7: no geometry at the
+    # engine's resolution, and 0/0 is engine-divergent (see docstring)
+    prepared = assigned.filter(F.col("norm") > 0).select(
         F.col(id_col).cast("long").alias("__sd_id"), "vec", "cell"
     )
     cand = prepared.groupBy("cell").applyInPandas(score_cell, schema=out_schema)

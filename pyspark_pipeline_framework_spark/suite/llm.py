@@ -1600,6 +1600,10 @@ def _semantic_dedup_oracle(
     straddle engines."""
     ctes, _ = _ivf_model_ctes(dim, nlist, train_iters, n_train)
     joined = ",\n    ".join(ctes)
+    # zero-fixed-point-norm vectors are excluded from pair scoring in
+    # the engine (0/0 is NULL in Spark, NaN>anything in DuckDB — the
+    # filter is the only portable semantic); the doti(v,v)>0 predicate
+    # replays the engine's norm>0 exactly (norm = sqrt(doti/1e14))
     return f"""
     WITH {joined}
     SELECT id_a, id_b, cos_sim, cell FROM (
@@ -1609,7 +1613,9 @@ def _semantic_dedup_oracle(
       FROM corpuscell a
       JOIN corpuscell b ON b.cell = a.cell AND b.vec_id > a.vec_id
       JOIN embeddings ea ON ea.vec_id = a.vec_id
-      JOIN embeddings eb ON eb.vec_id = b.vec_id)
+      JOIN embeddings eb ON eb.vec_id = b.vec_id
+      WHERE {_o_doti("ea.embedding", "ea.embedding")} > 0
+        AND {_o_doti("eb.embedding", "eb.embedding")} > 0)
     WHERE cos_sim >= {threshold}
     """
 

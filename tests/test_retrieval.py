@@ -208,6 +208,94 @@ def test_semantic_dedup_pairs_feed_dedup_clusters(spark):
     assert dup == {1: False, 2: True, 3: False}  # min id survives the dup cluster
 
 
+def test_semantic_dedup_small_magnitude_prefilter_lossless(spark):
+    # r7 ADVICE regression: with elements ~1e-6 the fixed-point cosine
+    # can exceed the float64 gram cosine by >1e-6 (norm quantization
+    # inflates, numerator quantization deflates — net fluctuates at
+    # ~1% of the score at this magnitude). The pair below (rng seed 7)
+    # has float cos 0.9011040 < thr-1e-6 but fixed-point cos 0.9016771
+    # >= thr=0.901391 — the old FIXED 1e-6 prefilter margin dropped
+    # it; the per-pair norm-derived margin must keep it.
+    import numpy as np
+
+    from pyspark_pipeline_framework_spark.llm.similarity import semantic_dedup_pairs
+
+    r = np.random.default_rng(7)
+    a = r.uniform(0.5e-6, 1.5e-6, 16)
+    b = r.uniform(0.5e-6, 1.5e-6, 16)
+    thr = 0.901391
+
+    def fp_cos(x, y):
+        d = lambda u, v: np.sum(np.floor(u * v * 1e14)) / 1e14  # noqa: E731
+        return d(x, y) / (np.sqrt(d(x, x)) * np.sqrt(d(y, y)))
+
+    assert fp_cos(a, b) >= thr  # construction still holds
+    assert (a @ b) / (np.linalg.norm(a) * np.linalg.norm(b)) < thr - 1e-6
+    emb = spark.createDataFrame(
+        [(0, [float(x) for x in a]), (1, [float(x) for x in b])],
+        "vec_id long, embedding array<double>",
+    )
+    pairs = semantic_dedup_pairs(
+        emb, dim=16, threshold=thr, nlist=1, train_sample=2, mode="exact"
+    ).collect()
+    assert [(p.id_a, p.id_b) for p in pairs] == [(0, 1)]
+    assert pairs[0].cos_sim == fp_cos(a, b)
+
+
+def test_semantic_dedup_exact_equals_naive_join_small_vectors(spark):
+    # exact mode's prefilter+rescore must be bit-identical to the
+    # naive all-pairs decimal-exact join at ANY vector magnitude
+    import numpy as np
+
+    from pyspark_pipeline_framework_spark.llm.similarity import (
+        cosine_similarity,
+        semantic_dedup_pairs,
+    )
+
+    r = np.random.default_rng(11)
+    rows = [(i, [float(x) for x in r.uniform(0.5e-6, 1.5e-6, 8)]) for i in range(40)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    thr = 0.9
+    got = {
+        (p.id_a, p.id_b): p.cos_sim
+        for p in semantic_dedup_pairs(
+            emb, dim=8, threshold=thr, nlist=1, train_sample=40, mode="exact"
+        ).collect()
+    }
+    a, b = emb.alias("a"), emb.alias("b")
+    naive = (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            cosine_similarity(F.col("a.embedding"), F.col("b.embedding")).alias("c"),
+        )
+        .filter(F.col("c") >= thr)
+    )
+    want = {(p.id_a, p.id_b): p.c for p in naive.collect()}
+    assert got == want and len(want) > 0
+
+
+def test_semantic_dedup_zero_norm_vectors_excluded(spark):
+    # all-zero AND sub-resolution (|x| < 1e-7 -> fixed-point norm 0)
+    # vectors must be excluded from pair scoring in both modes: 0/0 is
+    # NULL in Spark but NaN (> any threshold) in DuckDB, so filtering
+    # is the only portable semantic (r7 ADVICE)
+    from pyspark_pipeline_framework_spark.llm.similarity import semantic_dedup_pairs
+
+    v = [1.0] * 8
+    emb = spark.createDataFrame(
+        [(1, v), (2, v), (3, [0.0] * 8), (4, [1e-8] * 8)],
+        "vec_id long, embedding array<double>",
+    )
+    for mode in ("exact", "fast"):
+        pairs = semantic_dedup_pairs(
+            emb, dim=8, threshold=-1.0, nlist=1, train_sample=4, mode=mode
+        ).collect()
+        ids = {i for p in pairs for i in (p.id_a, p.id_b)}
+        assert ids == {1, 2}, mode
+
+
 def test_semantic_dedup_empty_and_bad_mode(spark):
     from pyspark_pipeline_framework_spark.llm.similarity import semantic_dedup_pairs
 
