@@ -127,6 +127,16 @@ def _sf1_section(spark, sf_dir: str, timings: dict[str, float]) -> dict:
     out: dict = {"replication": R, "build_sec": round(build_s, 1),
                  "queries": {}, "peak_shuffle_write": {}}
     budget_s = float(os.environ.get("SPARK_GRAFT_SF1_BUDGET_S", "900"))
+    # per-query regression budgets (VERDICT r7 item 2): alpha pinned
+    # from a verified-clean run, so a noisy host can't mask — or
+    # fabricate — a per-query superlinear regression
+    alphas: dict = {}
+    try:
+        with open(os.path.join(REPO, "tools", "sf1_budgets.json")) as f:
+            alphas = json.load(f)["alpha"]
+    except Exception:
+        pass
+    steal0 = _steal_jiffies()
     spent = 0.0
     for name in top:
         if spent > budget_s:
@@ -134,14 +144,25 @@ def _sf1_section(spark, sf_dir: str, timings: dict[str, float]) -> dict:
             continue
         if meter is not None:
             meter.mark()
-        t0 = time.perf_counter()
-        try:
-            cases[name].spark_fn(spark, tmp).count()
-            w = time.perf_counter() - t0
-        except Exception as ex:  # record, don't kill the bench line
-            out["queries"][name] = f"error: {ex}"[:120]
+        # min-of-2 (VERDICT r7 item 1): the sf0.1 pass always had a
+        # best-of-2 policy; a single-run sf1 number conflates host
+        # stalls with plans and overstated r7's final snapshot 2-4×
+        samples: list = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            try:
+                cases[name].spark_fn(spark, tmp).count()
+            except Exception as ex:  # record, don't kill the bench line
+                if not samples:
+                    out["queries"][name] = f"error: {ex}"[:120]
+                break
+            samples.append(time.perf_counter() - t0)
+            spent += samples[-1]
+            if spent > budget_s:
+                break  # min-of-1 beats not-run when the budget is gone
+        if not samples:
             continue
-        spent += w
+        w = min(samples)
         out["queries"][name] = round(w, 3)
         if meter is not None:
             m = meter.read()
@@ -151,17 +172,21 @@ def _sf1_section(spark, sf_dir: str, timings: dict[str, float]) -> dict:
               file=sys.stderr)
     # superlinear guard: a clean operator at ×10 data on fixed cores
     # should stay within R · 2 · wall(sf0.1) + 3s (same envelope as
-    # tools/scalecheck.py)
+    # tools/scalecheck.py); per-query alpha budgets are tighter where
+    # a clean run pinned them (sf1 <= alpha · R · sf0.1 + 1s grace)
     bound = lambda n: R * 2 * timings[n] + 3  # noqa: E731
-    flagged = sorted(
-        n for n, w in out["queries"].items()
-        if isinstance(w, float) and w > bound(n)
-    )
-    # a single-run measurement can trip the gate on a transient host
-    # stall (observed: q_intersect 15.2s once, 1.5s on repeat with an
-    # identical plan) — re-run just the flagged queries once and keep
-    # the min, so the gate reports plan problems, not scheduler noise
-    for name in flagged:
+    abound = lambda n: alphas[n] * R * timings[n] + 1.0  # noqa: E731
+
+    def _over(q: dict) -> list:
+        sup = [n for n, w in q.items() if isinstance(w, float) and w > bound(n)]
+        bud = [n for n, w in q.items()
+               if isinstance(w, float) and n in alphas and w > abound(n)]
+        return sorted(set(sup) | set(bud))
+
+    # a min-of-2 can still lose both samples to a long stall — re-run
+    # just the flagged queries once more and keep the min, so the
+    # gates report plan problems, not scheduler noise
+    for name in _over(out["queries"]):
         t0 = time.perf_counter()
         try:
             cases[name].spark_fn(spark, tmp).count()
@@ -175,6 +200,16 @@ def _sf1_section(spark, sf_dir: str, timings: dict[str, float]) -> dict:
     out["superlinear"] = sorted(
         n for n, w in out["queries"].items()
         if isinstance(w, float) and w > bound(n)
+    )
+    out["budget_violations"] = sorted(
+        n for n, w in out["queries"].items()
+        if isinstance(w, float) and n in alphas and w > abound(n)
+    )
+    steal1 = _steal_jiffies()
+    if steal0 is not None and steal1 is not None:
+        out["steal_sec"] = round((steal1 - steal0) / 100.0, 1)
+    out["measured_sec"] = round(
+        sum(w for w in out["queries"].values() if isinstance(w, float)), 2
     )
     return out
 
@@ -273,6 +308,17 @@ def main() -> None:
             sf1 = {"error": f"{ex}"[:200]}
             print(f"# sf1 section failed: {ex}", file=sys.stderr)
 
+    # contamination verdict from WHICHEVER pass is worst (VERDICT r7
+    # item 1): the r7 final artifact had a clean sf0.1 pass but a
+    # steal-swamped sf1 pass and still published unflagged sf1 numbers
+    if isinstance(sf1, dict):
+        sf1_steal = sf1.get("steal_sec")
+        sf1_measured = sf1.get("measured_sec") or 0.0
+        if sf1_steal is not None and sf1_measured > 0 and sf1_steal > 0.5 * sf1_measured:
+            steal_contaminated = True
+            print(f"# sf1 pass steal-contaminated ({sf1_steal:.0f}s stolen vs "
+                  f"{sf1_measured:.0f}s measured)", file=sys.stderr)
+
     steal1 = _steal_jiffies()
     steal_s = round((steal1 - steal0) / 100.0, 1) if steal0 is not None else None
     full = {
@@ -313,6 +359,7 @@ def main() -> None:
             "n": len(ran),
             "total_sec": round(sum(ran), 2),
             "superlinear": sf1["superlinear"],
+            "budget_violations": sf1.get("budget_violations", []),
         }
     elif sf1:
         line_obj["sf1"] = sf1  # error note

@@ -11,12 +11,41 @@ Catalog rather than implicit temp-view strings."""
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass, field, fields
 from typing import Any
 
 
 class PipelineValidationError(ValueError):
     pass
+
+
+def _tname(v: Any) -> str:
+    return type(v).__name__
+
+
+def _req(val: Any, typ: type | tuple, what: str) -> Any:
+    """Type gate for config fields: a malformed .conf must fail with a
+    clean :class:`PipelineValidationError` naming the field, never a
+    raw TypeError/AttributeError traceback from deep inside a
+    dataclass (r7 VERDICT item 7 — the negative-path fuzz asserts
+    this for arbitrary mutations)."""
+    ok = isinstance(val, typ)
+    if ok and isinstance(val, bool):  # bool is an int subclass — keep it out
+        ok = bool in (typ if isinstance(typ, tuple) else (typ,))
+    if not ok:
+        want = (
+            "/".join(t.__name__ for t in typ)
+            if isinstance(typ, tuple)
+            else typ.__name__
+        )
+        raise PipelineValidationError(f"{what} must be {want}, got {_tname(val)}")
+    return val
+
+
+def _req_str_list(val: Any, what: str) -> list:
+    if not isinstance(val, list) or not all(isinstance(x, str) for x in val):
+        raise PipelineValidationError(f"{what} must be a list of strings, got {val!r}")
+    return val
 
 
 @dataclass
@@ -50,8 +79,31 @@ class ComponentConfig:
     resilience: str | dict[str, Any] | None = None
 
     def __post_init__(self) -> None:
+        _req(self.name, str, "component name")
         if not self.name or not self.name.strip():
             raise PipelineValidationError("component name must be non-empty")
+        who = f"component {self.name!r}"
+        _req(self.op, str, f"{who}: op")
+        _req(self.class_path, str, f"{who}: class_path")
+        _req(self.component_type, str, f"{who}: component_type")
+        _req(self.params, dict, f"{who}: params")
+        _req_str_list(self.inputs, f"{who}: inputs")
+        _req(self.output, str, f"{who}: output")
+        # a STRING here would silently iterate per-character in the
+        # dependency check — the classic YAML/HOCON scalar-vs-list slip
+        _req_str_list(self.depends_on, f"{who}: depends_on")
+        _req(self.enabled, bool, f"{who}: enabled")
+        _req(self.schema_mode, str, f"{who}: schema_mode")
+        if self.input_schema is not None:
+            _req(self.input_schema, dict, f"{who}: input_schema")
+        if self.output_schema is not None:
+            _req(self.output_schema, dict, f"{who}: output_schema")
+        if self.retry is not None:
+            _req(self.retry, dict, f"{who}: retry")
+        if self.circuit_breaker is not None:
+            _req(self.circuit_breaker, dict, f"{who}: circuit_breaker")
+        if self.resilience is not None:
+            _req(self.resilience, (str, dict), f"{who}: resilience")
         if bool(self.op) == bool(self.class_path):
             raise PipelineValidationError(
                 f"component {self.name!r}: exactly one of op/class_path required"
@@ -318,29 +370,49 @@ class PipelineConfig:
             audit_sink=audit_sink,
         )
 
+    #: the accepted component keys (dataclass fields + the reference's
+    #: `config` spelling) — unknown keys are a loud validation error,
+    #: not a dataclass TypeError traceback
+    _COMPONENT_KEYS = frozenset(("config",)).union(
+        f.name for f in fields(ComponentConfig)
+    )
+
     @classmethod
     def from_dict(cls, d: dict[str, Any]) -> "PipelineConfig":
+        _req(d, dict, "pipeline config root")
         comps = []
-        for c in d.get("components", []):
+        comps_raw = _req(d.get("components", []), list, "components")
+        for i, c in enumerate(comps_raw):
+            _req(c, dict, f"components[{i}]")
             c = dict(c)
             # reference spelling: the component's free-form settings
             # live under `config` (core/config/component.py:26); this
             # repo calls them `params` — accept either
             if "config" in c and "params" not in c:
                 c["params"] = c.pop("config")
+            unknown = set(c) - cls._COMPONENT_KEYS
+            if unknown:
+                raise PipelineValidationError(
+                    f"components[{i}] ({c.get('name', '?')!r}): "
+                    f"unknown fields {sorted(unknown)}"
+                )
+            # a missing name must be the clean non-empty-name error,
+            # not a dataclass missing-argument TypeError (hoconfuzz)
+            c.setdefault("name", "")
             comps.append(ComponentConfig(**c))
+        tags_raw = _req(d.get("tags", {}), dict, "tags")
         return cls(
-            name=d.get("name", ""),
+            name=_req(d.get("name", ""), str, "pipeline name"),
             components=comps,
-            version=str(d.get("version", "0")),
-            spark_conf=dict(d.get("spark_conf", {})),
-            description=d.get("description", ""),
-            hooks=dict(d.get("hooks", {})),
-            environment=str(d.get("environment", "dev")),
-            mode=str(d.get("mode", "batch")),
-            tags={k: str(v) for k, v in dict(d.get("tags", {})).items()},
-            spark=dict(d.get("spark", {})),
-            secrets=dict(d.get("secrets", {})),
+            version=str(_req(d.get("version", "0"), (str, int, float), "version")),
+            spark_conf=dict(_req(d.get("spark_conf", {}), dict, "spark_conf")),
+            description=_req(d.get("description", ""), str, "description"),
+            hooks=dict(_req(d.get("hooks", {}), dict, "hooks")),
+            environment=str(_req(d.get("environment", "dev"), str, "environment")),
+            mode=str(_req(d.get("mode", "batch"), str, "mode")),
+            tags={str(k): str(v) for k, v in tags_raw.items()},
+            spark=dict(_req(d.get("spark", {}), dict, "spark")),
+            secrets=dict(_req(d.get("secrets", {}), dict, "secrets")),
         )
 
     @classmethod

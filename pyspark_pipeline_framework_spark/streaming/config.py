@@ -62,7 +62,10 @@ def _build(kind: str, registry: dict, block: dict[str, Any]):
         raise StreamingConfigError(f"{kind} block must be a dict with a 'type' field")
     d = dict(block)
     t = d.pop("type")
-    cls = registry.get(t)
+    # isinstance gate before the dict lookup: an unhashable type value
+    # (e.g. a list where a string belongs) must be a clean config
+    # error, not a TypeError traceback (hoconfuzz finding)
+    cls = registry.get(t) if isinstance(t, str) else None
     if cls is None:
         raise StreamingConfigError(f"unknown {kind} type {t!r} (known: {sorted(registry)})")
     try:
@@ -96,7 +99,7 @@ def build_trigger(block: dict[str, Any] | str | None) -> Trigger | None:
     t = d.pop("type")
     try:
         ttype = TriggerType(t)
-    except ValueError:
+    except (ValueError, TypeError):  # TypeError: unhashable type value
         raise StreamingConfigError(
             f"unknown trigger type {t!r} (known: {[m.value for m in TriggerType]})"
         ) from None
@@ -178,7 +181,7 @@ def validate_stream_params(params: dict[str, Any]) -> None:
     mode = params.get("output_mode", "append")
     try:
         OutputMode(mode)
-    except ValueError:
+    except (ValueError, TypeError):  # TypeError: unhashable type value
         raise StreamingConfigError(
             f"unknown output_mode {mode!r} (known: {[m.value for m in OutputMode]})"
         ) from None

@@ -204,3 +204,53 @@ def test_well_formed_blocks_still_load():
         }
     )
     assert cfg.execution_order() == ["s", "t"]
+
+
+# ---- r8 structural hardening (hoconfuzz findings): every shape a
+# ---- mutated conf can take must yield the typed error, never a
+# ---- dataclass TypeError / unhashable-type traceback
+
+@pytest.mark.parametrize(
+    "d, fragment",
+    [
+        ("notadict", "pipeline config root"),
+        ({"name": "x", "components": "c1"}, "components must be list"),
+        ({"name": "x", "components": [42]}, "components[0] must be dict"),
+        ({"name": "x", "components": [{"op": "sql"}]}, "name must be non-empty"),
+        ({"name": "x", "components": [{"name": "c", "op": "sql", "zz": 1}]},
+         "unknown fields ['zz']"),
+        ({"name": "x", "components": [
+            {"name": "c", "op": "sql", "depends_on": "other"}]},
+         "depends_on must be a list of strings"),
+        ({"name": "x", "components": [
+            {"name": "c", "op": "sql", "inputs": [1]}]},
+         "inputs must be a list of strings"),
+        ({"name": "x", "components": [
+            {"name": "c", "op": "sql", "enabled": "yes"}]},
+         "enabled must be bool"),
+        ({"name": 7, "components": []}, "pipeline name must be str"),
+        ({"name": "x", "tags": [], "components": []}, "tags must be dict"),
+        ({"name": "x", "spark": 3, "components": []}, "spark must be dict"),
+    ],
+)
+def test_structural_mutations_fail_typed(d, fragment):
+    with pytest.raises(PipelineValidationError) as exc:
+        PipelineConfig.from_dict(d)
+    assert fragment in str(exc.value)
+
+
+@pytest.mark.parametrize(
+    "params",
+    [
+        # unhashable type values (a list where a string belongs) used
+        # to raise TypeError from the registry dict lookup / enum call
+        {"source": {"type": ["file"]}, "sink": {"type": "console"}},
+        {"source": {"type": "rate"}, "sink": {"type": "console"},
+         "trigger": {"type": ["once"]}},
+        {"source": {"type": "rate"}, "sink": {"type": "console"},
+         "output_mode": ["append"]},
+    ],
+)
+def test_unhashable_stream_type_values_fail_typed(params):
+    with pytest.raises(PipelineValidationError):
+        ComponentConfig(name="s1", op="stream", params=params)

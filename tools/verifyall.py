@@ -6,10 +6,14 @@ Runs (each independently fatal):
   3. tools/fuzzcheck.py — N random pipelines per seed (default 3 seeds)
   4. tools/streamfuzz.py — stateful streaming differential (streaming
      dedup within watermark + update-mode aggregation vs batch)
-  5. tools/emptycheck.py — whole suite over 0-row tables,
+  5. tools/hoconfuzz.py — config-layer negative-path fuzz: mutated
+     conf text / dicts fail typed, never with a raw traceback (~2s)
+  6. tools/sf1_budget_gate.py — per-query sf1 regression budgets vs
+     the committed BENCH_FULL.json (instant)
+  7. tools/emptycheck.py — whole suite over 0-row tables,
      oracle-compared with declared divergences asserted (skipped in
      --fast)
-  6. pytest tests/ (CI)
+  8. pytest tests/ (CI)
 
 Usage: python tools/verifyall.py [--fast] [--skip-pytest]
   --fast: fuzz 1 seed x 60 at sf0.001 and skip pytest — a ~2 min
@@ -82,6 +86,16 @@ def main() -> int:
                     "--n-dedup", str(nd), "--n-agg", str(na),
                     "--n-join", str(nj), "--n-session", str(ns),
                     "--sf", sf], None))
+    # config-layer negative-path fuzz (no Spark, ~2s): mutated conf
+    # text / parsed dicts must fail typed, never with a raw traceback
+    stages.append(("hoconfuzz",
+                   [sys.executable, os.path.join(TOOLS, "hoconfuzz.py"),
+                    "--n", "600" if a.fast else "2000"], None))
+    # per-query sf1 regression budgets vs the committed bench artifact
+    # (instant JSON check; fails only on a clean-run violation)
+    stages.append(("sf1-budget-gate",
+                   [sys.executable, os.path.join(TOOLS, "sf1_budget_gate.py")],
+                   None))
     if not a.fast:
         # the whole suite over 0-row tables, oracle-compared (declared
         # divergences asserted) — ANSI-mode empty-input robustness
