@@ -2,8 +2,9 @@
 through Structured Streaming STATEFUL paths and asserted equal to their
 batch plans.
 
-Four families (1-2: VERDICT r5 item 7; 3-4: VERDICT r6 item 5 — route
-specs through stream_stream_join and session-window aggregation):
+Five families (1-2: VERDICT r5 item 7; 3-4: VERDICT r6 item 5 — route
+specs through stream_stream_join and session-window aggregation;
+5: VERDICT r7 item 6 — randomized custom stateful processors):
 
 1. **dropDuplicatesWithinWatermark**: qualifying distinct-terminal
    specs over `events` (derive/filter stages, no joins) run as
@@ -49,8 +50,26 @@ an exact aggregate (sum_dbl goes through DECIMAL(38,6) state, so even
 float sums are order-independent; count_distinct specs are excluded —
 unsupported in streaming aggregation).
 
+5. **randomized stateful processors**: random specs (key cardinality
+   1-8, 2-5 micro-batch files, random row volumes, and a deterministic
+   count-threshold RESET rule exercising the state remove/recreate
+   lifecycle) run the same per-key state machine — count/sum/min/max
+   fold, emit, conditional state removal — through BOTH state APIs:
+   the legacy ``applyInPandasWithState`` (tuple state) and the Spark-4
+   ``transformWithStateInPandas`` (typed ValueState + RocksDB
+   provider, vendored-protobuf bootstrap shared with
+   tests/conftest.py). A passthrough recorder captures the EXACT
+   micro-batch composition first, and a driver-side python replay of
+   those batches is the oracle — all three must agree on every key's
+   final state. Values are integer-valued doubles, so every fold is
+   exact and chunk order cannot drift results. Wall-clock timeouts are
+   excluded for determinism (fixed-input coverage in
+   tests/test_streaming_stateful.py); the reset rule covers the same
+   state-lifecycle surface deterministically.
+
 Usage: python tools/streamfuzz.py [--n-dedup 12] [--n-agg 12]
                                   [--n-join 10] [--n-session 10]
+                                  [--n-stateful 10]
                                   [--seed 2026] [--sf DIR]
 Exit 0 iff zero mismatches.
 """
@@ -118,6 +137,40 @@ def _await(q, timeout_s: int = 180) -> None:
         raise TimeoutError("streaming query did not finish in time")
 
 
+def _ensure_protobuf() -> None:
+    """Same vendored-protobuf bootstrap as tests/conftest.py (see its
+    docstring): transformWithStateInPandas needs google.protobuf in the
+    driver AND workers; when only the gcloud-sdk vendored copy exists,
+    prepend it plus the tests/_pbvendor version-gate shim BEFORE the
+    session is built. No-op when protobuf is installed or absent."""
+    try:
+        import google.protobuf  # noqa: F401
+
+        return
+    except ImportError:
+        pass
+    cand = "/usr/lib/google-cloud-sdk/platform/google_appengine"
+    if os.path.isfile(os.path.join(cand, "google", "protobuf", "__init__.py")):
+        shim = os.path.join(REPO, "tests", "_pbvendor")
+        for p in (shim, cand):
+            if p not in sys.path:
+                sys.path.insert(0, p)
+        os.environ["PYTHONPATH"] = os.pathsep.join(
+            [shim, cand]
+            + [q for q in os.environ.get("PYTHONPATH", "").split(os.pathsep) if q]
+        )
+        import sitecustomize  # noqa: F401
+
+
+def _tws_available() -> bool:
+    try:
+        import google.protobuf  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
 #: streaming-supported aggregate renderings (count_distinct excluded —
 #: unsupported in streaming aggregation; sum_dbl is DECIMAL(38,6)
 #: state, so cross-batch merge order cannot drift the float result)
@@ -136,8 +189,234 @@ def _agg_expr(a):
     return e.alias(a["alias"])
 
 
+#: family-5 state machine: (n, total, vmin, vmax) per key, fold a
+#: micro-batch, then EMIT; if a reset threshold is hit, the state is
+#: REMOVED (next occurrence starts fresh). Values are integer-valued
+#: doubles, so every fold is exact float64 arithmetic — chunk order
+#: inside a batch cannot drift the result.
+_F5_OUT_SCHEMA = ("key string, n bigint, total double, vmin double, "
+                  "vmax double, was_reset boolean")
+_F5_STATE_SCHEMA = "n bigint, total double, vmin double, vmax double"
+
+
+def _f5_fold(n, t, mn, mx, pdf):
+    n += len(pdf)
+    t += float(pdf["value"].sum())
+    mn = min(mn, float(pdf["value"].min()))
+    mx = max(mx, float(pdf["value"].max()))
+    return n, t, mn, mx
+
+
+def _f5_make_legacy_fn(reset_at):
+    """applyInPandasWithState implementation of the family-5 machine."""
+
+    def fn(key, batches, state):
+        import pandas as pd
+
+        n, t, mn, mx = (
+            state.get if state.exists else (0, 0.0, float("inf"), float("-inf"))
+        )
+        seen = 0
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            seen += len(pdf)
+            n, t, mn, mx = _f5_fold(n, t, mn, mx, pdf)
+        if not seen:
+            return
+        if reset_at is not None and n >= reset_at:
+            state.remove()
+            reset = True
+        else:
+            state.update((n, float(t), float(mn), float(mx)))
+            reset = False
+        yield pd.DataFrame({"key": [key[0]], "n": [n], "total": [t],
+                            "vmin": [mn], "vmax": [mx], "was_reset": [reset]})
+
+    return fn
+
+
+def _f5_make_tws(reset_at):
+    """transformWithStateInPandas (Spark-4 typed state) implementation
+    of the SAME machine — ValueState + clear() for the reset."""
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class Processor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._agg = handle.getValueState("agg", _F5_STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timer_values):
+            n, t, mn, mx = (
+                self._agg.get() if self._agg.exists()
+                else (0, 0.0, float("inf"), float("-inf"))
+            )
+            seen = 0
+            for pdf in rows:
+                if not len(pdf):
+                    continue
+                seen += len(pdf)
+                n, t, mn, mx = _f5_fold(n, t, mn, mx, pdf)
+            if not seen:
+                return
+            if reset_at is not None and n >= reset_at:
+                self._agg.clear()
+                reset = True
+            else:
+                self._agg.update((n, float(t), float(mn), float(mx)))
+                reset = False
+            yield pd.DataFrame({"key": [key[0]], "n": [n], "total": [t],
+                                "vmin": [mn], "vmax": [mx],
+                                "was_reset": [reset]})
+
+        def close(self) -> None:
+            pass
+
+    return Processor()
+
+
+def _f5_replay(file_batches, reset_at):
+    """Driver-side python oracle: fold the RECORDED micro-batches
+    through the same machine; returns key -> last emission."""
+    state: dict = {}
+    last: dict = {}
+    for rows in file_batches:
+        per: dict = {}
+        for _rid, k, v in rows:
+            n, t, mn, mx = per.get(k, (0, 0.0, float("inf"), float("-inf")))
+            per[k] = (n + 1, t + v, min(mn, v), max(mx, v))
+        for k, (dn, dt, dmn, dmx) in per.items():
+            n, t, mn, mx = state.get(k, (0, 0.0, float("inf"), float("-inf")))
+            n, t, mn, mx = n + dn, t + dt, min(mn, dmn), max(mx, dmx)
+            if reset_at is not None and n >= reset_at:
+                last[k] = (n, t, mn, mx, True)
+                state.pop(k, None)
+            else:
+                last[k] = (n, t, mn, mx, False)
+                state[k] = (n, t, mn, mx)
+    return last
+
+
+def _stateful_family(spark, tmp, seed, n_stateful, tws: bool) -> int:
+    """Run n_stateful random family-5 specs; returns failure count."""
+    import random
+    import time as _time
+
+    failures = 0
+    rocks = "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    for i in range(n_stateful):
+        t0 = _time.perf_counter()
+        rng = random.Random(seed * 1000003 + 83 + i)
+        n_keys = rng.randint(1, 8)
+        n_files = rng.randint(2, 5)
+        rows_per_file = rng.randint(5, 60)
+        # reset threshold sized so resets actually fire for busy keys
+        # in about half the specs
+        exp_per_key = max(1, n_files * rows_per_file // max(1, n_keys))
+        reset_at = (rng.randint(2, max(3, exp_per_key))
+                    if rng.random() < 0.6 else None)
+        sdir = f"{tmp}/f5_{i}/in"
+        rid = 0
+        for b in range(n_files):
+            rows = []
+            for _ in range(rows_per_file):
+                rows.append((rid, f"k{rng.randrange(n_keys)}",
+                             float(rng.randrange(1000))))
+                rid += 1
+            (spark.createDataFrame(rows, "rid long, key string, value double")
+             .coalesce(1).write.json(f"{sdir}/b{b}"))
+            _time.sleep(0.05)  # distinct mtimes -> stable batch order
+
+        def stream():
+            return (spark.readStream
+                    .schema("rid long, key string, value double")
+                    .option("maxFilesPerTrigger", "1")
+                    .option("recursiveFileLookup", "true")
+                    .json(sdir))
+
+        # 1) recorder: capture the EXACT micro-batch composition the
+        #    file source produces, so the replay assumes nothing about
+        #    file ordering
+        recorded: list = []
+
+        def record(bdf, bid, _r=recorded):
+            _r.append([(r.rid, r.key, r.value) for r in bdf.collect()])
+
+        q = (stream().writeStream.foreachBatch(record)
+             .option("checkpointLocation", f"{tmp}/f5_{i}/ck_rec")
+             .trigger(availableNow=True).start())
+        _await(q)
+        want = _f5_replay(recorded, reset_at)
+
+        def run_side(df_out, ck):
+            got: dict = {}
+
+            def upsert(bdf, bid, _g=got):
+                for r in bdf.collect():
+                    _g[r.key] = (r.n, r.total, r.vmin, r.vmax, r.was_reset)
+
+            qq = (df_out.writeStream.foreachBatch(upsert)
+                  .outputMode("update")
+                  .option("checkpointLocation", ck)
+                  .trigger(availableNow=True).start())
+            _await(qq)
+            return got
+
+        legacy = run_side(
+            stream().groupBy("key").applyInPandasWithState(
+                _f5_make_legacy_fn(reset_at),
+                outputStructType=_F5_OUT_SCHEMA,
+                stateStructType=_F5_STATE_SCHEMA,
+                outputMode="update",
+                timeoutConf="NoTimeout",
+            ),
+            f"{tmp}/f5_{i}/ck_legacy",
+        )
+        ok = legacy == want
+        modern = None
+        if tws and ok:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", rocks)
+            try:
+                modern = run_side(
+                    stream().groupBy("key").transformWithStateInPandas(
+                        statefulProcessor=_f5_make_tws(reset_at),
+                        outputStructType=_F5_OUT_SCHEMA,
+                        outputMode="Update",
+                        timeMode="None",
+                    ),
+                    f"{tmp}/f5_{i}/ck_tws",
+                )
+            finally:
+                if prev is None:
+                    spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+                else:
+                    spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+            ok = ok and modern == want
+        multi = len([b for b in recorded if b]) >= 2
+        ok = ok and multi
+        failures += not ok
+        print(f"{'OK  ' if ok else 'FAIL'} stateful#{i} keys={n_keys} "
+              f"files={n_files} reset_at={reset_at} "
+              f"({len(want)} keys, {len(recorded)} batches, "
+              f"{_time.perf_counter() - t0:.1f}s)")
+        if not ok:
+            for name, got in (("legacy", legacy), ("tws", modern)):
+                if got is not None and got != want:
+                    diff = {k for k in set(got) | set(want)
+                            if got.get(k) != want.get(k)}
+                    print(f"  {name} diffs: "
+                          f"{[(k, got.get(k), want.get(k)) for k in list(diff)[:2]]}")
+            if not multi:
+                print(f"  only {len([b for b in recorded if b])} non-empty batches")
+    return failures
+
+
 def run(n_dedup: int, n_agg: int, seed: int, sf_dir: str,
-        n_join: int = 10, n_session: int = 10) -> int:
+        n_join: int = 10, n_session: int = 10, n_stateful: int = 10) -> int:
     import random
 
     from pyspark.sql import functions as F
@@ -146,6 +425,7 @@ def run(n_dedup: int, n_agg: int, seed: int, sf_dir: str,
     from pyspark_pipeline_framework_spark.session import SparkConfig, build_session
     from pyspark_pipeline_framework_spark.streaming.joins import stream_stream_join
 
+    _ensure_protobuf()  # before the JVM: workers inherit PYTHONPATH
     spark = build_session(SparkConfig(master="local[8]", shuffle_partitions=8))
     con = duckdb.connect()
     for tname in fuzzcheck.TABLES:
@@ -402,12 +682,34 @@ def run(n_dedup: int, n_agg: int, seed: int, sf_dir: str,
         elif nprog < 2:
             print(f"  spec={spec}\n  only {nprog} data batch(es)")
 
+    # ---- family 5: randomized stateful processors -------------------
+    # (VERDICT r7 item 6) random key cardinality / batch splits / state
+    # lifecycle, run through BOTH state APIs — the legacy
+    # applyInPandasWithState and the Spark-4 transformWithStateInPandas
+    # — and differentially checked against a driver-side python replay
+    # of the recorded micro-batches. The state machine includes a
+    # deterministic reset rule (count threshold → emit + remove state),
+    # exercising the remove/recreate lifecycle that timeout paths use;
+    # wall-clock timeouts themselves are excluded for determinism
+    # (covered on fixed inputs by tests/test_streaming_stateful.py).
+    n_run5 = 0
+    if n_stateful:
+        tws_ok = _tws_available()
+        if not tws_ok:
+            print("family 5: protobuf unavailable -> "
+                  "transformWithStateInPandas side skipped")
+        failures += _stateful_family(
+            spark, tmp, seed, n_stateful, tws=tws_ok
+        )
+        n_run5 = n_stateful
+
     shutil.rmtree(tmp, ignore_errors=True)
     total = (len(dedup_specs) + len(agg_specs)
-             + len(join_specs) + len(session_specs))
+             + len(join_specs) + len(session_specs)) + n_run5
     print(f"\n{total} stateful streaming specs, {failures} mismatches, "
           f"{time.time() - t_all:.0f}s (seed={seed})")
-    return 1 if failures or total < (n_dedup + n_agg + n_join + n_session) else 0
+    return 1 if failures or total < (n_dedup + n_agg + n_join
+                                     + n_session + n_stateful) else 0
 
 
 def main() -> int:
@@ -416,12 +718,14 @@ def main() -> int:
     ap.add_argument("--n-agg", type=int, default=12)
     ap.add_argument("--n-join", type=int, default=10)
     ap.add_argument("--n-session", type=int, default=10)
+    ap.add_argument("--n-stateful", type=int, default=10)
     ap.add_argument("--seed", type=int, default=2026)
     ap.add_argument("--sf", default=os.environ.get("SPARK_GRAFT_SF_DIR",
                                                    "/root/testdata/sf0.01"))
     a = ap.parse_args()
     return run(a.n_dedup, a.n_agg, a.seed, a.sf,
-               n_join=a.n_join, n_session=a.n_session)
+               n_join=a.n_join, n_session=a.n_session,
+               n_stateful=a.n_stateful)
 
 
 if __name__ == "__main__":

@@ -79,12 +79,14 @@ def main() -> int:
                         "--n", str(n), "--seed", str(s), "--sf", sf], None))
     # stateful streaming differential (dropDuplicatesWithinWatermark +
     # update-mode aggregation + stream-stream join + session-window
-    # aggregation vs batch) — 44 specs full, 10 fast
-    nd, na, nj, ns = (3, 3, 2, 2) if a.fast else (12, 12, 10, 10)
+    # aggregation + randomized stateful processors vs batch/replay)
+    # — 52 specs full, 12 fast
+    nd, na, nj, ns, nst = (3, 3, 2, 2, 2) if a.fast else (12, 12, 10, 10, 8)
     stages.append(("streamfuzz",
                    [sys.executable, os.path.join(TOOLS, "streamfuzz.py"),
                     "--n-dedup", str(nd), "--n-agg", str(na),
                     "--n-join", str(nj), "--n-session", str(ns),
+                    "--n-stateful", str(nst),
                     "--sf", sf], None))
     # config-layer negative-path fuzz (no Spark, ~2s): mutated conf
     # text / parsed dicts must fail typed, never with a raw traceback
