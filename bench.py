@@ -217,6 +217,7 @@ def _sf1_section(spark, sf_dir: str, timings: dict[str, float]) -> dict:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    _t0_wall = time.perf_counter()
     steal0 = _steal_jiffies()
     calib = min(_calibrate(), _calibrate())
 
@@ -310,17 +311,40 @@ def main() -> None:
 
     # contamination verdict from WHICHEVER pass is worst (VERDICT r7
     # item 1): the r7 final artifact had a clean sf0.1 pass but a
-    # steal-swamped sf1 pass and still published unflagged sf1 numbers
-    if isinstance(sf1, dict):
-        sf1_steal = sf1.get("steal_sec")
-        sf1_measured = sf1.get("measured_sec") or 0.0
-        if sf1_steal is not None and sf1_measured > 0 and sf1_steal > 0.5 * sf1_measured:
-            steal_contaminated = True
-            print(f"# sf1 pass steal-contaminated ({sf1_steal:.0f}s stolen vs "
-                  f"{sf1_measured:.0f}s measured)", file=sys.stderr)
+    # steal-swamped sf1 pass and still published unflagged sf1 numbers.
+    # Same retry policy as the sf0.1 pass: one rerun, keep the better.
+    def _sf1_contaminated(s):
+        st, ms = s.get("steal_sec"), s.get("measured_sec") or 0.0
+        return st is not None and ms > 0 and st > 0.5 * ms
+
+    if isinstance(sf1, dict) and _sf1_contaminated(sf1):
+        print(f"# sf1 pass steal-contaminated ({sf1['steal_sec']:.0f}s stolen "
+              f"vs {sf1['measured_sec']:.0f}s measured) — one rerun",
+              file=sys.stderr)
+        try:
+            sf1_retry = _sf1_section(spark, sf_dir, timings)
+        except Exception as ex:
+            sf1_retry = {"error": f"{ex}"[:200]}
+        if (isinstance(sf1_retry, dict) and sf1_retry.get("queries")
+                and (not _sf1_contaminated(sf1_retry)
+                     or sf1_retry.get("steal_sec", 1e9) < sf1.get("steal_sec", 1e9))):
+            sf1 = sf1_retry
+    if isinstance(sf1, dict) and _sf1_contaminated(sf1):
+        steal_contaminated = True
+        print(f"# sf1 pass steal-contaminated after retry "
+              f"({sf1['steal_sec']:.0f}s stolen vs "
+              f"{sf1['measured_sec']:.0f}s measured)", file=sys.stderr)
 
     steal1 = _steal_jiffies()
     steal_s = round((steal1 - steal0) / 100.0, 1) if steal0 is not None else None
+    # context for readers: stolen CORE-seconds as a fraction of total
+    # CPU capacity over the whole invocation — the wall-relative
+    # contamination gates above are deliberately far stricter (on a
+    # 32-core host 0.5x measured wall is ~1.6% of capacity)
+    wall_total = time.perf_counter() - _t0_wall
+    ncpu = os.cpu_count() or 1
+    steal_cap = (round(100.0 * steal_s / (ncpu * wall_total), 2)
+                 if steal_s is not None and wall_total > 0 else None)
     full = {
         "metric": "suite_total_sec",
         "value": round(sum(timings.values()), 4),
@@ -329,6 +353,7 @@ def main() -> None:
         "sf": sf_val,
         "calib_sec": round(calib, 4),
         "steal_sec": steal_s,
+        "steal_capacity_pct": steal_cap,
         "steal_contaminated": steal_contaminated,
         "sf1": sf1,
         "queries": timings,
@@ -348,6 +373,7 @@ def main() -> None:
         "sf": sf_val,
         "calib_sec": round(calib, 4),
         "steal_sec": steal_s,
+        "steal_capacity_pct": steal_cap,
         "queries_full": "BENCH_FULL.json",
         "queries": {},
     }
