@@ -438,6 +438,13 @@ def ivf_train_centroids_exact(
     def normalize(M: np.ndarray) -> np.ndarray:
         sq = np.floor(M * M * _DOT_SCALE).astype("int64").sum(axis=1)
         norms = np.sqrt(sq.astype("float64") / _DOT_SCALE)
+        # a row whose FIXED-POINT norm is 0 (every |element| below the
+        # 1e-7 resolution) stays unnormalized instead of dividing by
+        # zero — the old NaN centroid made downstream integer dots
+        # undefined (r8 magnitude-fuzz finding); the oracle replays the
+        # same CASE WHEN nrm = 0 THEN 1 guard, so training remains
+        # bit-portable for any input magnitude
+        norms[norms == 0.0] = 1.0
         return M / norms[:, None]
 
     C = normalize(X[:nlist].copy())

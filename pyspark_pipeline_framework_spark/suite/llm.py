@@ -683,7 +683,13 @@ def _ivf_model_ctes(
     bit-for-bit, so a TRAINING bug (not just a search bug) breaks the
     hash match. Returns (ctes ending in ``corpuscell``, final centroid
     CTE name)."""
-    norm_of = lambda arr: f"SQRT(CAST({_o_doti(arr, arr)} AS DOUBLE) / 1e14)"  # noqa: E731
+    # zero-guard mirrors ivf_train_centroids_exact.normalize: a row
+    # whose fixed-point norm is 0 stays unnormalized (divide by 1) —
+    # never a NaN centroid (r8 magnitude-fuzz finding)
+    norm_of = lambda arr: (  # noqa: E731
+        f"(CASE WHEN {_o_doti(arr, arr)} = 0 THEN 1 "
+        f"ELSE SQRT(CAST({_o_doti(arr, arr)} AS DOUBLE) / 1e14) END)"
+    )
     ctes = [
         f"""sample AS (
       SELECT vec_id, embedding,

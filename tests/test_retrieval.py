@@ -296,6 +296,28 @@ def test_semantic_dedup_zero_norm_vectors_excluded(spark):
         assert ids == {1, 2}, mode
 
 
+def test_ivf_exact_trainer_zero_norm_rows_no_nan(spark):
+    # r8 magnitude-fuzz finding: a training row whose FIXED-POINT norm
+    # is 0 (every |element| < 1e-7) divided by zero in the exact
+    # trainer's normalize -> NaN centroids -> undefined integer dots.
+    # The guard keeps such rows unnormalized; centroids must be finite
+    # and the model must still replay deterministically.
+    import numpy as np
+
+    from pyspark_pipeline_framework_spark.llm.similarity import (
+        ivf_train_centroids_exact,
+    )
+
+    rows = [(i, [1e-8 * ((i + j) % 3) for j in range(8)]) for i in range(16)]
+    # mix in a few above-resolution vectors (the mixed regime)
+    rows += [(100 + i, [0.1 * ((i + j) % 5) for j in range(8)]) for i in range(8)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    C1 = ivf_train_centroids_exact(emb, dim=8, nlist=4, train_iters=2, train_sample=24)
+    C2 = ivf_train_centroids_exact(emb, dim=8, nlist=4, train_iters=2, train_sample=24)
+    assert np.isfinite(C1).all()
+    assert (C1 == C2).all()
+
+
 def test_semantic_dedup_empty_and_bad_mode(spark):
     from pyspark_pipeline_framework_spark.llm.similarity import semantic_dedup_pairs
 

@@ -886,12 +886,23 @@ class Gen:
         """Parameterized semantic-dedup differential: random (nlist,
         threshold, train_sample) through semantic_dedup_pairs
         (exact mode) vs the Lloyd-replay + within-cell-cosine oracle —
-        fuzzing clustering granularity and the threshold edge."""
+        fuzzing clustering granularity and the threshold edge.
+
+        ``scale_pow`` (r8, from the r7 ADVICE small-magnitude finding)
+        multiplies every embedding by 2^p on BOTH sides — exact in
+        binary, so the transform itself cannot diverge. p=-17 puts
+        per-element fixed-point products at ~10³ quantization units
+        (the coarse region where the old fixed 1e-6 prefilter margin
+        silently dropped true pairs — the per-pair margin must hold);
+        p=-24 pushes every vector below the 1e-7 fixed-point
+        resolution, exercising the zero-norm exclusion on both engines
+        (result must be EMPTY, not NULL-vs-NaN divergent)."""
         r = self.r
         return {"kind": "semdedup", "base": "embeddings", "stages": [],
                 "nlist": r.choice([4, 8, 16, 32]),
                 "threshold": r.choice([0.0, 0.2, 0.4, 0.5]),
                 "n_train": r.choice([128, 256]),
+                "scale_pow": r.choice([0, 0, 0, -10, -17, -20, -24]),
                 "terminal": {"op": "semdedup"}}
 
     #: language codes available for marker-subset language-ID specs —
@@ -1310,10 +1321,23 @@ def to_sql(spec: dict) -> str:
     if spec.get("kind") == "semdedup":
         from pyspark_pipeline_framework_spark.suite.llm import _semantic_dedup_oracle
 
-        return _semantic_dedup_oracle(
+        sql = _semantic_dedup_oracle(
             nlist=spec["nlist"], n_train=spec["n_train"],
             threshold=spec["threshold"],
         )
+        p = spec.get("scale_pow", 0)
+        if p:
+            # shadow the embeddings view with the 2^p-scaled copy the
+            # engine sees (CTE shadows the unqualified name; the view
+            # stays reachable as main.embeddings). 2^p multiplication
+            # is exact in binary — the transform itself cannot diverge.
+            scaled = (
+                "WITH embeddings AS (SELECT * REPLACE (list_transform("
+                f"embedding, x -> CAST(x AS DOUBLE) * {2.0 ** p!r}) AS "
+                "embedding) FROM main.embeddings), "
+            )
+            sql = sql.replace("WITH ", scaled, 1)
+        return sql
     if spec.get("kind") == "ivf":
         from pyspark_pipeline_framework_spark.suite.llm import _ivf_exact_oracle
 
@@ -1934,6 +1958,13 @@ def to_spark(spec: dict, spark, sf_dir: str, base_df=None):
         from pyspark_pipeline_framework_spark.llm.similarity import semantic_dedup_pairs
 
         emb = table(spark, sf_dir, "embeddings")
+        p = spec.get("scale_pow", 0)
+        if p:
+            s = 2.0 ** p
+            emb = emb.withColumn(
+                "embedding",
+                F.transform("embedding", lambda x: x.cast("double") * F.lit(s)),
+            )
         return semantic_dedup_pairs(
             emb, dim=64, threshold=spec["threshold"], nlist=spec["nlist"],
             train_sample=spec["n_train"], mode="exact",
