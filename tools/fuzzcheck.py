@@ -786,6 +786,13 @@ class Gen:
                 "n_train": r.choice([128, 256]),
                 "n_query": r.choice([3, 5, 8]),
                 "incremental": r.random() < 0.4,
+                # magnitude dimension (r8): powers of two, restricted
+                # to the range where every vector's fixed-point norm
+                # stays > 0 — ANN ranking of a zero-norm vector is
+                # NULL-vs-NaN engine-divergent by IEEE/SQL design, and
+                # the zero-norm EXCLUSION contract is semdedup's (its
+                # fuzz shape covers the sub-resolution region)
+                "scale_pow": r.choice([0, 0, 0, -10, -17]),
                 "terminal": {"op": "ivf"}}
 
     def ngram_pipeline(self) -> dict:
@@ -1059,6 +1066,22 @@ SETOP_KW = {"union_all": "UNION ALL", "intersect": "INTERSECT",
             "except_all": "EXCEPT ALL"}
 
 
+def _scale_embeddings_sql(sql: str, p: int) -> str:
+    """Shadow the ``embeddings`` view with a 2^p-scaled copy (CTE
+    shadows the unqualified name; the view stays reachable as
+    main.embeddings) — the oracle half of the magnitude fuzz dimension.
+    2^p multiplication is exact in binary, so the transform itself can
+    never diverge across engines."""
+    if not p:
+        return sql
+    scaled = (
+        "WITH embeddings AS (SELECT * REPLACE (list_transform("
+        f"embedding, x -> CAST(x AS DOUBLE) * {2.0 ** p!r}) AS "
+        "embedding) FROM main.embeddings), "
+    )
+    return sql.replace("WITH ", scaled, 1)
+
+
 def to_sql(spec: dict) -> str:
     t = spec["terminal"]
     if spec.get("kind") == "pivot":
@@ -1321,29 +1344,22 @@ def to_sql(spec: dict) -> str:
     if spec.get("kind") == "semdedup":
         from pyspark_pipeline_framework_spark.suite.llm import _semantic_dedup_oracle
 
-        sql = _semantic_dedup_oracle(
-            nlist=spec["nlist"], n_train=spec["n_train"],
-            threshold=spec["threshold"],
+        return _scale_embeddings_sql(
+            _semantic_dedup_oracle(
+                nlist=spec["nlist"], n_train=spec["n_train"],
+                threshold=spec["threshold"],
+            ),
+            spec.get("scale_pow", 0),
         )
-        p = spec.get("scale_pow", 0)
-        if p:
-            # shadow the embeddings view with the 2^p-scaled copy the
-            # engine sees (CTE shadows the unqualified name; the view
-            # stays reachable as main.embeddings). 2^p multiplication
-            # is exact in binary — the transform itself cannot diverge.
-            scaled = (
-                "WITH embeddings AS (SELECT * REPLACE (list_transform("
-                f"embedding, x -> CAST(x AS DOUBLE) * {2.0 ** p!r}) AS "
-                "embedding) FROM main.embeddings), "
-            )
-            sql = sql.replace("WITH ", scaled, 1)
-        return sql
     if spec.get("kind") == "ivf":
         from pyspark_pipeline_framework_spark.suite.llm import _ivf_exact_oracle
 
-        return _ivf_exact_oracle(
-            nlist=spec["nlist"], nprobe=spec["nprobe"], k=spec["k"],
-            n_train=spec["n_train"], n_query=spec["n_query"],
+        return _scale_embeddings_sql(
+            _ivf_exact_oracle(
+                nlist=spec["nlist"], nprobe=spec["nprobe"], k=spec["k"],
+                n_train=spec["n_train"], n_query=spec["n_query"],
+            ),
+            spec.get("scale_pow", 0),
         )
     if spec.get("kind") == "packing":
         src = "SELECT * FROM documents" + (
@@ -1978,6 +1994,13 @@ def to_spark(spec: dict, spark, sf_dir: str, base_df=None):
         )
 
         emb = table(spark, sf_dir, "embeddings")
+        p = spec.get("scale_pow", 0)
+        if p:
+            s = 2.0 ** p
+            emb = emb.withColumn(
+                "embedding",
+                F.transform("embedding", lambda x: x.cast("double") * F.lit(s)),
+            )
         queries = emb.filter(F.col("vec_id") < spec["n_query"]).select(
             F.col("vec_id").alias("query_id"), "embedding"
         )
