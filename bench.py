@@ -39,7 +39,8 @@ def _steal_jiffies() -> int | None:
         return None
 
 
-def _sf1_section(spark, sf_dir: str, timings: dict[str, float]) -> dict:
+def _sf1_section(spark, sf_dir: str, timings: dict[str, float],
+                 prebuilt: str | None = None) -> dict:
     """One order of magnitude above the bench point: replicate the sf
     star schema 10× (keys shifted per replica so join cardinalities are
     preserved; document text word-prefixed and embeddings rotated per
@@ -76,9 +77,9 @@ def _sf1_section(spark, sf_dir: str, timings: dict[str, float]) -> dict:
         "nation": [],
         "region": [],
     }
-    tmp = tempfile.mkdtemp(prefix="bench_sf1_")
+    tmp = prebuilt or tempfile.mkdtemp(prefix="bench_sf1_")
     t0 = time.perf_counter()
-    for tbl, keys in shift_keys.items():
+    for tbl, keys in ({} if prebuilt else shift_keys).items():
         src = f"{sf_dir}/{tbl}.parquet"
         if not os.path.exists(src):
             continue
@@ -196,7 +197,7 @@ def _sf1_section(spark, sf_dir: str, timings: dict[str, float]) -> dict:
         if w2 < out["queries"][name]:
             out["queries"][name] = round(w2, 3)
             print(f"# sf1 retry {name}: {w2:.3f}s (was flagged)", file=sys.stderr)
-    shutil.rmtree(tmp, ignore_errors=True)
+    out["_tmp_dir"] = tmp  # caller owns cleanup (retry pass reuses the data)
     out["superlinear"] = sorted(
         n for n, w in out["queries"].items()
         if isinstance(w, float) and w > bound(n)
@@ -322,18 +323,28 @@ def main() -> None:
               f"vs {sf1['measured_sec']:.0f}s measured) — one rerun",
               file=sys.stderr)
         try:
-            sf1_retry = _sf1_section(spark, sf_dir, timings)
+            # reuse the already-built ×10 dataset: the retry should
+            # re-MEASURE, not re-pay the ~1 min build (less wall =
+            # less steal exposure)
+            sf1_retry = _sf1_section(spark, sf_dir, timings,
+                                     prebuilt=sf1.get("_tmp_dir"))
         except Exception as ex:
             sf1_retry = {"error": f"{ex}"[:200]}
         if (isinstance(sf1_retry, dict) and sf1_retry.get("queries")
                 and (not _sf1_contaminated(sf1_retry)
                      or sf1_retry.get("steal_sec", 1e9) < sf1.get("steal_sec", 1e9))):
+            sf1_retry.setdefault("_tmp_dir", sf1.get("_tmp_dir"))
+            sf1_retry["build_sec"] = sf1.get("build_sec", sf1_retry.get("build_sec"))
             sf1 = sf1_retry
     if isinstance(sf1, dict) and _sf1_contaminated(sf1):
         steal_contaminated = True
         print(f"# sf1 pass steal-contaminated after retry "
               f"({sf1['steal_sec']:.0f}s stolen vs "
               f"{sf1['measured_sec']:.0f}s measured)", file=sys.stderr)
+    if isinstance(sf1, dict) and sf1.get("_tmp_dir"):
+        import shutil
+
+        shutil.rmtree(sf1.pop("_tmp_dir"), ignore_errors=True)
 
     steal1 = _steal_jiffies()
     steal_s = round((steal1 - steal0) / 100.0, 1) if steal0 is not None else None
