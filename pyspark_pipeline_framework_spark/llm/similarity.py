@@ -56,17 +56,32 @@ def cosine_similarity(a: Column, b: Column) -> Column:
 
 
 def drop_corrupt_vectors(
-    df: DataFrame, vec_col: str = "embedding", dim: int | None = None
+    df: DataFrame,
+    vec_col: str = "embedding",
+    dim: int | None = None,
+    drop_zero_norm: bool = False,
 ) -> DataFrame:
     """Drop NULL (and, when ``dim`` is known, wrong-dimension) embedding
     rows at the operator boundary. Corrupt vectors are a fact of large
     corpora — failed encoders, schema drift — and a SINGLE one crashes
     every Arrow-batched numpy stage (``np.stack`` / matmul shape
     mismatch aborts the whole job; r6 degenerate tests). They carry no
-    usable geometry, so dropping is the only sane semantic."""
+    usable geometry, so dropping is the only sane semantic.
+
+    ``drop_zero_norm=True`` additionally drops vectors whose
+    FIXED-POINT norm is 0 (every ``|element| < 1e-7``): they have no
+    direction at the engine's resolution, and their 0/0 cosine is
+    engine-divergent by IEEE/SQL design — Spark's double 0/0 is NULL
+    (sorts last in a DESC rank, silently occupying top-k slots) while
+    DuckDB's is NaN (compares greater than every real score). Every
+    cosine-ranking operator in this module enables it, and every SQL
+    oracle carries the matching ``doti(v,v) > 0`` predicate (r8,
+    uniform completion of the r7 ADVICE semantic-dedup finding)."""
     cond = F.col(vec_col).isNotNull()
     if dim is not None:
         cond = cond & (F.size(vec_col) == dim)
+    if drop_zero_norm:
+        cond = cond & (_dot_decimal(F.col(vec_col), F.col(vec_col)) > 0)
     return df.filter(cond)
 
 
@@ -87,9 +102,12 @@ def cosine_topk_bruteforce(
     are dropped (plus wrong-dimension rows when ``dim`` is given; even
     without it, a mismatched-length JVM dot yields NULL cos_sim, which
     sorts after every real score — corrupt rows cannot crash the scan
-    or displace real neighbors)."""
-    corpus = drop_corrupt_vectors(corpus, vec_col, dim)
-    queries = drop_corrupt_vectors(queries, vec_col, dim)
+    or displace real neighbors). Zero-fixed-point-norm vectors are
+    excluded on both sides (see :func:`drop_corrupt_vectors` — their
+    NULL cosine would otherwise occupy trailing rank slots, and the
+    SQL-oracle twin would rank their NaN FIRST)."""
+    corpus = drop_corrupt_vectors(corpus, vec_col, dim, drop_zero_norm=True)
+    queries = drop_corrupt_vectors(queries, vec_col, dim, drop_zero_norm=True)
     q = queries.select(
         F.col(query_id_col),
         F.col(vec_col).alias("__qvec"),
@@ -138,8 +156,10 @@ def embedding_dedup_pairs(
     upstream just a norm, so shuffling vectors on both sides costs
     more than recomputing the norm (measured 1.5s vs 2.6s at ×10)."""
     # norms are computed ONCE per vector before the pair join — per-pair
-    # cosine is then a single dot-product fold (3× fewer decimal folds)
-    corpus = drop_corrupt_vectors(corpus, vec_col)
+    # cosine is then a single dot-product fold (3× fewer decimal folds).
+    # Zero-fixed-point-norm vectors are excluded (drop_corrupt_vectors):
+    # 0/0 is NULL-vs-NaN engine-divergent.
+    corpus = drop_corrupt_vectors(corpus, vec_col, drop_zero_norm=True)
     normed = ensure_parallelism(corpus).select(
         F.col(id_col).alias("__id"),
         F.col(vec_col).alias("__v"),
@@ -304,9 +324,12 @@ def cosine_topk_lsh(
     parity evaluated as exact integer column expressions — slightly
     coarser buckets, but every stage (bits, buckets, candidates,
     scores, ranks) is recomputable in any engine with md5, so the full
-    ANN pipeline is oracle-checkable."""
-    corpus = drop_corrupt_vectors(corpus, vec_col, dim)
-    queries = drop_corrupt_vectors(queries, vec_col, dim)
+    ANN pipeline is oracle-checkable.
+
+    Zero-fixed-point-norm vectors are excluded on both sides (see
+    :func:`drop_corrupt_vectors`)."""
+    corpus = drop_corrupt_vectors(corpus, vec_col, dim, drop_zero_norm=True)
+    queries = drop_corrupt_vectors(queries, vec_col, dim, drop_zero_norm=True)
     if hash_fn == "md5":
         signs = rademacher_signs(dim, n_planes, n_tables)
     elif hash_fn != "numpy":
@@ -636,12 +659,17 @@ def ivf_add(
         embeddings = drop_corrupt_vectors(embeddings, vec_col, dim)
     C = _as_centroid_matrix(centroids)
     assign1 = (ivf_cells_exact_udf if mode == "exact" else ivf_cells_udf)(C, 1)
+    # zero-fixed-point-norm vectors never enter the store: they have
+    # no direction to search by, and their 0/0 cosine is
+    # engine-divergent (see drop_corrupt_vectors). Mirrored by the
+    # oracle's corpuscell predicate. Still map-only — a filter adds no
+    # exchange.
     return embeddings.select(
         F.col(id_col),
         F.col(vec_col).alias("vec"),
         _norm(F.col(vec_col)).alias("norm"),
         assign1(F.col(vec_col)).getItem(0).alias("cell"),
-    )
+    ).filter(F.col("norm") > 0)
 
 
 def ivf_search(
@@ -676,12 +704,15 @@ def ivf_search(
     queries = drop_corrupt_vectors(queries, vec_col, dim)
     C = _as_centroid_matrix(centroids)
     probe = (ivf_cells_exact_udf if mode == "exact" else ivf_cells_udf)(C, nprobe)
+    # __qn > 0: a zero-fixed-point-norm query has no direction — its
+    # NULL cosines would fill the top-k with arbitrary ids (and the
+    # oracle's NaN would rank them first); mirrored by the probe CTE
     qb = queries.select(
         F.col(query_id_col),
         F.col(vec_col).alias("__qvec"),
         _norm(F.col(vec_col)).alias("__qn"),
         F.explode(probe(F.col(vec_col))).alias("cell"),
-    )
+    ).filter(F.col("__qn") > 0)
     if prune_cells:
         # the collect returns ≤ nlist values (a model hyperparameter)
         # no matter how many queries there are. It executes the query

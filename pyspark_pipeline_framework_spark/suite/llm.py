@@ -453,17 +453,29 @@ def _o_dot(x: str, y: str) -> str:
     )
 
 
+def _o_doti(x: str, y: str) -> str:
+    """Integer fixed-point dot (no rescale) — for exact argmax/ordering
+    and the zero-norm (``doti(v,v) > 0``) exclusion predicates."""
+    return (
+        f"list_sum(list_transform(range(1, len({x}) + 1), "
+        f"i -> CAST(FLOOR(CAST({x}[i] AS DOUBLE) * CAST({y}[i] AS DOUBLE) * 1e14) AS BIGINT)))"
+    )
+
+
 def _o_cos(a: str, b: str) -> str:
     return f"{_o_dot(a, b)} / (SQRT({_o_dot(a, a)}) * SQRT({_o_dot(b, b)}))"
 
 
 _KNN_ORACLE = f"""
     WITH q AS (
-      SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 5
+      SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+      WHERE vec_id < 5 AND {_o_doti("embedding", "embedding")} > 0
     ), scored AS (
       SELECT q.query_id, e.vec_id,
              {_o_cos("q.qe", "e.embedding")} AS cos_sim
-      FROM q JOIN embeddings e ON e.vec_id <> q.query_id
+      FROM q JOIN embeddings e
+        ON e.vec_id <> q.query_id
+       AND {_o_doti("e.embedding", "e.embedding")} > 0
     )
     SELECT query_id, vec_id, cos_sim, rank FROM (
       SELECT query_id, vec_id, cos_sim,
@@ -525,6 +537,8 @@ _COS_AB = _o_cos("a.embedding", "b.embedding")
       SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_COS_AB} AS cos_sim
       FROM embeddings a JOIN embeddings b
         ON a.label = b.label AND a.vec_id < b.vec_id
+       AND {_o_doti("a.embedding", "a.embedding")} > 0
+       AND {_o_doti("b.embedding", "b.embedding")} > 0
     ) WHERE cos_sim >= 0.4
     """,
 )
@@ -563,7 +577,8 @@ def _lsh_md5_oracle(dim: int = 64, n_planes: int = 4, n_tables: int = 8, k: int 
       SELECT vec_id,
              list_transform(range(1, {dim + 1}),
                i -> CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1e7) AS BIGINT)) AS q
-      FROM embeddings),
+      FROM embeddings
+      WHERE {_o_doti("embedding", "embedding")} > 0),
     bits AS (
       SELECT v.vec_id, pl.tbl,
              CASE WHEN list_sum(list_transform(range(1, {dim + 1}), i -> v.q[i] * pl.s[i])) > 0
@@ -663,14 +678,6 @@ def q_sim_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _knn_ivf(spark, sf_dir).select("query_id", "vec_id", "cos_sim", "rank")
 
 
-def _o_doti(x: str, y: str) -> str:
-    """Integer fixed-point dot (no rescale) — for exact argmax/ordering."""
-    return (
-        f"list_sum(list_transform(range(1, len({x}) + 1), "
-        f"i -> CAST(FLOOR(CAST({x}[i] AS DOUBLE) * CAST({y}[i] AS DOUBLE) * 1e14) AS BIGINT)))"
-    )
-
-
 def _ivf_model_ctes(
     dim: int, nlist: int, train_iters: int, n_train: int
 ) -> tuple[list[str], str]:
@@ -731,7 +738,8 @@ def _ivf_model_ctes(
         SELECT e.vec_id, c.j AS cell,
                ROW_NUMBER() OVER (PARTITION BY e.vec_id
                                   ORDER BY {_o_doti("e.embedding", "c.c")} DESC, c.j) AS r
-        FROM embeddings e CROSS JOIN {final} c) WHERE r = 1)""",
+        FROM embeddings e CROSS JOIN {final} c
+        WHERE {_o_doti("e.embedding", "e.embedding")} > 0) WHERE r = 1)""",
     ]
     return ctes, final
 
@@ -755,7 +763,9 @@ def _ivf_exact_oracle(
         SELECT e.vec_id AS query_id, c.j AS cell,
                ROW_NUMBER() OVER (PARTITION BY e.vec_id
                                   ORDER BY {_o_doti("e.embedding", "c.c")} DESC, c.j) AS r
-        FROM embeddings e CROSS JOIN {final} c WHERE e.vec_id < {n_query}) WHERE r <= {nprobe})""",
+        FROM embeddings e CROSS JOIN {final} c
+        WHERE e.vec_id < {n_query}
+          AND {_o_doti("e.embedding", "e.embedding")} > 0) WHERE r <= {nprobe})""",
         """cand AS (
       SELECT p.query_id, cc.vec_id
       FROM probe p JOIN corpuscell cc ON cc.cell = p.cell AND cc.vec_id <> p.query_id)""",

@@ -1078,3 +1078,47 @@ def test_clear_shared_releases_pinned_blocks(spark):
     assert not (pinned & after), "memo-owned pins must be released"
     assert foreign_ids <= after, "foreign pins must survive"
     assert foreign.count() == 50  # still usable (lineage was truncated)
+
+
+def test_zero_norm_vectors_excluded_from_all_cosine_ops(spark, sf_dir):
+    """r8 uniform zero-norm contract (completes the r7 ADVICE
+    semantic-dedup finding across the whole cosine surface): an
+    all-zero vector AND a sub-fixed-point-resolution vector (every
+    |x| < 1e-7) must never appear in any cosine-ranking output — as a
+    neighbor, a query, or a dedup pair. Their 0/0 cosine is
+    NULL-vs-NaN engine-divergent, so exclusion is the only portable
+    semantic; every SQL oracle carries the matching doti(v,v) > 0
+    predicate (selfcheck + the magnitude fuzz gate cross-engine
+    agreement)."""
+    from pyspark_pipeline_framework_spark.llm.similarity import (
+        cosine_topk_bruteforce,
+        cosine_topk_ivf,
+        cosine_topk_lsh,
+        embedding_dedup_pairs,
+    )
+
+    emb = table(spark, sf_dir, "embeddings").limit(40)
+    dim = 64
+    bad = spark.createDataFrame(
+        [(900001, [0.0] * dim, 0), (900002, [1e-8] * dim, 0)],
+        "vec_id long, embedding array<double>, label int",
+    )
+    corpus = emb.select("vec_id", "embedding", "label").unionByName(bad)
+    queries = corpus.filter(
+        (F.col("vec_id") < 3) | (F.col("vec_id") > 900000)
+    ).select(F.col("vec_id").alias("query_id"), "embedding")
+    bad_ids = {900001, 900002}
+
+    brute = cosine_topk_bruteforce(corpus, queries, k=5, dim=dim)
+    lsh = cosine_topk_lsh(corpus, queries, dim=dim, k=5, n_planes=2, n_tables=4)
+    ivf = cosine_topk_ivf(corpus, queries, dim=dim, k=5, nlist=4, nprobe=4,
+                          train_sample=32)
+    for name, out in (("brute", brute), ("lsh", lsh), ("ivf", ivf)):
+        rows = out.collect()
+        ids = {r.vec_id for r in rows} | {r.query_id for r in rows}
+        assert not (ids & bad_ids), name
+        assert all(r.cos_sim is not None for r in rows), name
+
+    pairs = embedding_dedup_pairs(corpus, threshold=-1.0, block_col="label")
+    pids = {i for r in pairs.collect() for i in (r.id_a, r.id_b)}
+    assert not (pids & bad_ids)
