@@ -41,6 +41,26 @@ def _steal_jiffies() -> int | None:
 
 def _sf1_section(spark, sf_dir: str, timings: dict[str, float],
                  prebuilt: str | None = None) -> dict:
+    """Wrapper owning the ×10 dataset's temp dir: if the body raises
+    after mkdtemp (build/write failure), the caller's except path sets
+    sf1={'error':...} with no ``_tmp_dir`` key — without this cleanup
+    the ~10×-sf parquet would leak on every failed sf1 pass (r8
+    ADVICE). A prebuilt dir is never removed here (the retry pass
+    owns it via the first pass's ``_tmp_dir``)."""
+    import shutil
+    import tempfile
+
+    tmp = prebuilt or tempfile.mkdtemp(prefix="bench_sf1_")
+    try:
+        return _sf1_body(spark, sf_dir, timings, tmp, prebuilt is not None)
+    except BaseException:
+        if not prebuilt:
+            shutil.rmtree(tmp, ignore_errors=True)
+        raise
+
+
+def _sf1_body(spark, sf_dir: str, timings: dict[str, float],
+              tmp: str, prebuilt: bool) -> dict:
     """One order of magnitude above the bench point: replicate the sf
     star schema 10× (keys shifted per replica so join cardinalities are
     preserved; document text word-prefixed and embeddings rotated per
@@ -49,9 +69,6 @@ def _sf1_section(spark, sf_dir: str, timings: dict[str, float],
     the 10 most expensive suite queries once each. Guards against
     driver-side drift the sf0.1 point can't see. Wall-capped via
     SPARK_GRAFT_SF1_BUDGET_S; skipped entirely with SPARK_GRAFT_SF1=0."""
-    import shutil
-    import tempfile
-
     from pyspark.sql import functions as F
 
     from pyspark_pipeline_framework_spark.suite import all_cases
@@ -77,7 +94,6 @@ def _sf1_section(spark, sf_dir: str, timings: dict[str, float],
         "nation": [],
         "region": [],
     }
-    tmp = prebuilt or tempfile.mkdtemp(prefix="bench_sf1_")
     t0 = time.perf_counter()
     for tbl, keys in ({} if prebuilt else shift_keys).items():
         src = f"{sf_dir}/{tbl}.parquet"

@@ -387,8 +387,16 @@ class PipelineConfig:
             c = dict(c)
             # reference spelling: the component's free-form settings
             # live under `config` (core/config/component.py:26); this
-            # repo calls them `params` — accept either
-            if "config" in c and "params" not in c:
+            # repo calls them `params` — accept either, never both
+            # (both would otherwise sneak `config` past the unknown-key
+            # check and surface as a raw dataclass TypeError)
+            if "config" in c and "params" in c:
+                raise PipelineValidationError(
+                    f"components[{i}] ({c.get('name', '?')!r}): "
+                    "'config' and 'params' are mutually exclusive "
+                    "(they are two spellings of the same field)"
+                )
+            if "config" in c:
                 c["params"] = c.pop("config")
             unknown = set(c) - cls._COMPONENT_KEYS
             if unknown:

@@ -315,29 +315,22 @@ def q_dedup_minhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dedup_minhash_incr_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
     kw = dict(num_hashes=64, bands=16, shingle_k=3, hash_fn="md5")
-    # BOTH band stores are pinned fixtures — the same
-    # train-once/add-forever precedent as q_sim_knn_ivf_incr, where
-    # the grown store is pinned and the timed operation is the search.
-    # Here the corpus store is the PERSISTED artifact (in production:
-    # band parquet, built once, appended forever) and the new batch's
-    # bands are the artifact of the current ingest tick, computed once
-    # and both joined AND appended; what a user re-runs — and what the
-    # bench's best-of-2 therefore times — is the defining incremental
-    # operation itself: the new×new + new×corpus bucket join, never
-    # corpus×corpus. Banding cost is not hidden from the suite:
-    # q_dedup_minhash_md5 times full-corpus banding every run. First
-    # touch still pays both builds; the oracle replays the ENTIRE
-    # pipeline from raw text, so the pins can never mask a banding bug.
+    # Only the CORPUS band store is a pinned fixture — the same
+    # train-once/add-forever precedent as q_sim_knn_ivf_incr: in
+    # production it is band parquet, built once, appended forever.
+    # The NEW batch's bands are deliberately NOT pinned (r8 ADVICE):
+    # every ingest tick must band its new batch, so banding the new
+    # 20% stays inside the timed region on every run — the bench's
+    # best-of-2 reports the honest per-tick cost (new-batch banding +
+    # new×new + new×corpus bucket join, never corpus×corpus). The
+    # oracle replays the ENTIRE pipeline from raw text, so the corpus
+    # pin can never mask a banding bug.
     corpus = shared_df(
         spark,
         ("minhash_band_store", sf_dir, 64, 16, 3, "md5", "mod5"),
         lambda: minhash_bands(d.where(F.col("doc_id") % 5 != 1), **kw),
     )
-    new = shared_df(
-        spark,
-        ("minhash_band_new", sf_dir, 64, 16, 3, "md5", "mod5"),
-        lambda: minhash_bands(d.where(F.col("doc_id") % 5 == 1), **kw),
-    )
+    new = minhash_bands(d.where(F.col("doc_id") % 5 == 1), **kw)
     return incremental_candidate_pairs(new, corpus)
 
 

@@ -219,6 +219,12 @@ def test_well_formed_blocks_still_load():
         ({"name": "x", "components": [{"op": "sql"}]}, "name must be non-empty"),
         ({"name": "x", "components": [{"name": "c", "op": "sql", "zz": 1}]},
          "unknown fields ['zz']"),
+        # both spellings of the settings field present (r8 ADVICE):
+        # must be the typed mutual-exclusion error, never a raw
+        # ComponentConfig(**c) TypeError for the duplicate 'config' key
+        ({"name": "x", "components": [
+            {"name": "c", "op": "sql", "config": {}, "params": {}}]},
+         "'config' and 'params' are mutually exclusive"),
         ({"name": "x", "components": [
             {"name": "c", "op": "sql", "depends_on": "other"}]},
          "depends_on must be a list of strings"),

@@ -103,13 +103,22 @@ def _mutate_dict(rng: random.Random, d: dict) -> dict:
     path = rng.choice(paths)
     parent = _get(d, path[:-1])
     key = path[-1]
-    op = rng.randrange(4)
+    op = rng.randrange(5)
     if op == 0:  # type swap
         parent[key] = rng.choice(_SWAPS)
     elif op == 1:  # delete
         del parent[key]
     elif op == 2 and isinstance(parent, dict):  # unknown key insert
         parent["fz_" + str(rng.randrange(1000))] = rng.choice(_SWAPS)
+    elif op == 3 and isinstance(d.get("components"), list) and d["components"]:
+        # both settings spellings on one component (r8 ADVICE finding):
+        # must yield the typed mutual-exclusion error, never a raw
+        # dataclass TypeError
+        comp = rng.choice([c for c in d["components"] if isinstance(c, dict)]
+                          or [None])
+        if comp is not None:
+            comp.setdefault("params", {})
+            comp["config"] = {"fz": rng.randrange(1000)}
     else:  # wrap a scalar in a list / unwrap a list
         v = parent[key]
         parent[key] = [v] if not isinstance(v, list) else (v[0] if v else None)
