@@ -13,8 +13,7 @@ Nothing here is a port of the reference's class hierarchy; the reference
 defines WHAT is computed (SURVEY.md §2), Spark defines HOW.
 """
 
-__version__ = "0.1.0"
-
+from pyspark_pipeline_framework_spark._version import __version__
 from pyspark_pipeline_framework_spark.session import SparkConfig, build_session
 
 __all__ = ["SparkConfig", "build_session", "__version__"]

@@ -53,3 +53,149 @@ def event_session_window(
     """Session window (gap-based) grouping — ``F.session_window`` works
     on batch and streaming alike."""
     return df.groupBy(F.session_window(F.col(ts_col), gap).alias("win"), *(group_by or []))
+
+
+def global_range_frame(
+    df: DataFrame,
+    order_col: str,
+    lower: float,
+    upper: float,
+    agg: str = "count",
+    value_col: str | None = None,
+    key_cols: list[str] | None = None,
+    bin_width: float | None = None,
+    result_col: str = "range_agg",
+) -> DataFrame:
+    """Global (unpartitioned) value-range window frame that scales.
+
+    Computes, for every row with order value ``v``, ``count(*)`` or
+    ``sum(value_col)`` over ALL rows whose ``order_col`` lies in
+    ``[v + lower, v + upper]`` — the semantics of
+    ``Window.orderBy(order_col).rangeBetween(lower, upper)`` WITHOUT
+    the ``Exchange SinglePartition`` that plan forces (Spark warns
+    "No Partition Defined ... Moving all data to a single partition";
+    at 100× the data that is one task sorting the whole table).
+
+    Distributed formulation (two bounded passes):
+
+    1. Bin the order key: ``bin = floor(v / B)`` with ``B >= upper -
+       lower``, so each row's frame intersects at most its own bin and
+       ONE adjacent bin per side. Intra-bin frames come from the same
+       range window PARTITIONED by bin — one keyed shuffle.
+    2. Adjacent-bin boundary contributions via probe rows (the as-of
+       join's union-merge idea, ``operators/joins.py:60``): each row
+       whose frame endpoint ``v+lower`` / ``v+upper`` falls in a
+       neighboring bin emits a zero-weight probe at that endpoint; one
+       cumulative-sum window per bin over the union of data + probes
+       yields "rows at-or-after v+lower" / "rows at-or-before v+upper"
+       in that neighbor bin, re-aggregated per row key and added to the
+       intra count with one aggregate-join.
+
+    Every exchange is keyed by bin or by ``key_cols`` — nothing is
+    single-partition; AQE handles bin skew like any other keyed stage.
+
+    Constraints: ``lower <= 0 <= upper`` (frame must include the
+    current row — covers running totals and symmetric neighborhoods;
+    trailing/leading-only frames would need a third probe case),
+    ``bin_width >= upper - lower`` (defaults to exactly the span), and
+    ``key_cols`` must uniquely identify rows (used to join the
+    boundary contribution back). If every value lands in one bin the
+    plan degrades to the global sort it replaces — pick ``bin_width``
+    near the frame span, not near the value range.
+    """
+    if not lower <= 0 <= upper:
+        raise ValueError(f"frame must include the current row: lower={lower}, upper={upper}")
+    # PySpark's Window.rangeBetween only accepts integer offsets (the
+    # Py4J overload is (long, long)); the ORDER column may still be
+    # fractional — only the frame bounds must be whole numbers
+    if not (float(lower).is_integer() and float(upper).is_integer()):
+        raise ValueError(
+            f"lower/upper must be whole numbers (PySpark rangeBetween "
+            f"accepts only integer offsets): lower={lower}, upper={upper}"
+        )
+    lower, upper = int(lower), int(upper)
+    span = float(upper) - float(lower)
+    B = float(bin_width) if bin_width is not None else span
+    if B < span or B <= 0:
+        raise ValueError(f"bin_width {B} must be positive and >= frame span {span}")
+    if not key_cols:
+        raise ValueError("key_cols (a unique row key) is required")
+    if agg == "count":
+        weight = F.lit(1).cast("long")
+        wtype = "long"
+        intra_agg = F.count(F.lit(1))
+    elif agg == "sum":
+        if value_col is None:
+            raise ValueError("agg='sum' requires value_col")
+        weight = F.col(value_col)
+        wtype = dict(df.dtypes)[value_col]
+        intra_agg = F.sum(value_col)
+    else:
+        raise ValueError(f"agg must be 'count' or 'sum', got {agg!r}")
+
+    v = F.col(order_col)
+    binned = df.withColumn("_grf_bin", F.floor(v / B))
+
+    # pass 1: the exact same range frame, partitioned by bin — covers
+    # every frame member that shares the row's bin
+    w_intra = (
+        Window.partitionBy("_grf_bin").orderBy(order_col).rangeBetween(lower, upper)
+    )
+    intra = binned.withColumn("_grf_intra", intra_agg.over(w_intra))
+
+    # pass 2: boundary probes into adjacent bins. kind orders a probe
+    # against equal-valued data rows so inclusive endpoints count:
+    # lower-probe (kind 0) sorts BEFORE data (kind 1) at t == v+lower,
+    # upper-probe (kind 2) sorts AFTER data at t == v+upper.
+    t_lo = (v + F.lit(float(lower))).alias("t")
+    t_hi = (v + F.lit(float(upper))).alias("t")
+    probes = (
+        binned.select(
+            *key_cols,
+            F.col("_grf_bin"),
+            F.explode(
+                F.array(
+                    F.struct(t_lo, F.lit(0).alias("kind")),
+                    F.struct(t_hi, F.lit(2).alias("kind")),
+                )
+            ).alias("p"),
+        )
+        .select(*key_cols, "_grf_bin", "p.t", "p.kind")
+        .withColumn("bin", F.floor(F.col("t") / B))
+        .where(F.col("bin") != F.col("_grf_bin"))
+        .select(*key_cols, "bin", "t", "kind", F.lit(None).cast(wtype).alias("w"))
+    )
+    key_types = dict(df.dtypes)
+    data = binned.select(
+        *[F.lit(None).cast(key_types[k]).alias(k) for k in key_cols],
+        F.col("_grf_bin").alias("bin"),
+        v.alias("t"),
+        F.lit(1).alias("kind"),
+        weight.alias("w"),
+    )
+    merged = data.unionByName(probes)
+    w_cum = (
+        Window.partitionBy("bin")
+        .orderBy(F.col("t").asc(), F.col("kind").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_tot = Window.partitionBy("bin")
+    zero = F.lit(0).cast(wtype)
+    cum = F.coalesce(F.sum("w").over(w_cum), zero)
+    tot = F.coalesce(F.sum("w").over(w_tot), zero)
+    contrib = F.when(F.col("kind") == 0, tot - cum).when(F.col("kind") == 2, cum)
+    neighbor = (
+        merged.withColumn("_grf_c", contrib)
+        .where(F.col("kind") != 1)
+        .groupBy(*key_cols)
+        .agg(F.sum("_grf_c").alias("_grf_neighbor"))
+    )
+
+    out = intra.join(neighbor, on=list(key_cols), how="left")
+    return (
+        out.withColumn(
+            result_col,
+            F.col("_grf_intra") + F.coalesce(F.col("_grf_neighbor"), zero),
+        )
+        .drop("_grf_bin", "_grf_intra", "_grf_neighbor")
+    )

@@ -79,13 +79,24 @@ def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     # value-range frame: peers defined by o_totalprice distance, so the
-    # result is deterministic without a unique tiebreaker
-    w = Window.orderBy("o_totalprice").rangeBetween(-1000, 0)
-    return table(spark, sf_dir, "orders").select(
-        "o_orderkey",
-        "o_totalprice",
-        F.count(F.lit(1)).over(w).alias("n_within_1k"),
-    )
+    # result is deterministic without a unique tiebreaker. A naive
+    # Window.orderBy(...).rangeBetween(-1000, 0) forces Exchange
+    # SinglePartition (Spark's "No Partition Defined" warning — one
+    # task sorts the whole table at scale); global_range_frame computes
+    # identical results with bin-partitioned windows + boundary probes
+    # (plan-gated: no SinglePartition, tests/test_explain_plans.py).
+    from pyspark_pipeline_framework_spark.operators.windows import global_range_frame
+
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    return global_range_frame(
+        o,
+        order_col="o_totalprice",
+        lower=-1000,
+        upper=0,
+        agg="count",
+        key_cols=["o_orderkey"],
+        result_col="n_within_1k",
+    ).select("o_orderkey", "o_totalprice", "n_within_1k")
 
 
 @case(

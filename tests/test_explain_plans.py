@@ -42,6 +42,16 @@ def test_sort_limit_is_top_n(spark, sf_dir):
     assert "TakeOrderedAndProject" in p  # per-partition top-N, no global sort
 
 
+def test_range_frame_no_single_partition(spark, sf_dir):
+    # global_range_frame (r8 VERDICT item 1): the value-range frame
+    # must NOT plan the Exchange SinglePartition a global
+    # Window.orderBy().rangeBetween() forces — every window is
+    # bin-partitioned, every exchange keyed
+    p = plan(spark, sf_dir, "q_win_range_frame")
+    assert "SinglePartition" not in p
+    assert "_grf_bin" in p  # intra window is partitioned by the bin
+
+
 def test_range_join_is_equi_join(spark, sf_dir):
     p = plan(spark, sf_dir, "q_join_range")
     assert "CartesianProduct" not in p

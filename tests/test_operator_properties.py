@@ -321,3 +321,77 @@ def test_not_in_anti_join_null_key_equivalence(spark):
         " SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)"
     ).fetchone()[0]
     assert strict == 0
+
+
+# ---- global_range_frame: the scale-safe replacement for a global
+# ---- Window.orderBy().rangeBetween() (r8 VERDICT item 1). Property:
+# ---- identical results to the single-partition plan it replaces, for
+# ---- any data (ties, negatives, boundary-exact gaps), both aggregates,
+# ---- and any legal bin_width.
+
+values_strategy = st.lists(
+    st.integers(-30, 30).map(lambda i: i * 0.5),  # ties + exact boundary hits
+    min_size=1,
+    max_size=40,
+)
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    vals=values_strategy,
+    frame=st.sampled_from([(-3, 0), (0, 2), (-1, 1), (-5, 0)]),
+    widen=st.sampled_from([None, 2.0, 7.5]),
+)
+def test_global_range_frame_matches_global_window(spark, vals, frame, widen):
+    from pyspark.sql import Window
+
+    from pyspark_pipeline_framework_spark.operators.windows import global_range_frame
+
+    lo, hi = frame
+    bin_width = None if widen is None else max(hi - lo, 1) * widen
+    df = spark.createDataFrame(
+        [(i, v, float(i % 3)) for i, v in enumerate(vals)], "id long, v double, x double"
+    )
+    w = Window.orderBy("v").rangeBetween(lo, hi)
+    want_cnt = {
+        (r.id, r.n) for r in df.select("id", F.count(F.lit(1)).over(w).alias("n")).collect()
+    }
+    got_cnt = {
+        (r.n_got, r.n)
+        for r in global_range_frame(
+            df, "v", lo, hi, agg="count", key_cols=["id"], bin_width=bin_width,
+            result_col="n",
+        ).selectExpr("id as n_got", "n").collect()
+    }
+    assert got_cnt == want_cnt
+    want_sum = {
+        (r.id, r.s) for r in df.select("id", F.sum("x").over(w).alias("s")).collect()
+    }
+    got_sum = {
+        (r.id, r.s)
+        for r in global_range_frame(
+            df, "v", lo, hi, agg="sum", value_col="x", key_cols=["id"],
+            bin_width=bin_width, result_col="s",
+        ).select("id", "s").collect()
+    }
+    assert got_sum == want_sum
+
+
+def test_global_range_frame_rejects_bad_args(spark):
+    from pyspark_pipeline_framework_spark.operators.windows import global_range_frame
+
+    df = spark.createDataFrame([(1, 1.0)], "id long, v double")
+    with pytest.raises(ValueError, match="include the current row"):
+        global_range_frame(df, "v", 1.0, 2.0, key_cols=["id"])
+    with pytest.raises(ValueError, match="whole numbers"):
+        global_range_frame(df, "v", -1.5, 0.0, key_cols=["id"])
+    with pytest.raises(ValueError, match="bin_width"):
+        global_range_frame(df, "v", -1.0, 0.0, key_cols=["id"], bin_width=0.5)
+    with pytest.raises(ValueError, match="bin_width"):
+        global_range_frame(df, "v", 0.0, 0.0, key_cols=["id"])  # span 0, no width
+    with pytest.raises(ValueError, match="key_cols"):
+        global_range_frame(df, "v", -1.0, 0.0)
+    with pytest.raises(ValueError, match="value_col"):
+        global_range_frame(df, "v", -1.0, 0.0, agg="sum", key_cols=["id"])
+    with pytest.raises(ValueError, match="'count' or 'sum'"):
+        global_range_frame(df, "v", -1.0, 0.0, agg="min", key_cols=["id"])

@@ -2280,7 +2280,8 @@ def spec_for(seed: int, i: int, stats: dict) -> dict:
     return Gen(random.Random(seed * 1_000_003 + i), stats).pipeline()
 
 
-def run(n: int, seed: int, sf_dir: str, only: set[int], dump: bool) -> int:
+def run(n: int, seed: int, sf_dir: str, only: set[int], dump: bool,
+        ansi_dim: bool = False) -> int:
     from pyspark_pipeline_framework_spark.io.readers import STAR_TABLES
     from pyspark_pipeline_framework_spark.session import SparkConfig, build_session
 
@@ -2342,8 +2343,36 @@ def run(n: int, seed: int, sf_dir: str, only: set[int], dump: bool) -> int:
             print(f"      oracle: {orows[bad]}")
             print(f"  sql={sql}\n  spec={json.dumps(spec)}")
             continue
+        # ANSI-off differential dimension (r8 VERDICT item 4): Spark 3.x
+        # default confs run ANSI off, where overflow/invalid-cast paths
+        # return NULL instead of erroring. Every pipeline that completes
+        # under ANSI on (no error path was hit) must produce IDENTICAL
+        # results with ANSI off — any divergence is a silent-semantics
+        # bug. Documented divergence list: currently EMPTY.
+        if ansi_dim:
+            spark.conf.set("spark.sql.ansi.enabled", "false")
+            try:
+                andf = to_spark(spec, spark, sf_dir).toPandas()
+            except Exception as ex:
+                failures.append(i)
+                print(f"FAIL  #{i}: ansi-off error: {ex}\n  spec={json.dumps(spec)}")
+                continue
+            finally:
+                spark.conf.set("spark.sql.ansi.enabled", "true")
+            andf.columns = [c.lower() for c in andf.columns]
+            arows = _norm_df(andf)
+            if arows != srows:
+                failures.append(i)
+                bad = next((j for j, (a, b) in enumerate(zip(arows, srows))
+                            if a != b), min(len(arows), len(srows)))
+                print(f"FAIL  #{i}: ANSI-off diverges at sorted-row {bad}:")
+                print(f"      ansi-on : {srows[bad] if bad < len(srows) else '<missing>'}")
+                print(f"      ansi-off: {arows[bad] if bad < len(arows) else '<missing>'}")
+                print(f"  spec={json.dumps(spec)}")
+                continue
         print(f"OK    #{i} {spec['terminal']['op']:<9} over {spec['base']:<9} "
-              f"({len(spdf)} rows, {time.time() - t0:.1f}s)")
+              f"({len(spdf)} rows, {time.time() - t0:.1f}s)"
+              + (" [ansi-off =]" if ansi_dim else ""))
 
     ran = len(only) if only else n
     print(f"\n{ran} pipelines, {len(failures)} mismatches, "
@@ -2360,9 +2389,21 @@ def main() -> int:
                                                    "/root/testdata/sf0.01"))
     ap.add_argument("--only", default="", help="comma-separated pipeline indices")
     ap.add_argument("--dump", action="store_true")
+    ap.add_argument("--twins", type=int, default=0, metavar="N",
+                    help="instead of SQL-differential pipelines, run N "
+                         "randomized twin-agreement pipelines for the "
+                         "no-oracle rows (tools/twinfuzz.py)")
+    ap.add_argument("--ansi", action="store_true",
+                    help="ANSI-off differential dimension: re-run each "
+                         "pipeline with spark.sql.ansi.enabled=false and "
+                         "assert identical results")
     a = ap.parse_args()
     only = {int(x) for x in a.only.split(",") if x.strip()}
-    return run(a.n, a.seed, a.sf, only, a.dump)
+    if a.twins:
+        import twinfuzz
+
+        return twinfuzz.run(a.twins, a.seed, a.sf, only)
+    return run(a.n, a.seed, a.sf, only, a.dump, ansi_dim=a.ansi)
 
 
 if __name__ == "__main__":

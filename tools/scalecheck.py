@@ -150,6 +150,45 @@ def synth_embeddings(spark: SparkSession, base_dir: str, r: int, out: str) -> st
     return path
 
 
+STAR_SHIFT_KEYS = {
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "customer": ["c_custkey"],
+    "part": ["p_partkey"],
+    "supplier": ["s_suppkey"],
+    # nation/region are shared dims: copied once, never replicated
+    "nation": [],
+    "region": [],
+}
+
+
+def synth_star(spark: SparkSession, base_dir: str, r: int, out: str) -> str:
+    """Full star schema replicated R× with CONSISTENT key shifts (the
+    same scheme bench.py's sf1 section uses): each replica reproduces
+    the original join structure (lineitem→orders→customer,
+    lineitem→part/supplier), nation/region stay shared, so every
+    TPC-H shape keeps its per-replica cardinalities and total work
+    scales linearly in R if the plans are scale-safe."""
+    star_dir = os.path.join(out, f"star_x{r}")
+    for tbl, keys in STAR_SHIFT_KEYS.items():
+        base = spark.read.parquet(os.path.join(base_dir, f"{tbl}.parquet"))
+        if not keys or r == 1:
+            df = base
+        else:
+            parts = [
+                base.select(*[
+                    (F.col(c) + F.lit(i * ID_STRIDE)).alias(c) if c in keys else F.col(c)
+                    for c in base.columns
+                ])
+                for i in range(r)
+            ]
+            df = parts[0]
+            for p in parts[1:]:
+                df = df.unionByName(p)
+        df.write.mode("overwrite").parquet(os.path.join(star_dir, f"{tbl}.parquet"))
+    return star_dir
+
+
 def synth_fact(spark: SparkSession, base_dir: str, tbl: str, key: str, r: int, out: str) -> str:
     """R replicas of a fact table with the join key remapped per
     replica — order keys stay consistent between lineitem and orders."""
@@ -443,7 +482,45 @@ def run_relational_battery(
             "l_suppkey", F.sum(dec("l_quantity")).over(w).alias("running")
         ).count(),
     )
+    # the scale-safe global value-range frame (r8 VERDICT item 1): must
+    # scale like any keyed window, unlike the single-partition global
+    # Window.orderBy().rangeBetween() it replaces
+    from pyspark_pipeline_framework_spark.operators.windows import global_range_frame
+
+    timed(
+        "rel_range_frame",
+        lambda: global_range_frame(
+            o.select("o_orderkey", "o_totalprice"),
+            order_col="o_totalprice",
+            lower=-1000,
+            upper=0,
+            agg="count",
+            key_cols=["o_orderkey"],
+            result_col="n_within_1k",
+        ).count(),
+    )
     out["_n_candidate_pairs"] = 0  # not applicable to this family
+    return out
+
+
+TPCH_SHAPES = ("q_tpch_q2", "q_tpch_q8", "q_tpch_q9", "q_tpch_q18", "q_tpch_q21")
+
+
+def run_tpch_battery(spark: SparkSession, star_dir: str, meter: StageMeter) -> dict:
+    """The 5 most expensive TPC-H shapes in the suite (r8 VERDICT item
+    5: the ×30 probe previously covered only the LLM ops), run over
+    the consistently-replicated full star schema. Uses the REGISTERED
+    suite case functions, so the plans measured here are exactly the
+    oracle-gated ones."""
+    from pyspark_pipeline_framework_spark.suite import all_cases
+
+    cases = all_cases()
+    out: dict[str, dict] = {}
+    timed = _make_timed(out, meter)
+    for name in TPCH_SHAPES:
+        timed("tpch_" + name.split("q_tpch_")[1],
+              lambda n=name: cases[n].spark_fn(spark, star_dir).count())
+    out["_n_candidate_pairs"] = 0
     return out
 
 
@@ -566,9 +643,11 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument(
         "--family",
         default="all",
-        choices=("all", "llm", "relational"),
+        choices=("all", "llm", "relational", "tpch"),
         help="which battery to run: the dedup/ANN family, the relational "
-        "warehouse family (replicated lineitem/orders), or both",
+        "warehouse family (replicated lineitem/orders), the 5 most "
+        "expensive TPC-H shapes (full replicated star schema), or "
+        "'all' (llm + relational)",
     )
     args = ap.parse_args(argv)
     scales = sorted({int(s) for s in args.scales.split(",")})
@@ -592,6 +671,11 @@ def main(argv: list[str] | None = None) -> int:
                 rel = run_relational_battery(spark, l_path, o_path, meter)
                 rel.pop("_n_candidate_pairs")
                 merged.update(rel)
+            if args.family == "tpch":
+                star_dir = synth_star(spark, args.base, r, tmp)
+                tq = run_tpch_battery(spark, star_dir, meter)
+                tq.pop("_n_candidate_pairs")
+                merged.update(tq)
             results[r] = merged
             heaps[r] = jvm_used_heap(spark)
             print(f"# scale x{r}: " + ", ".join(

@@ -1,74 +1,126 @@
-"""Per-query sf1 regression gate (VERDICT r7 item 2).
+"""Per-query sf1 regression gate (VERDICT r7 item 2; provenance r8 item 2).
 
-Re-derives budget violations from the committed BENCH_FULL.json and
+Re-derives budget violations from BENCH_FULL.json and
 tools/sf1_budgets.json (never trusting the artifact's own
 ``budget_violations`` list): for every query with a pinned alpha and
 both timings, asserts ``sf1 <= alpha · R · sf0.1 + 1s``.
 
-Exit 1 iff a CLEAN artifact (neither pass steal-contaminated) violates
-a budget. A contaminated artifact exits 0 with a loud warning — its
-numbers are noise, and the ``steal_contaminated`` self-flag is already
-the signal the round's reviewers read; failing verifyall for host
-weather would train people to ignore the gate.
+Artifact provenance (r8 VERDICT item 2): the gate only ever judges a
+CLEAN artifact. If the default working-tree BENCH_FULL.json is
+steal-contaminated (the driver's end-of-round bench can overwrite it
+under host noise), the gate falls back to the committed snapshot
+(``git show HEAD:BENCH_FULL.json``); if that is also contaminated or
+unavailable, it FAILS LOUD with instructions instead of blessing noise
+with an exit 0 — the r8 failure mode where a flagged artifact still
+passed verifyall.
 
 Usage: python tools/sf1_budget_gate.py [BENCH_FULL.json]
+       [--budgets tools/sf1_budgets.json] [--fallback PATH|git:HEAD|none]
+
+An explicit positional src skips nothing else — fallback still applies
+unless ``--fallback none``.
 """
 
 from __future__ import annotations
 
+import argparse
 import json
 import os
+import subprocess
 import sys
 
 TOOLS = os.path.dirname(os.path.abspath(__file__))
 REPO = os.path.dirname(TOOLS)
 
 
-def main() -> int:
-    src = sys.argv[1] if len(sys.argv) > 1 else os.path.join(REPO, "BENCH_FULL.json")
-    bpath = os.path.join(TOOLS, "sf1_budgets.json")
-    if not os.path.exists(bpath):
+def _contaminated(full: dict) -> bool:
+    sf1 = full.get("sf1") or {}
+    steal = sf1.get("steal_sec")
+    measured = sf1.get("measured_sec") or 0.0
+    return bool(full.get("steal_contaminated")) or (
+        steal is not None and measured > 0 and steal > 0.5 * measured
+    )
+
+
+def _load_fallback(spec: str) -> dict | None:
+    """Load the fallback artifact: a file path, or ``git:HEAD`` for the
+    committed snapshot of BENCH_FULL.json."""
+    if spec == "none":
+        return None
+    if spec == "git:HEAD":
+        try:
+            out = subprocess.run(
+                ["git", "show", "HEAD:BENCH_FULL.json"],
+                cwd=REPO, capture_output=True, text=True, timeout=30,
+            )
+        except Exception:
+            return None
+        if out.returncode != 0:
+            return None
+        try:
+            return json.loads(out.stdout)
+        except ValueError:
+            return None
+    if not os.path.exists(spec):
+        return None
+    with open(spec) as f:
+        return json.load(f)
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("src", nargs="?", default=os.path.join(REPO, "BENCH_FULL.json"))
+    ap.add_argument("--budgets", default=os.path.join(TOOLS, "sf1_budgets.json"))
+    ap.add_argument("--fallback", default="git:HEAD",
+                    help="clean-artifact fallback when src is contaminated: "
+                         "a path, git:HEAD (default), or none")
+    a = ap.parse_args(argv)
+    if not os.path.exists(a.budgets):
         print("sf1-budget-gate: no tools/sf1_budgets.json pinned yet — skipping")
         return 0
-    with open(bpath) as f:
+    with open(a.budgets) as f:
         alpha = json.load(f)["alpha"]
-    if not os.path.exists(src):
+    if not os.path.exists(a.src):
         print("sf1-budget-gate: no BENCH_FULL.json — skipping")
         return 0
-    with open(src) as f:
+    with open(a.src) as f:
         full = json.load(f)
+    provenance = a.src
+    if _contaminated(full):
+        fb = _load_fallback(a.fallback)
+        if fb is not None and not _contaminated(fb):
+            print(f"sf1-budget-gate: {a.src} is STEAL-CONTAMINATED — gating the "
+                  f"clean committed snapshot ({a.fallback}) instead")
+            full, provenance = fb, a.fallback
+        else:
+            where = ("working tree and committed HEAD are both"
+                     if fb is not None else "working tree is")
+            print(f"sf1-budget-gate: FAIL — {where} steal-contaminated; no clean "
+                  "artifact to gate. Re-run `python bench.py` on a quiet host "
+                  "and commit the clean BENCH_FULL.json.")
+            return 1
     sf1 = full.get("sf1") or {}
     queries = sf1.get("queries") or {}
     timings = full.get("queries") or {}
     R = sf1.get("replication", 10)
-    steal = sf1.get("steal_sec")
-    measured = sf1.get("measured_sec") or 0.0
-    contaminated = bool(full.get("steal_contaminated")) or (
-        steal is not None and measured > 0 and steal > 0.5 * measured
-    )
     checked, violations = 0, []
-    for n, a in sorted(alpha.items()):
+    for n, al in sorted(alpha.items()):
         w, t = queries.get(n), timings.get(n)
         if not (isinstance(w, (int, float)) and isinstance(t, (int, float))):
             continue
         checked += 1
-        limit = a * R * t + 1.0
+        limit = al * R * t + 1.0
         if w > limit:
             violations.append(f"{n}: sf1 {w:.2f}s > {limit:.2f}s "
-                              f"(alpha {a}, sf0.1 {t:.3f}s)")
+                              f"(alpha {al}, sf0.1 {t:.3f}s)")
     for v in violations:
         print(f"VIOLATION {v}")
-    if violations and contaminated:
-        print(f"sf1-budget-gate: {len(violations)}/{checked} over budget but the "
-              "artifact is STEAL-CONTAMINATED — numbers are host noise, not "
-              "verdicts. Re-bench on a quiet host.")
-        return 0
     if violations:
         print(f"sf1-budget-gate: FAIL — {len(violations)}/{checked} queries over "
               "their pinned sf1 budget on a clean run")
         return 1
-    note = " (artifact steal-contaminated)" if contaminated else ""
-    print(f"sf1-budget-gate: {checked} queries within budget{note}")
+    print(f"sf1-budget-gate: {checked} queries within budget "
+          f"(artifact: {provenance})")
     return 0
 
 
