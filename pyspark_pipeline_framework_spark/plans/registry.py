@@ -514,6 +514,17 @@ def op_retention(
     return catalog.put(output, cohort_retention(catalog.get(input), **params))
 
 
+@default_registry.register("range_frame")
+def op_range_frame(
+    spark: SparkSession, catalog: Catalog, *, output: str, input: str, **params
+) -> DataFrame:
+    """Scale-safe global value-range window frame --
+    operators.windows.global_range_frame (no single-partition sort)."""
+    from pyspark_pipeline_framework_spark.operators.windows import global_range_frame
+
+    return catalog.put(output, global_range_frame(catalog.get(input), **params))
+
+
 @default_registry.register("stream")
 def op_stream(spark: SparkSession, catalog: Catalog, **params) -> None:
     """Config-declared Structured Streaming pipeline (source →

@@ -100,6 +100,44 @@ def q_win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @case(
+    "q_win_range_frame_sum",
+    # the sum path of global_range_frame (count path: q_win_range_frame):
+    # exact decimal window sum, one final double cast on both engines
+    oracle="""
+    SELECT o_orderkey, o_totalprice,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6)))
+                OVER (ORDER BY o_totalprice
+                      RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW) AS DOUBLE)
+             AS sum_within_1k
+    FROM orders
+    """,
+)
+def q_win_range_frame_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark_pipeline_framework_spark.operators.windows import global_range_frame
+
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_totalprice",
+        F.col("o_totalprice").cast("decimal(38,6)").alias("_dec_price"),
+    )
+    out = global_range_frame(
+        o,
+        order_col="o_totalprice",
+        lower=-1000,
+        upper=0,
+        agg="sum",
+        value_col="_dec_price",
+        key_cols=["o_orderkey"],
+        result_col="_sum_dec",
+    )
+    return out.select(
+        "o_orderkey",
+        "o_totalprice",
+        F.col("_sum_dec").cast("double").alias("sum_within_1k"),
+    )
+
+
+@case(
     "q_explode_outer",
     oracle="""
     SELECT c_custkey, word

@@ -395,3 +395,34 @@ def test_global_range_frame_rejects_bad_args(spark):
         global_range_frame(df, "v", -1.0, 0.0, agg="sum", key_cols=["id"])
     with pytest.raises(ValueError, match="'count' or 'sum'"):
         global_range_frame(df, "v", -1.0, 0.0, agg="min", key_cols=["id"])
+
+
+def test_global_range_frame_null_order_values(spark):
+    """NULL order values form their own peer group in Spark's range
+    frames (never joining numeric frames). global_range_frame preserves
+    that: bin(NULL) is its own partition and NULL probes are filtered
+    (NULL != NULL), so null rows see exactly the null peer group —
+    pinned against the naive global window."""
+    from pyspark.sql import Window
+
+    from pyspark_pipeline_framework_spark.operators.windows import global_range_frame
+
+    data = [(0, 1.0, 1.0), (1, None, 2.0), (2, 2.5, 3.0),
+            (3, None, 4.0), (4, 3.0, 5.0), (5, 2.0, 1.5)]
+    df = spark.createDataFrame(data, "id long, v double, x double")
+    w = Window.orderBy("v").rangeBetween(-2, 0)
+    want = sorted(
+        (r.id, r.n, r.s)
+        for r in df.select(
+            "id", F.count(F.lit(1)).over(w).alias("n"), F.sum("x").over(w).alias("s")
+        ).collect()
+    )
+    cnt = global_range_frame(df, "v", -2, 0, agg="count", key_cols=["id"],
+                             result_col="n")
+    sm = global_range_frame(df, "v", -2, 0, agg="sum", value_col="x",
+                            key_cols=["id"], result_col="s")
+    got = sorted(
+        (r.id, r.n, r2.s)
+        for r, r2 in zip(cnt.orderBy("id").collect(), sm.orderBy("id").collect())
+    )
+    assert got == want

@@ -976,3 +976,32 @@ def test_full_dedup_pipeline_registry_ops(spark, sf_dir):
     assert sorted(map(tuple, got_clean.collect())) == sorted(
         map(tuple, want_clean.collect())
     )
+
+
+def test_range_frame_registry_op(spark, sf_dir):
+    """op:range_frame routes params through the config path to the same
+    results as operators.windows.global_range_frame directly."""
+    from pyspark_pipeline_framework_spark.operators.windows import global_range_frame
+
+    comps = [
+        {"name": "load", "op": "read", "output": "orders",
+         "params": {"format": "parquet", "path": f"{sf_dir}/orders.parquet"}},
+        {"name": "rf", "op": "range_frame", "output": "rf",
+         "depends_on": ["load"],
+         "params": {"input": "orders", "order_col": "o_totalprice",
+                    "lower": -1000, "upper": 0, "agg": "count",
+                    "key_cols": ["o_orderkey"], "result_col": "n_within_1k"}},
+    ]
+    cfg = PipelineConfig.from_dict({"name": "rf_ops", "components": comps})
+    runner = PipelineRunner(cfg, spark, resilience=NO_RETRY)
+    assert runner.run().status == PipelineStatus.SUCCESS
+    from pyspark_pipeline_framework_spark.io.readers import table as rtable
+
+    want = global_range_frame(
+        rtable(spark, sf_dir, "orders"), order_col="o_totalprice",
+        lower=-1000, upper=0, agg="count", key_cols=["o_orderkey"],
+        result_col="n_within_1k",
+    )
+    got = runner.catalog.get("rf")
+    assert (sorted(map(tuple, got.select("o_orderkey", "n_within_1k").collect()))
+            == sorted(map(tuple, want.select("o_orderkey", "n_within_1k").collect())))

@@ -76,7 +76,7 @@ SHUFFLE_CONST = 64 << 20  # 64 MiB
 # x100), so these ops get an input-relative alternative bound:
 # peak <= 1.0 x on-disk input bytes + 64 MiB. Staying under the raw
 # compressed input proves column pruning survives through the shuffle.
-OP_SHUFFLE_INPUT_RELATIVE = {"rel_join_fact"}
+OP_SHUFFLE_INPUT_RELATIVE = {"rel_join_fact", "tpch_q21"}
 PAIR_SLACK = 1.5
 HEAP_GROWTH_LIMIT = 2 << 30  # 2 GiB
 
@@ -673,6 +673,10 @@ def main(argv: list[str] | None = None) -> int:
                 merged.update(rel)
             if args.family == "tpch":
                 star_dir = synth_star(spark, args.base, r, tmp)
+                # q21's semi/anti self-joins legitimately transition
+                # broadcast→shuffle at scale (AQE) — its shuffle bound
+                # is input-relative, like rel_join_fact's
+                merged["_rel_input_bytes"] = _dir_bytes(star_dir)
                 tq = run_tpch_battery(spark, star_dir, meter)
                 tq.pop("_n_candidate_pairs")
                 merged.update(tq)
