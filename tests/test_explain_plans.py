@@ -233,3 +233,29 @@ def test_minhash_md5_sliced_groups_plan(spark, sf_dir):
     assert "MapInPandas" in p
     # partial-merge agg runs on long buffers, not the string fallback
     assert "SortAggregate" not in p
+
+
+def test_no_unpartitioned_windows_anywhere_in_suite(spark, sf_dir):
+    """Repo-wide plan sweep (generalizes the q_win_range_frame gate):
+    NO registered suite case may plan a WindowExec with an empty
+    partition spec — Spark moves ALL rows to one task for such windows
+    ("No Partition Defined" warning), the one plan shape that cannot
+    survive a 100x scale-up. In the optimized plan a partitioned
+    window prints `Window [exprs], [partSpec], [orderSpec]` (two
+    `], [` separators), a global one only `Window [exprs], [orderSpec]`."""
+    import re
+
+    # a window spec prints `windowspecdefinition(part..., order ASC...,
+    # specifiedwindowframe(...))`; it is GLOBAL iff the FIRST argument
+    # is already an ordering expression (` ASC`/` DESC`) or the frame
+    # itself (no partition, no order — whole-table frame)
+    first_arg = re.compile(r"windowspecdefinition\(([^,)]*(?:\([^)]*\))?[^,)]*)")
+    offenders = {}
+    for name, case_ in sorted(all_cases().items()):
+        df = case_.spark_fn(spark, sf_dir)
+        plan_str = df._jdf.queryExecution().optimizedPlan().toString()  # noqa: SLF001
+        for m in first_arg.finditer(plan_str):
+            arg = m.group(1)
+            if " ASC" in arg or " DESC" in arg or arg.startswith("specifiedwindowframe"):
+                offenders.setdefault(name, []).append(arg[:80])
+    assert not offenders, f"global (single-partition) windows: {offenders}"
