@@ -68,8 +68,9 @@ def global_range_frame(
 ) -> DataFrame:
     """Global (unpartitioned) value-range window frame that scales.
 
-    Computes, for every row with order value ``v``, ``count(*)`` or
-    ``sum(value_col)`` over ALL rows whose ``order_col`` lies in
+    Computes, for every row with order value ``v``, ``count(*)``,
+    ``sum(value_col)``, ``min(value_col)`` or ``max(value_col)`` over
+    ALL rows whose ``order_col`` lies in
     ``[v + lower, v + upper]`` — the semantics of
     ``Window.orderBy(order_col).rangeBetween(lower, upper)`` WITHOUT
     the ``Exchange SinglePartition`` that plan forces (Spark warns
@@ -102,6 +103,13 @@ def global_range_frame(
     boundary contribution back). If every value lands in one bin the
     plan degrades to the global sort it replaces — pick ``bin_width``
     near the frame span, not near the value range.
+
+    Float note: the ``sum`` neighbor contribution is computed as
+    (bin total − prefix), so a float ``value_col`` can differ from the
+    naive window in the last ulp; for bit-exact float sums cast the
+    value column to ``decimal(38,6)`` first (the suite's
+    ``q_win_range_frame_sum`` pattern). ``count``/``min``/``max`` are
+    exact for any type.
     """
     if not lower <= 0 <= upper:
         raise ValueError(f"frame must include the current row: lower={lower}, upper={upper}")
@@ -124,14 +132,14 @@ def global_range_frame(
         weight = F.lit(1).cast("long")
         wtype = "long"
         intra_agg = F.count(F.lit(1))
-    elif agg == "sum":
+    elif agg in ("sum", "min", "max"):
         if value_col is None:
-            raise ValueError("agg='sum' requires value_col")
+            raise ValueError(f"agg={agg!r} requires value_col")
         weight = F.col(value_col)
         wtype = dict(df.dtypes)[value_col]
-        intra_agg = F.sum(value_col)
+        intra_agg = {"sum": F.sum, "min": F.min, "max": F.max}[agg](value_col)
     else:
-        raise ValueError(f"agg must be 'count' or 'sum', got {agg!r}")
+        raise ValueError(f"agg must be 'count', 'sum', 'min' or 'max', got {agg!r}")
 
     v = F.col(order_col)
     binned = df.withColumn("_grf_bin", F.floor(v / B))
@@ -174,28 +182,48 @@ def global_range_frame(
         weight.alias("w"),
     )
     merged = data.unionByName(probes)
+    # prefix window (t asc, probes of kind 2 AFTER equal-valued data):
+    # aggregates data rows with u <= t. suffix window (t desc, probes
+    # of kind 0 AFTER equal-valued data in the reversed order):
+    # aggregates data rows with u >= t.
     w_cum = (
         Window.partitionBy("bin")
         .orderBy(F.col("t").asc(), F.col("kind").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    w_tot = Window.partitionBy("bin")
+    w_suffix = (
+        Window.partitionBy("bin")
+        .orderBy(F.col("t").desc(), F.col("kind").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
     zero = F.lit(0).cast(wtype)
-    cum = F.coalesce(F.sum("w").over(w_cum), zero)
-    tot = F.coalesce(F.sum("w").over(w_tot), zero)
-    contrib = F.when(F.col("kind") == 0, tot - cum).when(F.col("kind") == 2, cum)
+    if agg in ("count", "sum"):
+        w_tot = Window.partitionBy("bin")
+        cum = F.coalesce(F.sum("w").over(w_cum), zero)
+        tot = F.coalesce(F.sum("w").over(w_tot), zero)
+        contrib = F.when(F.col("kind") == 0, tot - cum).when(F.col("kind") == 2, cum)
+        neighbor_agg = F.sum("_grf_c")
+        combine = F.col("_grf_intra") + F.coalesce(F.col("_grf_neighbor"), zero)
+    else:  # min / max: extremum of the suffix (kind 0) / prefix (kind 2)
+        ext = F.min if agg == "min" else F.max
+        contrib = F.when(F.col("kind") == 0, ext("w").over(w_suffix)).when(
+            F.col("kind") == 2, ext("w").over(w_cum)
+        )
+        neighbor_agg = ext("_grf_c")
+        # least/greatest skip NULLs: a row with no adjacent-bin frame
+        # members keeps its intra extremum (and vice versa)
+        combine = (F.least if agg == "min" else F.greatest)(
+            F.col("_grf_intra"), F.col("_grf_neighbor")
+        )
     neighbor = (
         merged.withColumn("_grf_c", contrib)
         .where(F.col("kind") != 1)
         .groupBy(*key_cols)
-        .agg(F.sum("_grf_c").alias("_grf_neighbor"))
+        .agg(neighbor_agg.alias("_grf_neighbor"))
     )
 
     out = intra.join(neighbor, on=list(key_cols), how="left")
     return (
-        out.withColumn(
-            result_col,
-            F.col("_grf_intra") + F.coalesce(F.col("_grf_neighbor"), zero),
-        )
+        out.withColumn(result_col, combine)
         .drop("_grf_bin", "_grf_intra", "_grf_neighbor")
     )

@@ -138,6 +138,34 @@ def q_win_range_frame_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @case(
+    "q_win_range_frame_min",
+    # the extremum path of global_range_frame (suffix/prefix-extremum
+    # boundary probes instead of cumulative sums) — exact for doubles
+    oracle="""
+    SELECT o_orderkey, o_totalprice,
+           MIN(o_totalprice) OVER (ORDER BY o_totalprice
+                                   RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW)
+             AS min_within_1k
+    FROM orders
+    """,
+)
+def q_win_range_frame_min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark_pipeline_framework_spark.operators.windows import global_range_frame
+
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    return global_range_frame(
+        o,
+        order_col="o_totalprice",
+        lower=-1000,
+        upper=0,
+        agg="min",
+        value_col="o_totalprice",
+        key_cols=["o_orderkey"],
+        result_col="min_within_1k",
+    ).select("o_orderkey", "o_totalprice", "min_within_1k")
+
+
+@case(
     "q_explode_outer",
     oracle="""
     SELECT c_custkey, word

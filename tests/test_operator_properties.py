@@ -364,17 +364,18 @@ def test_global_range_frame_matches_global_window(spark, vals, frame, widen):
         ).selectExpr("id as n_got", "n").collect()
     }
     assert got_cnt == want_cnt
-    want_sum = {
-        (r.id, r.s) for r in df.select("id", F.sum("x").over(w).alias("s")).collect()
-    }
-    got_sum = {
-        (r.id, r.s)
-        for r in global_range_frame(
-            df, "v", lo, hi, agg="sum", value_col="x", key_cols=["id"],
-            bin_width=bin_width, result_col="s",
-        ).select("id", "s").collect()
-    }
-    assert got_sum == want_sum
+    for agg, fn in (("sum", F.sum), ("min", F.min), ("max", F.max)):
+        want = {
+            (r.id, r.s) for r in df.select("id", fn("x").over(w).alias("s")).collect()
+        }
+        got = {
+            (r.id, r.s)
+            for r in global_range_frame(
+                df, "v", lo, hi, agg=agg, value_col="x", key_cols=["id"],
+                bin_width=bin_width, result_col="s",
+            ).select("id", "s").collect()
+        }
+        assert got == want, agg
 
 
 def test_global_range_frame_rejects_bad_args(spark):
@@ -393,8 +394,10 @@ def test_global_range_frame_rejects_bad_args(spark):
         global_range_frame(df, "v", -1.0, 0.0)
     with pytest.raises(ValueError, match="value_col"):
         global_range_frame(df, "v", -1.0, 0.0, agg="sum", key_cols=["id"])
-    with pytest.raises(ValueError, match="'count' or 'sum'"):
+    with pytest.raises(ValueError, match="value_col"):
         global_range_frame(df, "v", -1.0, 0.0, agg="min", key_cols=["id"])
+    with pytest.raises(ValueError, match="'count', 'sum', 'min' or 'max'"):
+        global_range_frame(df, "v", -1.0, 0.0, agg="median", key_cols=["id"])
 
 
 def test_global_range_frame_null_order_values(spark):
