@@ -12,8 +12,10 @@ only the aggregate ``superlinear: []`` gate (alpha 2.0 + 3s) existed.
 REFUSES to pin from a steal-contaminated artifact: budgets must come
 from a run whose numbers mean something.
 
-Usage: python tools/make_sf1_budgets.py [BENCH_FULL.json]
-Writes tools/sf1_budgets.json.
+Usage: python tools/make_sf1_budgets.py [BENCH_FULL.json] [--merge]
+Writes tools/sf1_budgets.json. ``--merge`` keeps every existing pinned
+alpha untouched and only ADDS queries with no pin yet (suite additions)
+— re-pinning wholesale could silently loosen tight budgets.
 """
 
 from __future__ import annotations
@@ -31,7 +33,12 @@ CAP = 2.0
 
 
 def main() -> int:
-    src = sys.argv[1] if len(sys.argv) > 1 else os.path.join(REPO, "BENCH_FULL.json")
+    args = [a for a in sys.argv[1:] if a != "--merge"]
+    # --merge: keep every EXISTING pinned alpha untouched (re-pinning
+    # wholesale from a newer run could silently LOOSEN tight budgets)
+    # and add only queries that have no pin yet — for suite additions
+    merge = "--merge" in sys.argv[1:]
+    src = args[0] if args else os.path.join(REPO, "BENCH_FULL.json")
     with open(src) as f:
         full = json.load(f)
     sf1 = full.get("sf1") or {}
@@ -57,6 +64,19 @@ def main() -> int:
     if len(alpha) < 50:
         print(f"REFUSED: only {len(alpha)} queries have both timings", file=sys.stderr)
         return 1
+    dst = os.path.join(TOOLS, "sf1_budgets.json")
+    if merge and os.path.exists(dst):
+        with open(dst) as f:
+            existing = json.load(f)
+        added = {n: a for n, a in alpha.items() if n not in existing["alpha"]}
+        existing["alpha"].update(added)
+        existing.setdefault("source", {})["merged_from"] = os.path.basename(src)
+        with open(dst, "w") as f:
+            json.dump(existing, f, indent=1, sort_keys=True)
+            f.write("\n")
+        print(f"merged {len(added)} new budgets ({sorted(added)}) -> {dst}; "
+              f"{len(existing['alpha'])} total, existing pins untouched")
+        return 0
     out = {
         "source": {
             "file": os.path.basename(src),

@@ -3,7 +3,9 @@
 Runs (each independently fatal):
   1. entry-contract smoke from a foreign cwd (driver protocol)
   2. tools/selfcheck.py — all suite cases vs DuckDB at sf0.01
-  3. tools/fuzzcheck.py — N random pipelines per seed (default 3 seeds)
+  3. tools/fuzzcheck.py — N random pipelines per seed (default 3 seeds),
+     plus (full mode) an ANSI-off differential chunk (--ansi) and a
+     randomized twin-agreement chunk for the no-oracle rows (--twins)
   4. tools/streamfuzz.py — stateful streaming differential (streaming
      dedup within watermark + update-mode aggregation vs batch)
   5. tools/hoconfuzz.py — config-layer negative-path fuzz: mutated
@@ -77,6 +79,16 @@ def main() -> int:
         stages.append((f"fuzzcheck-seed{s}",
                        [sys.executable, os.path.join(TOOLS, "fuzzcheck.py"),
                         "--n", str(n), "--seed", str(s), "--sf", sf], None))
+    if not a.fast:
+        # r9 dimensions: ANSI-off differential (every pipeline re-run
+        # under spark.sql.ansi.enabled=false, identical rows) and
+        # randomized twin-agreement for the 5 no-oracle rows
+        stages.append(("fuzzcheck-ansi",
+                       [sys.executable, os.path.join(TOOLS, "fuzzcheck.py"),
+                        "--n", "100", "--ansi", "--seed", "55", "--sf", sf], None))
+        stages.append(("twinfuzz",
+                       [sys.executable, os.path.join(TOOLS, "fuzzcheck.py"),
+                        "--twins", "25", "--seed", "55", "--sf", sf], None))
     # stateful streaming differential (dropDuplicatesWithinWatermark +
     # update-mode aggregation + stream-stream join + session-window
     # aggregation + randomized stateful processors vs batch/replay)
