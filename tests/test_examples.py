@@ -164,3 +164,15 @@ def test_retrieval_and_decontamination_example(spark):
     assert all(1 <= r.rank <= 10 for r in rows)
     decon = spark.read.parquet(os.path.join(REPO, ".scratch/examples/bloom_decon"))
     assert decon.count() > 0 and "maybe_contaminated" in decon.columns
+
+
+def test_price_bands_example(spark):
+    """Chained op:range_frame (count, then min) declared in HOCON —
+    results must equal the oracle-gated suite cases' values."""
+    assert main([os.path.join(REPO, "examples", "price_bands.conf")]) == 0
+    out = spark.read.parquet(os.path.join(REPO, ".scratch/examples/price_bands"))
+    rows = {r.o_orderkey: r for r in out.collect()}
+    assert rows
+    some = next(iter(rows.values()))
+    assert some.n_within_1k >= 1  # frame always includes the row itself
+    assert some.min_within_1k <= some.o_totalprice
