@@ -109,7 +109,10 @@ def global_range_frame(
     naive window in the last ulp; for bit-exact float sums cast the
     value column to ``decimal(38,6)`` first (the suite's
     ``q_win_range_frame_sum`` pattern). ``count``/``min``/``max`` are
-    exact for any type.
+    exact for any type. For ``avg``, compose: run once with
+    ``agg="sum"`` and once with ``agg="count"`` (two window passes over
+    the same binning) and divide — matching the built-in ``avg``'s own
+    sum/count definition.
     """
     if not lower <= 0 <= upper:
         raise ValueError(f"frame must include the current row: lower={lower}, upper={upper}")
