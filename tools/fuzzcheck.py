@@ -281,6 +281,8 @@ class Gen:
             return self.range_pipeline()
         if r.random() < 0.03:
             return self.theta_pipeline()
+        if r.random() < 0.025:
+            return self.rangeframe_pipeline()
         if r.random() < 0.05:
             return self.subq_pipeline()
         if r.random() < 0.04:
@@ -603,6 +605,35 @@ class Gen:
                 "pred_b": self.predicate("events", ev_cols) if r.random() < 0.6 else None,
                 "same_user": r.random() < 0.4,
                 "terminal": {"op": "range"}}
+
+    RANGE_FRAME_TABLES = [
+        ("orders", "o_totalprice", "o_orderkey"),
+        ("customer", "c_acctbal", "c_custkey"),
+        ("part", "p_retailprice", "p_partkey"),
+        ("supplier", "s_acctbal", "s_suppkey"),
+    ]
+
+    def rangeframe_pipeline(self) -> dict:
+        """operators.windows.global_range_frame (bin-partitioned global
+        value-range frame, r9) vs the native RANGE window: random
+        numeric order column, random integral frame including the
+        current row, random bin widening, all four aggregates. The sum
+        path rides the decimal(38,6) recipe so float accumulation order
+        cannot drift the hash."""
+        r = self.r
+        base, order, pk = r.choice(self.RANGE_FRAME_TABLES)
+        lower = -r.choice([0, 1, 10, 100, 1000])
+        upper = r.choice([0, 1, 10, 100, 1000])
+        if lower == 0 and upper == 0:
+            upper = 100
+        cols = list(TABLES[base]["cols"].items())
+        return {"kind": "rangeframe", "base": base, "stages": [],
+                "order": order, "pk": pk,
+                "lower": lower, "upper": upper,
+                "agg": r.choice(["count", "sum", "min", "max"]),
+                "widen": r.choice([None, 2.0, 5.0]),
+                "pred": self.predicate(base, cols) if r.random() < 0.6 else None,
+                "terminal": {"op": "rangeframe"}}
 
     def theta_pipeline(self) -> dict:
         """Equi + inequality join (hash-joinable: Catalyst keeps the
@@ -1115,6 +1146,21 @@ def to_sql(spec: dict) -> str:
             return (f"SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs, "
                     f"MIN(a_id) AS min_a FROM ({pairs}) p")
         return f"SELECT DISTINCT a_id, b_id, a_val FROM ({pairs}) p"
+    if spec.get("kind") == "rangeframe":
+        order, pk, agg = spec["order"], spec["pk"], spec["agg"]
+        lo, hi = spec["lower"], spec["upper"]
+        lo_b = "CURRENT ROW" if lo == 0 else f"{-lo} PRECEDING"
+        hi_b = "CURRENT ROW" if hi == 0 else f"{hi} FOLLOWING"
+        frame = f"ORDER BY {order} RANGE BETWEEN {lo_b} AND {hi_b}"
+        if agg == "count":
+            e = f"CAST(COUNT(*) OVER ({frame}) AS BIGINT)"
+        elif agg == "sum":
+            e = (f"CAST(SUM(CAST({order} AS DECIMAL(38,6))) "
+                 f"OVER ({frame}) AS DOUBLE)")
+        else:
+            e = f"{agg.upper()}({order}) OVER ({frame})"
+        src = spec["base"] + (f" WHERE {spec['pred']}" if spec["pred"] else "")
+        return f"SELECT {pk} AS id, {order} AS v, {e} AS res FROM {src}"
     if spec.get("kind") == "asof":
         lsrc = "SELECT * FROM events" + (
             f" WHERE {spec['left_pred']}" if spec["left_pred"] else "")
@@ -1748,6 +1794,36 @@ def to_spark(spec: dict, spark, sf_dir: str, base_df=None):
                 F.count(F.lit(1)).alias("n_pairs"), F.min("a_id").alias("min_a")
             )
         return sel.distinct()
+    if spec.get("kind") == "rangeframe":
+        from pyspark_pipeline_framework_spark.operators.windows import global_range_frame
+
+        order, pk, agg = spec["order"], spec["pk"], spec["agg"]
+        lo, hi = spec["lower"], spec["upper"]
+        f = table(spark, sf_dir, spec["base"])
+        if spec["pred"]:
+            f = f.filter(F.expr(spec["pred"]))
+        bw = None if spec["widen"] is None else max(hi - lo, 1) * spec["widen"]
+        if agg == "sum":
+            f = f.select(pk, order, F.col(order).cast("decimal(38,6)").alias("_v"))
+            out = global_range_frame(
+                f, order_col=order, lower=lo, upper=hi, agg="sum",
+                value_col="_v", key_cols=[pk], bin_width=bw, result_col="_res",
+            ).withColumn("_res", F.col("_res").cast("double"))
+        elif agg == "count":
+            f = f.select(pk, order)
+            out = global_range_frame(
+                f, order_col=order, lower=lo, upper=hi, agg="count",
+                key_cols=[pk], bin_width=bw, result_col="_res",
+            )
+        else:
+            f = f.select(pk, order)
+            out = global_range_frame(
+                f, order_col=order, lower=lo, upper=hi, agg=agg,
+                value_col=order, key_cols=[pk], bin_width=bw, result_col="_res",
+            )
+        return out.select(
+            F.col(pk).alias("id"), F.col(order).alias("v"), F.col("_res").alias("res")
+        )
     if spec.get("kind") == "asof":
         from pyspark_pipeline_framework_spark.operators.joins import asof_join
 
