@@ -279,19 +279,31 @@ def test_stream_batch_differential_random_aggs(spark, con, stats):
     assert mismatches == []
 
 
+# kinds whose plans CORRECTLY contain a BroadcastNestedLoopJoin: a
+# one-row aggregate (corpus totals / filter parameters / exact-count
+# scalar) broadcast-cross-joined onto every row — the same sanctioned
+# shape as test_tpch_q22 / test_recall_gate_broadcasts_totals. Their
+# own plan gates live in tests/test_explain_plans.py.
+ONE_ROW_BROADCAST_KINDS = {"retrieval", "bloom", "semdedup", "ivf"}
+
+
 def test_random_pipelines_never_plan_cartesian(spark, stats):
     """Plan-quality property over the RANDOM algebra: no fuzz spec may
     compile to a CartesianProduct or BroadcastNestedLoopJoin — every
-    generated join is an equi/null-safe-equi join Catalyst can hash."""
+    generated join is an equi/null-safe-equi join Catalyst can hash.
+    Kinds built around a one-row broadcast aggregate are excluded by
+    name (their BNLJ is the correct shape, not a plan accident)."""
     bad = []
     for i in range(40):
         spec = spec_for(90210, i, stats)
+        if spec.get("kind") in ONE_ROW_BROADCAST_KINDS:
+            continue
         df = to_spark(spec, spark, SF)
         p = df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
             df._jdf.queryExecution(), "simple"
         )
         if "CartesianProduct" in p or "BroadcastNestedLoopJoin" in p:
-            bad.append(i)
+            bad.append((i, spec.get("kind")))
     assert bad == []
 
 
