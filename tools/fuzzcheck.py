@@ -48,7 +48,8 @@ oracle=1 all-NULL-keys row) shape and nothing else.
 
 Usage:
   python tools/fuzzcheck.py [--n 200] [--seed 42] [--sf /root/testdata/sf0.01]
-                            [--only 17,42] [--dump]
+                            [--only 17,42] [--dump] [--ansi] [--partitions]
+                            [--twins N]
 Exit 0 iff zero mismatches.
 """
 
@@ -2356,8 +2357,23 @@ def spec_for(seed: int, i: int, stats: dict) -> dict:
     return Gen(random.Random(seed * 1_000_003 + i), stats).pipeline()
 
 
+#: partition-invariance configurations (r9): each pipeline that matches
+#: the oracle at the harness default (shuffle.partitions=8, AQE on) is
+#: re-run under both extremes — a single shuffle partition with AQE
+#: coalescing disabled, and a prime partition count larger than the
+#: core count with AQE on. On a 1000-executor cluster the partition
+#: count is the FIRST thing that changes, so any operator whose output
+#: depends on it (per-partition ordering leaking into results, partition
+#: -id-dependent hashing, non-commutative merge order) is a silent
+#: wrong-answer at scale. Documented divergence list: currently EMPTY.
+_PARTITION_CONFS = (
+    {"spark.sql.shuffle.partitions": "1", "spark.sql.adaptive.enabled": "false"},
+    {"spark.sql.shuffle.partitions": "37", "spark.sql.adaptive.enabled": "true"},
+)
+
+
 def run(n: int, seed: int, sf_dir: str, only: set[int], dump: bool,
-        ansi_dim: bool = False) -> int:
+        ansi_dim: bool = False, part_dim: bool = False) -> int:
     from pyspark_pipeline_framework_spark.io.readers import STAR_TABLES
     from pyspark_pipeline_framework_spark.session import SparkConfig, build_session
 
@@ -2446,9 +2462,44 @@ def run(n: int, seed: int, sf_dir: str, only: set[int], dump: bool,
                 print(f"      ansi-off: {arows[bad] if bad < len(arows) else '<missing>'}")
                 print(f"  spec={json.dumps(spec)}")
                 continue
+        # Partition-invariance dimension (r9): identical results under
+        # 1-partition/AQE-off and 37-partition/AQE-on re-runs.
+        if part_dim:
+            part_fail = False
+            for conf in _PARTITION_CONFS:
+                saved = {k: spark.conf.get(k) for k in conf}
+                for k, v in conf.items():
+                    spark.conf.set(k, v)
+                try:
+                    pdf = to_spark(spec, spark, sf_dir).toPandas()
+                except Exception as ex:
+                    failures.append(i)
+                    print(f"FAIL  #{i}: partition-dim error under {conf}: "
+                          f"{ex}\n  spec={json.dumps(spec)}")
+                    part_fail = True
+                    break
+                finally:
+                    for k, v in saved.items():
+                        spark.conf.set(k, v)
+                pdf.columns = [c.lower() for c in pdf.columns]
+                prows = _norm_df(pdf)
+                if prows != srows:
+                    failures.append(i)
+                    bad = next((j for j, (a, b) in enumerate(zip(prows, srows))
+                                if a != b), min(len(prows), len(srows)))
+                    print(f"FAIL  #{i}: partition-dim diverges under {conf} "
+                          f"at sorted-row {bad}:")
+                    print(f"      base : {srows[bad] if bad < len(srows) else '<missing>'}")
+                    print(f"      refit: {prows[bad] if bad < len(prows) else '<missing>'}")
+                    print(f"  spec={json.dumps(spec)}")
+                    part_fail = True
+                    break
+            if part_fail:
+                continue
         print(f"OK    #{i} {spec['terminal']['op']:<9} over {spec['base']:<9} "
               f"({len(spdf)} rows, {time.time() - t0:.1f}s)"
-              + (" [ansi-off =]" if ansi_dim else ""))
+              + (" [ansi-off =]" if ansi_dim else "")
+              + (" [part-inv =]" if part_dim else ""))
 
     ran = len(only) if only else n
     print(f"\n{ran} pipelines, {len(failures)} mismatches, "
@@ -2473,13 +2524,18 @@ def main() -> int:
                     help="ANSI-off differential dimension: re-run each "
                          "pipeline with spark.sql.ansi.enabled=false and "
                          "assert identical results")
+    ap.add_argument("--partitions", action="store_true",
+                    help="partition-invariance dimension: re-run each "
+                         "pipeline under shuffle.partitions=1/AQE-off and "
+                         "=37/AQE-on and assert identical results")
     a = ap.parse_args()
     only = {int(x) for x in a.only.split(",") if x.strip()}
     if a.twins:
         import twinfuzz
 
         return twinfuzz.run(a.twins, a.seed, a.sf, only)
-    return run(a.n, a.seed, a.sf, only, a.dump, ansi_dim=a.ansi)
+    return run(a.n, a.seed, a.sf, only, a.dump, ansi_dim=a.ansi,
+               part_dim=a.partitions)
 
 
 if __name__ == "__main__":

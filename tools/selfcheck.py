@@ -51,7 +51,17 @@ def main() -> int:
 
     from pyspark_pipeline_framework_spark.session import SparkConfig, build_session
 
-    spark = build_session(SparkConfig(master="local[8]", shuffle_partitions=8))
+    # Partition-invariance sweeps (r9): the suite's answers must not
+    # depend on the shuffle partition count — override it (and AQE) to
+    # re-run the ENTIRE oracle gate under a different physical layout.
+    sp = int(os.environ.get("SELFCHECK_SHUFFLE_PARTITIONS", "8"))
+    spark = build_session(SparkConfig(master="local[8]", shuffle_partitions=sp))
+    aqe = os.environ.get("SELFCHECK_AQE")
+    if aqe is not None:
+        spark.conf.set("spark.sql.adaptive.enabled", aqe)
+    ansi = os.environ.get("SELFCHECK_ANSI")
+    if ansi is not None:
+        spark.conf.set("spark.sql.ansi.enabled", ansi)
 
     con = duckdb.connect()
     for t in STAR_TABLES:

@@ -89,6 +89,14 @@ def main() -> int:
         stages.append(("twinfuzz",
                        [sys.executable, os.path.join(TOOLS, "fuzzcheck.py"),
                         "--twins", "25", "--seed", "55", "--sf", sf], None))
+        # partition-invariance differential (r9): each pipeline re-run
+        # under shuffle.partitions=1/AQE-off and =37/AQE-on — output
+        # must not depend on partition count (the first thing that
+        # changes on a real cluster)
+        stages.append(("fuzzcheck-partitions",
+                       [sys.executable, os.path.join(TOOLS, "fuzzcheck.py"),
+                        "--n", "60", "--partitions", "--seed", "56",
+                        "--sf", sf], None))
     # stateful streaming differential (dropDuplicatesWithinWatermark +
     # update-mode aggregation + stream-stream join + session-window
     # aggregation + randomized stateful processors vs batch/replay)
