@@ -114,7 +114,7 @@ def build_trigger(block: dict[str, Any] | str | None) -> Trigger | None:
 _STREAM_PARAMS = {
     "source", "sink", "transform_sql", "output_mode", "trigger",
     "watermark", "checkpoint", "query_name", "timeout_s", "output",
-    "dedup_keys", "neardup",
+    "dedup_keys", "neardup", "ivf_add",
 }
 
 _NEARDUP_REQUIRED = {"store", "pairs"}
@@ -153,6 +153,47 @@ def _check_neardup(nd: Any, *, has_sink: bool, checkpoint: Any) -> None:
         )
 
 
+_IVF_ADD_REQUIRED = {"store", "centroids", "dim"}
+_IVF_ADD_OPTIONAL = {"id_col", "vec_col", "mode"}
+
+
+def _check_ivf_add(blk: Any, *, has_sink: bool, has_neardup: bool,
+                   checkpoint: Any) -> None:
+    """Invariants of the ``ivf_add`` block (streaming ANN-index growth
+    under a frozen quantizer) — same contract as ``neardup``: the
+    operator IS the sink, and a checkpoint is mandatory because a
+    restarted checkpoint-less stream resets batch ids to 0 and
+    overwrites the store's existing batch partitions with DIFFERENT
+    data (silent index loss)."""
+    if not isinstance(blk, dict) or not _IVF_ADD_REQUIRED <= set(blk):
+        raise StreamingConfigError(
+            "ivf_add block requires 'store', 'centroids' (parquet path "
+            f"of the frozen quantizer) and 'dim', got {blk!r}"
+        )
+    unknown = set(blk) - _IVF_ADD_REQUIRED - _IVF_ADD_OPTIONAL
+    if unknown:
+        raise StreamingConfigError(
+            f"unknown ivf_add fields {sorted(unknown)} (allowed: "
+            f"{sorted(_IVF_ADD_REQUIRED | _IVF_ADD_OPTIONAL)})"
+        )
+    if not isinstance(blk["dim"], int) or blk["dim"] <= 0:
+        raise StreamingConfigError(
+            f"ivf_add dim must be a positive int, got {blk['dim']!r}"
+        )
+    if has_sink or has_neardup:
+        raise StreamingConfigError(
+            "ivf_add is mutually exclusive with sink/neardup — the "
+            "index-growth operator IS the sink (foreachBatch appending "
+            "cell-assigned batch partitions to the store)"
+        )
+    if not checkpoint:
+        raise StreamingConfigError(
+            "ivf_add requires a checkpoint — without one a restarted "
+            "stream's batch ids reset to 0 and overwrite the store's "
+            "existing batch partitions with different data"
+        )
+
+
 def validate_stream_params(params: dict[str, Any]) -> None:
     """Load-time validation of an ``op: stream`` component's params —
     every malformed block fails when the config is parsed, never
@@ -167,12 +208,17 @@ def validate_stream_params(params: dict[str, Any]) -> None:
     if nd is not None:
         _check_neardup(nd, has_sink="sink" in params,
                        checkpoint=params.get("checkpoint"))
+    iva = params.get("ivf_add")
+    if iva is not None:
+        _check_ivf_add(iva, has_sink="sink" in params,
+                       has_neardup=nd is not None,
+                       checkpoint=params.get("checkpoint"))
     if "source" not in params:
         raise StreamingConfigError("stream component requires a 'source' block")
-    if "sink" not in params and nd is None:
+    if "sink" not in params and nd is None and iva is None:
         raise StreamingConfigError(
-            "stream component requires a 'sink' block (or a 'neardup' block "
-            "in its place)"
+            "stream component requires a 'sink' block (or a 'neardup' / "
+            "'ivf_add' block in its place)"
         )
     build_source(params["source"])
     if "sink" in params:
@@ -220,6 +266,7 @@ def run_stream_component(
     timeout_s: float | None = None,
     dedup_keys: list[str] | None = None,
     neardup: dict[str, Any] | None = None,
+    ivf_add: dict[str, Any] | None = None,
 ) -> None:
     """Assemble + run one declarative streaming pipeline. The optional
     ``transform_sql`` sees the (watermarked, deduped) stream as view
@@ -253,9 +300,26 @@ def run_stream_component(
         )
 
         _check_neardup(neardup, has_sink=sink is not None, checkpoint=checkpoint)
+        if ivf_add is not None:
+            _check_ivf_add(ivf_add, has_sink=sink is not None,
+                           has_neardup=True, checkpoint=checkpoint)
         nd = dict(neardup)
         built_sink = ForeachBatchSink(
             incremental_neardup_batch(nd.pop("store"), nd.pop("pairs"), **nd)
+        )
+    elif ivf_add is not None:
+        from pyspark_pipeline_framework_spark.streaming.sinks import ForeachBatchSink
+        from pyspark_pipeline_framework_spark.streaming.stateful import (
+            streaming_ivf_add_batch,
+        )
+
+        _check_ivf_add(ivf_add, has_sink=sink is not None, has_neardup=False,
+                       checkpoint=checkpoint)
+        blk = dict(ivf_add)
+        built_sink = ForeachBatchSink(
+            streaming_ivf_add_batch(
+                blk.pop("store"), blk.pop("centroids"), blk.pop("dim"), **blk
+            )
         )
     else:
         if sink is None:

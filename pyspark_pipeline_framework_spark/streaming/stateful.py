@@ -16,6 +16,9 @@ standard stateful patterns:
   whose state is the parquet band store, not the state store: corpus
   history is unbounded at zero executor memory, micro-batch replays
   are idempotent via per-batch-id overwrite partitions.
+* :func:`streaming_ivf_add_batch` — streaming ANN-index growth under a
+  frozen IVF quantizer: same parquet-is-the-state / per-batch-id
+  idempotence recipe, map-only per batch.
 
 Both run identically under availableNow (tests) and continuous
 micro-batch triggers (production).
@@ -219,5 +222,60 @@ def incremental_neardup_batch(
         corpus = store.where(F.col("batch_id") < F.lit(batch_id)).drop("batch_id")
         pairs = incremental_candidate_pairs(new, corpus)
         pairs.write.mode("overwrite").parquet(f"{pairs_path}/batch_id={batch_id}")
+
+    return process
+
+
+def streaming_ivf_add_batch(
+    store_path: str,
+    centroids,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    mode: str = "fast",
+):
+    """``foreachBatch`` factory: streaming ANN-index growth — the
+    incremental half of the IVF train-once/add-forever contract
+    (:func:`~pyspark_pipeline_framework_spark.llm.similarity.ivf_index`
+    / :func:`~pyspark_pipeline_framework_spark.llm.similarity.ivf_add`)
+    as a stream operator. Each embedding micro-batch is cell-assigned
+    under the FROZEN quantizer (``ivf_add``: map-only, no shuffle, no
+    retraining, the existing store untouched) and lands as
+    ``<store_path>/batch_id=N``.
+
+    Like :func:`incremental_neardup_batch`, state lives in the store
+    parquet, not the executors: an unbounded corpus history costs zero
+    state-store memory, and replay is idempotent — foreachBatch's
+    at-least-once contract becomes exactly-once on the store because a
+    replayed micro-batch overwrites its own ``batch_id`` partition.
+
+    ``centroids`` is a parquet path, the nlist-row centroid DataFrame,
+    or the raw matrix; it is resolved ONCE on the first micro-batch and
+    memoized in the closure (the collect is bounded by nlist — a model
+    hyperparameter — and paid once per stream, not once per batch).
+    Search any union of batches at any time with ``ivf_search`` over
+    ``spark.read.parquet(store_path)`` — the ``cell`` column survives
+    for pruning (write the store with ``partitionBy("cell")`` sinks
+    instead when static cell pruning matters more than batch lineage).
+    """
+    from pyspark_pipeline_framework_spark.llm.similarity import (
+        _as_centroid_matrix,
+        ivf_add,
+    )
+
+    memo: list = []
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if not memo:
+            c = centroids
+            if isinstance(c, str):
+                c = batch_df.sparkSession.read.parquet(c)
+            memo.append(_as_centroid_matrix(c))
+        assigned = ivf_add(
+            batch_df, memo[0], dim, id_col=id_col, vec_col=vec_col, mode=mode
+        )
+        assigned.write.mode("overwrite").parquet(
+            f"{store_path}/batch_id={batch_id}"
+        )
 
     return process

@@ -176,3 +176,18 @@ def test_price_bands_example(spark):
     some = next(iter(rows.values()))
     assert some.n_within_1k >= 1  # frame always includes the row itself
     assert some.min_within_1k <= some.o_totalprice
+
+
+def test_streaming_ann_index_example(spark):
+    """Declarative streaming ANN growth: train once (batch components),
+    then the ivf_add block drains the embeddings stream into the
+    cell-assigned vector store."""
+    import shutil
+
+    for d in ("ann_centroids", "ann_stream_store", "ann_stream_ck"):
+        shutil.rmtree(os.path.join(REPO, ".scratch/examples", d), ignore_errors=True)
+    assert main([os.path.join(REPO, "examples", "streaming_ann_index.conf")]) == 0
+    store = spark.read.parquet(os.path.join(REPO, ".scratch/examples/ann_stream_store"))
+    n = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").count()
+    assert store.count() == n
+    assert store.select("cell").distinct().count() > 1

@@ -295,3 +295,170 @@ def test_config_declared_streaming_neardup(spark, tmp_path, sf_dir):
     got = {(r.id_a, r.id_b) for r in spark.read.parquet(pairs).collect()}
     want = {(r.id_a, r.id_b) for r in minhash_candidate_pairs(docs).collect()}
     assert got == want and want
+
+
+def test_streaming_ivf_add_matches_batch(spark, tmp_path, sf_dir):
+    """Streaming ANN-index growth: three parquet micro-batches through
+    streaming_ivf_add_batch under a frozen quantizer must leave the
+    SAME assigned store (and therefore the same search results) as one
+    batch ivf_add over all vectors."""
+    from pyspark.sql import functions as F
+
+    from pyspark_pipeline_framework_spark.llm.similarity import (
+        centroids_from_df,
+        ivf_add,
+        ivf_index,
+        ivf_search,
+    )
+    from pyspark_pipeline_framework_spark.streaming.sinks import ForeachBatchSink
+    from pyspark_pipeline_framework_spark.streaming.stateful import (
+        streaming_ivf_add_batch,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cdf, _ = ivf_index(emb, dim=64, nlist=8, mode="exact", train_sample=256)
+    cpath = str(tmp_path / "centroids")
+    cdf.write.parquet(cpath)
+
+    src = str(tmp_path / "in")
+    for i in range(3):
+        emb.where(F.col("vec_id") % 3 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    store, ckpt = str(tmp_path / "store"), str(tmp_path / "ck")
+    StreamingPipeline(
+        source=FileStreamingSource(
+            src,
+            file_format="parquet",
+            schema="vec_id BIGINT, embedding ARRAY<DOUBLE>",
+            options={"maxFilesPerTrigger": "1"},
+        ),
+        sink=ForeachBatchSink(
+            streaming_ivf_add_batch(store, cpath, dim=64, mode="exact")
+        ),
+        trigger=Trigger(TriggerType.AVAILABLE_NOW),
+        checkpoint_location=ckpt,
+    ).set_spark_session(spark).run(timeout_s=120)
+
+    streamed = spark.read.parquet(store)
+    # the quantizer is frozen, so streamed assignment == batch assignment
+    want_assign = sorted(
+        (r.vec_id, r.cell)
+        for r in ivf_add(emb, centroids_from_df(cdf), dim=64, mode="exact")
+        .collect()
+    )
+    got_assign = sorted((r.vec_id, r.cell) for r in streamed.collect())
+    assert got_assign == want_assign and want_assign
+    assert streamed.select("batch_id").distinct().count() == 3
+
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    kw = dict(dim=64, k=5, nprobe=3, mode="exact")
+    got = sorted(map(tuple, ivf_search(
+        streamed.drop("batch_id"), cdf, queries, **kw
+    ).collect()))
+    want = sorted(map(tuple, ivf_search(
+        ivf_add(emb, centroids_from_df(cdf), dim=64, mode="exact"),
+        cdf, queries, **kw,
+    ).collect()))
+    assert got == want and want
+
+
+def test_streaming_ivf_add_replay_idempotent(spark, tmp_path, sf_dir):
+    """foreachBatch is at-least-once: a replayed micro-batch (same
+    batch_id) overwrites its own store partition, never double-appends
+    — and the quantizer is resolved once, not once per batch."""
+    from pyspark.sql import functions as F
+
+    from pyspark_pipeline_framework_spark.llm.similarity import ivf_index
+    from pyspark_pipeline_framework_spark.streaming.stateful import (
+        streaming_ivf_add_batch,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cdf, _ = ivf_index(emb, dim=64, nlist=8, mode="exact", train_sample=256)
+    cpath = str(tmp_path / "centroids")
+    cdf.write.parquet(cpath)
+    store = str(tmp_path / "store")
+    process = streaming_ivf_add_batch(store, cpath, dim=64, mode="exact")
+    b0 = emb.where(F.col("vec_id") % 2 == 0)
+    b1 = emb.where(F.col("vec_id") % 2 == 1)
+    process(b0, 0)
+    process(b1, 1)
+    once = sorted(
+        (r.vec_id, r.cell, r.batch_id) for r in spark.read.parquet(store).collect()
+    )
+    process(b1, 1)  # replay
+    again = sorted(
+        (r.vec_id, r.cell, r.batch_id) for r in spark.read.parquet(store).collect()
+    )
+    assert again == once
+    assert spark.read.parquet(store).count() == emb.count()
+
+
+def test_config_declared_streaming_ivf_add(spark, tmp_path, sf_dir):
+    """The declarative path: op:stream with an ivf_add block grows the
+    store; load-time validation rejects sink/neardup conflicts, missing
+    checkpoints, and malformed dims."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from pyspark_pipeline_framework_spark.llm.similarity import (
+        centroids_from_df,
+        ivf_add,
+        ivf_index,
+    )
+    from pyspark_pipeline_framework_spark.streaming.config import (
+        StreamingConfigError,
+        run_stream_component,
+        validate_stream_params,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cdf, _ = ivf_index(emb, dim=64, nlist=8, mode="exact", train_sample=256)
+    cpath = str(tmp_path / "centroids")
+    cdf.write.parquet(cpath)
+    src = str(tmp_path / "in")
+    for i in range(2):
+        emb.where(F.col("vec_id") % 2 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    store = str(tmp_path / "store")
+    params = {
+        "source": {"type": "file", "path": src, "file_format": "parquet",
+                   "schema": "vec_id BIGINT, embedding ARRAY<DOUBLE>",
+                   "options": {"maxFilesPerTrigger": "1"}},
+        "ivf_add": {"store": store, "centroids": cpath, "dim": 64,
+                    "mode": "exact"},
+        "trigger": "available_now",
+        "checkpoint": str(tmp_path / "ck"),
+        "timeout_s": 120,
+    }
+    validate_stream_params(params)
+    with _pytest.raises(StreamingConfigError, match="mutually exclusive"):
+        validate_stream_params({**params, "sink": {"type": "memory", "query_name": "x"}})
+    with _pytest.raises(StreamingConfigError, match="mutually exclusive"):
+        validate_stream_params(
+            {**params, "neardup": {"store": store, "pairs": store}}
+        )
+    with _pytest.raises(StreamingConfigError, match="checkpoint"):
+        validate_stream_params({k: v for k, v in params.items() if k != "checkpoint"})
+    with _pytest.raises(StreamingConfigError, match="dim"):
+        validate_stream_params(
+            {**params, "ivf_add": {**params["ivf_add"], "dim": "sixty-four"}}
+        )
+    with _pytest.raises(StreamingConfigError, match="unknown ivf_add fields"):
+        validate_stream_params(
+            {**params, "ivf_add": {**params["ivf_add"], "nlist": 8}}
+        )
+
+    run_stream_component(spark, **params)
+    got = sorted(
+        (r.vec_id, r.cell) for r in spark.read.parquet(store).collect()
+    )
+    want = sorted(
+        (r.vec_id, r.cell)
+        for r in ivf_add(emb, centroids_from_df(cdf), dim=64, mode="exact").collect()
+    )
+    assert got == want and want

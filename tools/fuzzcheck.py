@@ -2369,6 +2369,13 @@ def spec_for(seed: int, i: int, stats: dict) -> dict:
 _PARTITION_CONFS = (
     {"spark.sql.shuffle.partitions": "1", "spark.sql.adaptive.enabled": "false"},
     {"spark.sql.shuffle.partitions": "37", "spark.sql.adaptive.enabled": "true"},
+    # scan-split invariance: a 64 KiB split target forces many input
+    # partitions at the parquet scan itself (the read-side analogue of
+    # the shuffle knobs — on a cluster the split count follows file
+    # layout, never semantics)
+    {"spark.sql.files.maxPartitionBytes": "65536",
+     "spark.sql.shuffle.partitions": "5",
+     "spark.sql.adaptive.enabled": "true"},
 )
 
 
