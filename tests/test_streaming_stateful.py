@@ -462,3 +462,25 @@ def test_config_declared_streaming_ivf_add(spark, tmp_path, sf_dir):
         for r in ivf_add(emb, centroids_from_df(cdf), dim=64, mode="exact").collect()
     )
     assert got == want and want
+
+
+def test_streaming_ivf_add_empty_micro_batch(spark, tmp_path, sf_dir):
+    """foreachBatch can deliver an EMPTY micro-batch (e.g. a trigger
+    with no new files): the operator must land an empty batch
+    partition and the store must stay readable and searchable."""
+    from pyspark.sql import functions as F
+
+    from pyspark_pipeline_framework_spark.llm.similarity import ivf_index
+    from pyspark_pipeline_framework_spark.streaming.stateful import (
+        streaming_ivf_add_batch,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cdf, _ = ivf_index(emb, dim=64, nlist=8, mode="exact", train_sample=256)
+    store = str(tmp_path / "store")
+    process = streaming_ivf_add_batch(store, cdf, dim=64, mode="exact")
+    process(emb.where(F.col("vec_id") % 2 == 0), 0)
+    process(emb.limit(0), 1)  # empty micro-batch
+    got = spark.read.parquet(store)
+    assert got.count() == emb.where(F.col("vec_id") % 2 == 0).count()
+    assert got.where(F.col("batch_id") == 1).count() == 0
