@@ -67,9 +67,19 @@ unsupported in streaming aggregation).
    tests/test_streaming_stateful.py); the reset rule covers the same
    state-lifecycle surface deterministically.
 
+6. **streaming IVF index growth**: random quantizer size (nlist),
+   assignment mode (fast/exact), batch count, corpus subset, and
+   batch-split salt per spec, with ONE batch replayed mid-stream
+   (foreachBatch's at-least-once contract): driving
+   ``streaming_ivf_add_batch`` batch-by-batch must leave exactly the
+   batch ``ivf_add`` store under the same frozen quantizer, and (on a
+   sampled third of specs) ``ivf_search`` over the streamed store must
+   equal search over the batch store. Exercises the
+   parquet-is-the-state recipe under random growth histories.
+
 Usage: python tools/streamfuzz.py [--n-dedup 12] [--n-agg 12]
                                   [--n-join 10] [--n-session 10]
-                                  [--n-stateful 10]
+                                  [--n-stateful 10] [--n-ivf 8]
                                   [--seed 2026] [--sf DIR]
 Exit 0 iff zero mismatches.
 """
@@ -415,8 +425,82 @@ def _stateful_family(spark, tmp, seed, n_stateful, tws: bool) -> int:
     return failures
 
 
+def _ivf_family(spark, tmp: str, seed: int, n_ivf: int, sf_dir: str) -> int:
+    """Family 6: randomized streaming ANN-index growth. Returns the
+    failure count. Random nlist/mode/batch-count/subset/split-salt per
+    spec; one batch replayed mid-stream (foreachBatch's at-least-once
+    contract); store compared pairwise to the batch twin, search
+    compared on a sampled third."""
+    import random as _random
+
+    from pyspark.sql import functions as F
+
+    from pyspark_pipeline_framework_spark.llm.similarity import (
+        centroids_from_df,
+        ivf_add,
+        ivf_index,
+        ivf_search,
+    )
+    from pyspark_pipeline_framework_spark.streaming.stateful import (
+        streaming_ivf_add_batch,
+    )
+
+    rng = _random.Random(seed * 7919 + 66)
+    emb_full = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    failures = 0
+    for i in range(n_ivf):
+        nlist = rng.choice([4, 8, 16])
+        mode = rng.choice(["fast", "exact"])
+        nb = rng.randint(2, 5)
+        m = rng.randint(1, 3)          # corpus subset (m=1 → full table)
+        salt = rng.randint(0, 10**6)   # batch-split salt
+        t0 = time.time()
+        sub = emb_full.where(F.col("vec_id") % m == 0)
+        cdf, _ = ivf_index(
+            sub, dim=64, nlist=nlist, mode=mode,
+            train_sample=rng.choice([128, 256]),
+        )
+        store = os.path.join(tmp, f"ivf6_{i}")
+        proc = streaming_ivf_add_batch(store, cdf, 64, mode=mode)
+        replay_at = rng.randrange(nb)
+        for j in range(nb):
+            b = sub.where((F.col("vec_id") + salt) % nb == j)
+            proc(b, j)
+            if j == replay_at:
+                proc(b, j)  # at-least-once replay of the same batch id
+        streamed = spark.read.parquet(store)
+        got = sorted((r.vec_id, r.cell) for r in streamed.collect())
+        want_df = ivf_add(sub, centroids_from_df(cdf), 64, mode=mode)
+        want = sorted((r.vec_id, r.cell) for r in want_df.collect())
+        ok = got == want and got
+        label = f"ivf6 #{i} nlist={nlist} mode={mode} nb={nb} m={m}"
+        if not ok:
+            failures += 1
+            print(f"FAIL  {label}: streamed store != batch store "
+                  f"({len(got)} vs {len(want)} rows)")
+            continue
+        if i % 3 == 0:
+            qids = [r.vec_id for r in sub.limit(3).collect()]
+            queries = sub.where(F.col("vec_id").isin(qids)).select(
+                F.col("vec_id").alias("query_id"), "embedding"
+            )
+            kw = dict(dim=64, k=3, nprobe=2, mode=mode)
+            s_got = sorted(map(tuple, ivf_search(
+                streamed.drop("batch_id"), cdf, queries, **kw).collect()))
+            s_want = sorted(map(tuple, ivf_search(
+                want_df, cdf, queries, **kw).collect()))
+            if s_got != s_want:
+                failures += 1
+                print(f"FAIL  {label}: streamed search != batch search")
+                continue
+            label += " +search"
+        print(f"OK    {label} ({len(got)} rows, {time.time() - t0:.1f}s)")
+    return failures
+
+
 def run(n_dedup: int, n_agg: int, seed: int, sf_dir: str,
-        n_join: int = 10, n_session: int = 10, n_stateful: int = 10) -> int:
+        n_join: int = 10, n_session: int = 10, n_stateful: int = 10,
+        n_ivf: int = 8) -> int:
     import random
 
     from pyspark.sql import functions as F
@@ -682,6 +766,18 @@ def run(n_dedup: int, n_agg: int, seed: int, sf_dir: str,
         elif nprog < 2:
             print(f"  spec={spec}\n  only {nprog} data batch(es)")
 
+    # ---- family 6: streaming IVF index growth ------------------------
+    # random quantizer size / assignment mode / batch count / corpus
+    # subset / batch-split salt, plus ONE injected at-least-once replay
+    # per spec: driving streaming_ivf_add_batch batch-by-batch must
+    # leave exactly the batch ivf_add store (same frozen quantizer),
+    # and on a sampled third of specs ivf_search over the streamed
+    # store must equal search over the batch store.
+    n_run6 = 0
+    if n_ivf:
+        failures += _ivf_family(spark, tmp, seed, n_ivf, sf_dir)
+        n_run6 = n_ivf
+
     # ---- family 5: randomized stateful processors -------------------
     # (VERDICT r7 item 6) random key cardinality / batch splits / state
     # lifecycle, run through BOTH state APIs — the legacy
@@ -705,11 +801,11 @@ def run(n_dedup: int, n_agg: int, seed: int, sf_dir: str,
 
     shutil.rmtree(tmp, ignore_errors=True)
     total = (len(dedup_specs) + len(agg_specs)
-             + len(join_specs) + len(session_specs)) + n_run5
+             + len(join_specs) + len(session_specs)) + n_run5 + n_run6
     print(f"\n{total} stateful streaming specs, {failures} mismatches, "
           f"{time.time() - t_all:.0f}s (seed={seed})")
     return 1 if failures or total < (n_dedup + n_agg + n_join
-                                     + n_session + n_stateful) else 0
+                                     + n_session + n_stateful + n_ivf) else 0
 
 
 def main() -> int:
@@ -719,13 +815,14 @@ def main() -> int:
     ap.add_argument("--n-join", type=int, default=10)
     ap.add_argument("--n-session", type=int, default=10)
     ap.add_argument("--n-stateful", type=int, default=10)
+    ap.add_argument("--n-ivf", type=int, default=8)
     ap.add_argument("--seed", type=int, default=2026)
     ap.add_argument("--sf", default=os.environ.get("SPARK_GRAFT_SF_DIR",
                                                    "/root/testdata/sf0.01"))
     a = ap.parse_args()
     return run(a.n_dedup, a.n_agg, a.seed, a.sf,
                n_join=a.n_join, n_session=a.n_session,
-               n_stateful=a.n_stateful)
+               n_stateful=a.n_stateful, n_ivf=a.n_ivf)
 
 
 if __name__ == "__main__":
