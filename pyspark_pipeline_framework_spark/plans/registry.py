@@ -441,6 +441,20 @@ def op_media_probe(
     return catalog.put(output, probe_media(catalog.get(input), **params))
 
 
+@default_registry.register("compact_store")
+def op_compact_store(
+    spark: SparkSession, catalog: Catalog, *, store: str, out: str,
+    output: str | None = None, **params,
+) -> DataFrame | None:
+    """Fold a batch_id-per-micro-batch incremental store (MinHash band
+    store, IVF vector store) into one baseline partition at a NEW path
+    — the small-files fix; see io.compaction.compact_batch_store."""
+    from pyspark_pipeline_framework_spark.io.compaction import compact_batch_store
+
+    df = compact_batch_store(spark, store, out, **params)
+    return catalog.put(output, df) if output else None
+
+
 @default_registry.register("quantize_embeddings")
 def op_quantize_embeddings(
     spark: SparkSession, catalog: Catalog, *, output: str, input: str, **params

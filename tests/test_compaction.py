@@ -1,0 +1,166 @@
+"""Compaction of batch_id-partitioned incremental stores
+(io/compaction.py): the small-files fix must preserve every
+incremental contract — history filter, replay overwrite, and
+fresh-checkpoint restart safety."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from pyspark_pipeline_framework_spark.io.compaction import compact_batch_store
+
+
+def _band_store(spark, tmp_path, docs):
+    from pyspark_pipeline_framework_spark.streaming.stateful import (
+        incremental_neardup_batch,
+    )
+
+    store = str(tmp_path / "store")
+    pairs = str(tmp_path / "pairs")
+    process = incremental_neardup_batch(store, pairs)
+    process(docs.where(F.col("doc_id") % 3 == 0), 0)
+    process(docs.where(F.col("doc_id") % 3 == 1), 1)
+    return store, pairs, process
+
+
+def test_compacted_band_store_preserves_incremental_pairs(spark, tmp_path, sf_dir):
+    """After compaction, joining the NEXT batch against the baseline
+    must produce exactly the pairs the uncompacted history produced —
+    including under a fresh-checkpoint restart where the new stream's
+    batch ids start at 0 again (the case an uncompacted store silently
+    corrupts by overwriting its old batch_id=0 partition)."""
+    from pyspark_pipeline_framework_spark.llm.dedup import (
+        incremental_candidate_pairs,
+        minhash_bands,
+    )
+    from pyspark_pipeline_framework_spark.streaming.stateful import (
+        incremental_neardup_batch,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    store, _, _ = _band_store(spark, tmp_path, docs)
+    n_history = spark.read.parquet(store).count()
+
+    compacted = str(tmp_path / "store_c")
+    got = compact_batch_store(spark, store, compacted)
+    assert got.count() == n_history
+    assert [r.batch_id for r in got.select("batch_id").distinct().collect()] == [-1]
+
+    # fresh-checkpoint restart: the new stream's FIRST batch is id 0
+    batch2 = docs.where(F.col("doc_id") % 3 == 2)
+    pairs2 = str(tmp_path / "pairs_c")
+    incremental_neardup_batch(compacted, pairs2)(batch2, 0)
+
+    want = sorted(
+        (r.id_a, r.id_b)
+        for r in incremental_candidate_pairs(
+            minhash_bands(batch2),
+            minhash_bands(docs.where(F.col("doc_id") % 3 != 2)),
+        ).collect()
+    )
+    got_pairs = sorted(
+        (r.id_a, r.id_b) for r in spark.read.parquet(pairs2).collect()
+    )
+    assert got_pairs == want and want
+    # the baseline survived the new batch 0 write untouched
+    after = spark.read.parquet(compacted)
+    assert after.where(F.col("batch_id") == -1).count() == n_history
+    assert after.select("batch_id").distinct().count() == 2
+
+
+def test_compaction_bounds_file_count(spark, tmp_path, sf_dir):
+    import glob
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    store, _, _ = _band_store(spark, tmp_path, docs)
+    compacted = str(tmp_path / "store_c")
+    compact_batch_store(spark, store, compacted, target_files=2)
+    files = glob.glob(f"{compacted}/batch_id=-1/*.parquet")
+    assert 0 < len(files) <= 2
+    # more parquet files before than after (the point of the exercise)
+    before = glob.glob(f"{store}/batch_id=*/*.parquet")
+    assert len(before) > len(files)
+
+
+def test_compacted_ivf_store_search_and_cell_pruning(spark, tmp_path, sf_dir):
+    """IVF store compaction with partition_by=['cell']: search results
+    identical, and prune_cells static-prunes the compacted baseline."""
+    import re
+
+    from pyspark_pipeline_framework_spark.llm.similarity import ivf_index, ivf_search
+    from pyspark_pipeline_framework_spark.streaming.stateful import (
+        streaming_ivf_add_batch,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cdf, _ = ivf_index(emb, dim=64, nlist=8, mode="exact", train_sample=256)
+    store = str(tmp_path / "ivf")
+    process = streaming_ivf_add_batch(store, cdf, dim=64, mode="exact")
+    process(emb.where(F.col("vec_id") % 2 == 0), 0)
+    process(emb.where(F.col("vec_id") % 2 == 1), 1)
+
+    compacted = str(tmp_path / "ivf_c")
+    got = compact_batch_store(spark, store, compacted, partition_by=["cell"])
+    assert got.count() == spark.read.parquet(store).count()
+
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    kw = dict(dim=64, k=5, nprobe=2, mode="exact")
+    want = sorted(map(tuple, ivf_search(
+        spark.read.parquet(store).drop("batch_id"), cdf, queries, **kw
+    ).collect()))
+    pruned = ivf_search(
+        spark.read.parquet(compacted).drop("batch_id"), cdf, queries,
+        prune_cells=True, **kw,
+    )
+    assert sorted(map(tuple, pruned.collect())) == want and want
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "cell" in m.group(1)
+
+
+def test_compaction_validation_errors(spark, tmp_path, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    store, _, _ = _band_store(spark, tmp_path, docs)
+    with pytest.raises(ValueError, match="NEW store directory"):
+        compact_batch_store(spark, store, store + "/")
+    with pytest.raises(ValueError, match="negative int"):
+        compact_batch_store(spark, store, str(tmp_path / "x"), baseline_batch_id=0)
+    with pytest.raises(ValueError, match="partition_by columns"):
+        compact_batch_store(
+            spark, store, str(tmp_path / "x"), partition_by=["nope"]
+        )
+    flat = str(tmp_path / "flat")
+    docs.limit(5).write.parquet(flat)
+    with pytest.raises(ValueError, match="batch_id-partitioned"):
+        compact_batch_store(spark, flat, str(tmp_path / "x"))
+    # refuse to overwrite an existing output (errorifexists)
+    out = str(tmp_path / "once")
+    compact_batch_store(spark, store, out)
+    from pyspark.errors import AnalysisException
+
+    with pytest.raises(AnalysisException):
+        compact_batch_store(spark, store, out)
+
+
+def test_compact_store_config_op(spark, tmp_path, sf_dir):
+    """Declarative path: op compact_store in a pipeline."""
+    from pyspark_pipeline_framework_spark.plans.config import PipelineConfig
+    from pyspark_pipeline_framework_spark.plans.result import PipelineStatus
+    from pyspark_pipeline_framework_spark.plans.runner import PipelineRunner
+    from pyspark_pipeline_framework_spark.resilience.presets import NO_RETRY
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    store, _, _ = _band_store(spark, tmp_path, docs)
+    out = str(tmp_path / "store_c")
+    cfg = PipelineConfig.from_dict({
+        "name": "compact-demo",
+        "components": [
+            {"name": "compact", "op": "compact_store", "output": "baseline",
+             "params": {"store": store, "out": out, "target_files": 2}},
+        ],
+    })
+    runner = PipelineRunner(cfg, spark, resilience=NO_RETRY)
+    assert runner.run().status == PipelineStatus.SUCCESS
+    assert runner.catalog.get("baseline").count() == spark.read.parquet(store).count()
