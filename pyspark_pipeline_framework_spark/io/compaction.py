@@ -43,6 +43,7 @@ def compact_batch_store(
     baseline_batch_id: int = -1,
     target_files: int | None = None,
     partition_by: list[str] | None = None,
+    sort_within_partitions: list[str] | None = None,
 ) -> DataFrame:
     """Rewrite a ``batch_id=N``-per-micro-batch store as one baseline
     partition ``batch_id=<baseline_batch_id>`` at ``out_path``.
@@ -52,7 +53,12 @@ def compact_batch_store(
     sub-partitions the baseline by the given columns (e.g. ``["cell"]``
     for an IVF store, so searches static-prune compacted history too);
     rows are repartitioned on those keys so each value lands in few
-    files. Returns the compacted store read back from ``out_path``.
+    files. ``sort_within_partitions`` sorts rows inside each output
+    file (no extra exchange — a per-partition sort before the write):
+    sorting a band store by ``band_hash`` (or an IVF baseline by
+    ``cell``) turns the key columns into dictionary/RLE runs and gives
+    parquet row-group min/max statistics that scans can skip on.
+    Returns the compacted store read back from ``out_path``.
     """
     if not isinstance(baseline_batch_id, int) or baseline_batch_id >= 0:
         raise ValueError(
@@ -85,6 +91,13 @@ def compact_batch_store(
             target_files or spark.sparkContext.defaultParallelism
         )
         spec = ["batch_id"]
+    if sort_within_partitions:
+        missing = [c for c in sort_within_partitions if c not in body.columns]
+        if missing:
+            raise ValueError(
+                f"sort_within_partitions columns not in store: {missing}"
+            )
+        body = body.sortWithinPartitions(*sort_within_partitions)
     # errorifexists: compaction targets a fresh directory, never an
     # existing one — the swap is the caller's explicit, checkable step
     body.write.mode("errorifexists").partitionBy(*spec).parquet(out_path)

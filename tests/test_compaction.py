@@ -164,3 +164,27 @@ def test_compact_store_config_op(spark, tmp_path, sf_dir):
     runner = PipelineRunner(cfg, spark, resilience=NO_RETRY)
     assert runner.run().status == PipelineStatus.SUCCESS
     assert runner.catalog.get("baseline").count() == spark.read.parquet(store).count()
+
+
+def test_compaction_sorted_within_partitions(spark, tmp_path, sf_dir):
+    """sort_within_partitions must leave each output file sorted on the
+    key (row-group statistics / RLE win) without changing the row set."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    store, _, _ = _band_store(spark, tmp_path, docs)
+    compacted = str(tmp_path / "store_c")
+    got = compact_batch_store(
+        spark, store, compacted, target_files=2,
+        sort_within_partitions=["band_hash"],
+    )
+    assert got.count() == spark.read.parquet(store).count()
+    for f in glob.glob(f"{compacted}/batch_id=-1/*.parquet"):
+        vals = pq.read_table(f, columns=["band_hash"])["band_hash"].to_pylist()
+        assert vals == sorted(vals)
+    with pytest.raises(ValueError, match="sort_within_partitions columns"):
+        compact_batch_store(
+            spark, store, str(tmp_path / "x"), sort_within_partitions=["nope"]
+        )
