@@ -28,9 +28,17 @@ Compaction writes a NEW store directory and refuses to overwrite
 anything — an interrupted compaction must never be able to damage the
 only copy. Swap paths in the pipeline config (or rename directories)
 once the write succeeds, then delete the old store.
+
+Run compaction with the writing stream STOPPED (it is maintenance, not
+a concurrent operator): the input file listing is fixed at scan
+planning, so a micro-batch landing mid-compaction would exist only in
+the old store — deleting the old store after the swap would silently
+drop it.
 """
 
 from __future__ import annotations
+
+import os
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
@@ -65,7 +73,14 @@ def compact_batch_store(
             "baseline_batch_id must be a negative int — real micro-batch "
             f"ids start at 0 and must stay overwritable, got {baseline_batch_id!r}"
         )
-    if out_path.rstrip("/") == store_path.rstrip("/"):
+    def _canon(p: str) -> str:
+        # resolve local paths so "store/" and "./store" collide loudly;
+        # URI paths (s3://, hdfs://) are compared as written — abspath
+        # would mangle the scheme
+        p = p.rstrip("/")
+        return p if "://" in p else os.path.abspath(p)
+
+    if _canon(out_path) == _canon(store_path):
         raise ValueError(
             "compaction must write a NEW store directory (out_path == "
             "store_path): an interrupted in-place rewrite would corrupt "
