@@ -5,6 +5,10 @@ Runs every ``queries()`` case on Spark and (where present) its
 row count + name-sorted schema + order-insensitive values.
 
 Usage: python tools/selfcheck.py [sf_dir] [case ...]
+
+Layout sweeps (r9): set SELFCHECK_SHUFFLE_PARTITIONS / SELFCHECK_AQE /
+SELFCHECK_ANSI to replay the whole gate under an alternate physical
+layout or ANSI mode — results must be identical (see FUZZCHECK.md).
 """
 
 from __future__ import annotations
