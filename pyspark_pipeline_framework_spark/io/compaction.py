@@ -29,6 +29,17 @@ anything — an interrupted compaction must never be able to damage the
 only copy. Swap paths in the pipeline config (or rename directories)
 once the write succeeds, then delete the old store.
 
+``partition_by`` changes the on-disk layout to NESTED
+(``batch_id=-1/<key>=.../``) — a stream resumed onto such a store must
+mirror it by passing the SAME ``partition_by`` to its writer
+(``incremental_neardup_batch`` / ``streaming_ivf_add_batch`` /
+the config blocks' ``partition_by``), or every subsequent read fails
+with Spark's 'conflicting directory structures' (r9 ADVICE). The
+writers probe the layout on their first micro-batch and raise
+``StoreLayoutError`` before writing a mismatched partition. The
+fresh-checkpoint-restart guarantee above holds for BOTH layouts, but
+only with a layout-matched writer.
+
 Run compaction with the writing stream STOPPED (it is maintenance, not
 a concurrent operator): the input file listing is fixed at scan
 planning, so a micro-batch landing mid-compaction would exist only in
@@ -52,12 +63,15 @@ def compact_batch_store(
     target_files: int | None = None,
     partition_by: list[str] | None = None,
     sort_within_partitions: list[str] | None = None,
+    remove_ids=None,
+    remove_id_col: str | None = None,
 ) -> DataFrame:
     """Rewrite a ``batch_id=N``-per-micro-batch store as one baseline
     partition ``batch_id=<baseline_batch_id>`` at ``out_path``.
 
     ``target_files`` bounds the output file count (one exchange; default
-    ``spark.sparkContext.defaultParallelism``). ``partition_by`` instead
+    the session parallelism — ``connect_compat.session_parallelism``,
+    Connect-safe). ``partition_by`` instead
     sub-partitions the baseline by the given columns (e.g. ``["cell"]``
     for an IVF store, so searches static-prune compacted history too);
     rows are repartitioned on those keys so each value lands in few
@@ -66,6 +80,18 @@ def compact_batch_store(
     sorting a band store by ``band_hash`` (or an IVF baseline by
     ``cell``) turns the key columns into dictionary/RLE runs and gives
     parquet row-group min/max statistics that scans can skip on.
+
+    ``remove_ids`` + ``remove_id_col`` (r9 VERDICT item 3 — tombstone
+    deletes): drop every row whose ``remove_id_col`` appears in
+    ``remove_ids`` (a DataFrame, a parquet path, or a Python iterable
+    of ids) while rewriting — one ``left_anti`` join on the id, folded
+    into the compaction's existing full-scan write. A
+    right-to-be-forgotten delete therefore costs one compaction the
+    store was due for anyway, NOT a from-scratch signature/assignment
+    rebuild: the surviving rows' bands/cells are reused verbatim, and
+    incremental search / candidate pairs against the compacted store
+    are exactly what a rebuild on the reduced corpus would produce
+    (``tests/test_compaction.py``, suite ``q_dedup_minhash_del_md5``).
     Returns the compacted store read back from ``out_path``.
     """
     if not isinstance(baseline_batch_id, int) or baseline_batch_id >= 0:
@@ -80,11 +106,23 @@ def compact_batch_store(
         p = p.rstrip("/")
         return p if "://" in p else os.path.abspath(p)
 
-    if _canon(out_path) == _canon(store_path):
+    out_c, store_c = _canon(out_path), _canon(store_path)
+    if out_c == store_c:
         raise ValueError(
             "compaction must write a NEW store directory (out_path == "
             "store_path): an interrupted in-place rewrite would corrupt "
             "the only copy"
+        )
+    # nesting in EITHER direction is as fatal as equality (r9 ADVICE):
+    # out INSIDE store leaves a foreign subtree that makes every later
+    # read of the original store fail or double-count; store INSIDE out
+    # means a post-swap `rm old-store` deletes the new copy too
+    if out_c.startswith(store_c + "/") or store_c.startswith(out_c + "/"):
+        raise ValueError(
+            f"out_path and store_path must not be nested (got out_path="
+            f"{out_path!r} inside/containing store_path={store_path!r}): "
+            "a compacted subtree inside the live store corrupts every "
+            "subsequent read of it"
         )
     df = spark.read.parquet(store_path)
     if "batch_id" not in df.columns:
@@ -92,6 +130,39 @@ def compact_batch_store(
             f"{store_path} is not a batch_id-partitioned store "
             f"(columns: {df.columns})"
         )
+    if (remove_ids is None) != (remove_id_col is None):
+        raise ValueError(
+            "remove_ids and remove_id_col must be passed together (the "
+            "column name says which id the tombstones target — 'id' for "
+            "a band store, 'vec_id' for an IVF store)"
+        )
+    if remove_ids is not None:
+        if remove_id_col not in df.columns:
+            raise ValueError(
+                f"remove_id_col {remove_id_col!r} not in store "
+                f"(columns: {df.columns})"
+            )
+        tomb = remove_ids
+        if isinstance(tomb, str):
+            tomb = spark.read.parquet(tomb)
+        if isinstance(tomb, DataFrame):
+            if remove_id_col in tomb.columns:
+                tomb = tomb.select(remove_id_col)
+            elif len(tomb.columns) == 1:
+                tomb = tomb.select(F.col(tomb.columns[0]).alias(remove_id_col))
+            else:
+                raise ValueError(
+                    f"remove_ids DataFrame must carry {remove_id_col!r} or a "
+                    f"single id column, got {tomb.columns}"
+                )
+        else:
+            id_type = dict(df.dtypes)[remove_id_col]
+            tomb = spark.createDataFrame(
+                [(x,) for x in tomb], f"`{remove_id_col}` {id_type}"
+            )
+        # one anti-join on the id key, deduped so a repeated tombstone
+        # never skews the join; Catalyst broadcasts small tombstone sets
+        df = df.join(tomb.distinct(), on=remove_id_col, how="left_anti")
     body = df.drop("batch_id").withColumn(
         "batch_id", F.lit(baseline_batch_id).cast("int")
     )
@@ -102,9 +173,11 @@ def compact_batch_store(
         body = body.repartition(*[F.col(c) for c in partition_by])
         spec = ["batch_id", *partition_by]
     else:
-        body = body.repartition(
-            target_files or spark.sparkContext.defaultParallelism
+        from pyspark_pipeline_framework_spark.connect_compat import (
+            session_parallelism,
         )
+
+        body = body.repartition(target_files or session_parallelism(spark))
         spec = ["batch_id"]
     if sort_within_partitions:
         missing = [c for c in sort_within_partitions if c not in body.columns]

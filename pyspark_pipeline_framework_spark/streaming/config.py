@@ -119,7 +119,22 @@ _STREAM_PARAMS = {
 
 _NEARDUP_REQUIRED = {"store", "pairs"}
 _NEARDUP_OPTIONAL = {"id_col", "text_col", "num_hashes", "bands",
-                     "shingle_k", "hash_fn"}
+                     "shingle_k", "hash_fn", "partition_by"}
+
+
+def _check_partition_by(blk: Any, what: str) -> None:
+    """Shared shape check for the optional ``partition_by`` of the
+    incremental-store blocks: the layout-mirroring list passed through
+    to the writer (r9 ADVICE — must match a compacted store's nesting)."""
+    pb = blk.get("partition_by")
+    if pb is not None and (
+        not isinstance(pb, list) or not pb
+        or not all(isinstance(c, str) and c for c in pb)
+    ):
+        raise StreamingConfigError(
+            f"{what} partition_by must be a non-empty list of column "
+            f"names (the batch_id=N sub-partition layout), got {pb!r}"
+        )
 
 
 def _check_neardup(nd: Any, *, has_sink: bool, checkpoint: Any) -> None:
@@ -138,6 +153,7 @@ def _check_neardup(nd: Any, *, has_sink: bool, checkpoint: Any) -> None:
             f"unknown neardup fields {sorted(unknown_nd)} (allowed: "
             f"{sorted(_NEARDUP_REQUIRED | _NEARDUP_OPTIONAL)})"
         )
+    _check_partition_by(nd, "neardup")
     if has_sink:
         raise StreamingConfigError(
             "neardup and sink are mutually exclusive — the near-dup "
@@ -154,7 +170,7 @@ def _check_neardup(nd: Any, *, has_sink: bool, checkpoint: Any) -> None:
 
 
 _IVF_ADD_REQUIRED = {"store", "centroids", "dim"}
-_IVF_ADD_OPTIONAL = {"id_col", "vec_col", "mode"}
+_IVF_ADD_OPTIONAL = {"id_col", "vec_col", "mode", "partition_by"}
 
 
 def _check_ivf_add(blk: Any, *, has_sink: bool, has_neardup: bool,
@@ -176,10 +192,12 @@ def _check_ivf_add(blk: Any, *, has_sink: bool, has_neardup: bool,
             f"unknown ivf_add fields {sorted(unknown)} (allowed: "
             f"{sorted(_IVF_ADD_REQUIRED | _IVF_ADD_OPTIONAL)})"
         )
-    if not isinstance(blk["dim"], int) or blk["dim"] <= 0:
+    # bool subclasses int: `dim: true` must not pass as dim=1 (r9 ADVICE)
+    if not isinstance(blk["dim"], int) or isinstance(blk["dim"], bool) or blk["dim"] <= 0:
         raise StreamingConfigError(
             f"ivf_add dim must be a positive int, got {blk['dim']!r}"
         )
+    _check_partition_by(blk, "ivf_add")
     if has_sink or has_neardup:
         raise StreamingConfigError(
             "ivf_add is mutually exclusive with sink/neardup — the "

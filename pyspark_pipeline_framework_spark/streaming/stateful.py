@@ -34,6 +34,63 @@ from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 
+class StoreLayoutError(ValueError):
+    """The incremental store on disk and the stream writer disagree on
+    the sub-partition layout (r9 ADVICE): a store compacted with
+    ``partition_by=[...]`` is nested ``batch_id=-1/<key>=.../`` — a
+    writer appending FLAT ``batch_id=N`` dirs (keys as data columns)
+    next to it makes ``spark.read.parquet(store)`` fail with Spark's
+    'conflicting directory structures'. Pass the SAME ``partition_by``
+    to the stream writer as was passed to ``compact_batch_store`` (or
+    keep a partition_by-compacted store search-only)."""
+
+
+def _store_sub_layout(spark, store_path: str) -> list[str] | None:
+    """Partition keys nested BENEATH the ``batch_id=N`` level of an
+    existing store, in path order — ``[]`` for a flat store, ``None``
+    when the store doesn't exist yet. Derived from the file paths Spark
+    itself resolved (works on any Hadoop-visible FS and on Connect —
+    no SparkContext / JVM access)."""
+    try:
+        files = spark.read.parquet(store_path).inputFiles()
+    except Exception as ex:
+        if "onflicting directory structures" in str(ex):
+            raise StoreLayoutError(
+                f"store {store_path!r} already MIXES flat and nested "
+                "batch partitions (Spark: conflicting directory "
+                "structures) — an earlier writer appended with the "
+                "wrong partition_by. Re-compact the store with "
+                "compact_batch_store to a single layout before "
+                "resuming the stream."
+            ) from ex
+        return None  # fresh store (or transient): nothing to mirror yet
+    for f in files:
+        parts = f.split("/")
+        try:
+            i = next(j for j, seg in enumerate(parts) if seg.startswith("batch_id="))
+        except StopIteration:
+            continue
+        return [seg.split("=", 1)[0] for seg in parts[i + 1:-1] if "=" in seg]
+    return None
+
+
+def _check_store_layout(spark, store_path: str,
+                        partition_by: list[str] | None) -> None:
+    existing = _store_sub_layout(spark, store_path)
+    want = list(partition_by or [])
+    if existing is not None and existing != want:
+        raise StoreLayoutError(
+            f"store {store_path!r} is laid out batch_id=N/"
+            f"{'/'.join(k + '=*' for k in existing) or '<flat>'} but this "
+            f"stream writer would append batch_id=N/"
+            f"{'/'.join(k + '=*' for k in want) or '<flat>'} — mixed "
+            "layouts make spark.read.parquet(store) fail with "
+            "'conflicting directory structures'. Pass partition_by="
+            f"{existing!r} to match the store (a compacted store mirrors "
+            "compact_batch_store's partition_by)."
+        )
+
+
 def streaming_dedup(
     df: DataFrame,
     keys: list[str],
@@ -168,6 +225,7 @@ def incremental_neardup_batch(
     bands: int = 16,
     shingle_k: int = 3,
     hash_fn: str = "xxhash64",
+    partition_by: list[str] | None = None,
 ):
     """``foreachBatch`` factory: streaming NEAR-dup detection — the
     stateful big sibling of :func:`streaming_dedup` (which is
@@ -187,6 +245,16 @@ def incremental_neardup_batch(
     ``batch_id < N`` so a half-written previous attempt of the SAME
     batch never joins as history.
 
+    ``partition_by`` mirrors a compacted store's sub-partition layout
+    (r9 ADVICE): when the live store was rewritten by
+    ``compact_batch_store(..., partition_by=[...])`` its history is
+    nested ``batch_id=-1/<key>=.../`` — new batches must nest the same
+    way (``partitionBy(*partition_by)`` INSIDE ``batch_id=N``) or every
+    subsequent read of the store fails with Spark's 'conflicting
+    directory structures'. The first micro-batch probes the existing
+    store layout and raises :class:`StoreLayoutError` on a mismatch —
+    before writing anything.
+
     Returns ``process(batch_df, batch_id)`` for
     ``writeStream.foreachBatch`` (or ``ForeachBatchSink``).
     """
@@ -197,8 +265,13 @@ def incremental_neardup_batch(
         minhash_bands,
     )
 
+    layout_checked: list = []
+
     def process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        if not layout_checked:
+            _check_store_layout(spark, store_path, partition_by)
+            layout_checked.append(True)
         bands_df = minhash_bands(
             batch_df, id_col, text_col, num_hashes, bands, shingle_k, hash_fn
         )
@@ -210,7 +283,10 @@ def incremental_neardup_batch(
         # still safe — the retry overwrites the same partition before
         # recomputing pairs
         new_dir = f"{store_path}/batch_id={batch_id}"
-        bands_df.write.mode("overwrite").parquet(new_dir)
+        w = bands_df.write.mode("overwrite")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(new_dir)
         store = spark.read.parquet(store_path)
         new = store.where(F.col("batch_id") == F.lit(batch_id)).drop("batch_id")
         # batch_id < N (not just != N): a half-written FUTURE partition
@@ -233,6 +309,7 @@ def streaming_ivf_add_batch(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     mode: str = "fast",
+    partition_by: list[str] | None = None,
 ):
     """``foreachBatch`` factory: streaming ANN-index growth — the
     incremental half of the IVF train-once/add-forever contract
@@ -255,8 +332,14 @@ def streaming_ivf_add_batch(
     hyperparameter — and paid once per stream, not once per batch).
     Search any union of batches at any time with ``ivf_search`` over
     ``spark.read.parquet(store_path)`` — the ``cell`` column survives
-    for pruning (write the store with ``partitionBy("cell")`` sinks
-    instead when static cell pruning matters more than batch lineage).
+    for pruning; pass ``partition_by=["cell"]`` to nest each batch as
+    ``batch_id=N/cell=K`` for STATIC cell pruning on top of batch
+    lineage. ``partition_by=["cell"]`` is REQUIRED when resuming into a
+    store compacted with ``compact_batch_store(...,
+    partition_by=["cell"])`` (r9 ADVICE): mixed flat/nested batch dirs
+    make every read of the store fail with 'conflicting directory
+    structures'. The first micro-batch probes the existing layout and
+    raises :class:`StoreLayoutError` on a mismatch — before writing.
     """
     from pyspark_pipeline_framework_spark.llm.similarity import (
         _as_centroid_matrix,
@@ -267,6 +350,7 @@ def streaming_ivf_add_batch(
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         if not memo:
+            _check_store_layout(batch_df.sparkSession, store_path, partition_by)
             c = centroids
             if isinstance(c, str):
                 c = batch_df.sparkSession.read.parquet(c)
@@ -274,8 +358,9 @@ def streaming_ivf_add_batch(
         assigned = ivf_add(
             batch_df, memo[0], dim, id_col=id_col, vec_col=vec_col, mode=mode
         )
-        assigned.write.mode("overwrite").parquet(
-            f"{store_path}/batch_id={batch_id}"
-        )
+        w = assigned.write.mode("overwrite")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(f"{store_path}/batch_id={batch_id}")
 
     return process

@@ -334,6 +334,75 @@ def q_dedup_minhash_incr_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     return incremental_candidate_pairs(new, corpus)
 
 
+@case(
+    "q_dedup_minhash_del_md5",
+    # Tombstone deletes (r9 VERDICT item 3): the corpus band store
+    # loses doc_id % 7 == 2 via compact_batch_store(remove_ids=...) —
+    # ONE anti-join folded into the rewrite, no signature recompute —
+    # and the next incremental tick joins against the compacted
+    # baseline. The oracle replays the whole MinHash pipeline from raw
+    # text over the REDUCED corpus, so the result must equal a
+    # from-scratch rebuild after the deletions: a stale band surviving
+    # the tombstone (or an over-deleted survivor) breaks the hash.
+    oracle=r"""
+    WITH words AS (
+      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS w
+      FROM documents WHERE doc_id % 7 != 2
+    ), sh AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+               range(1, greatest(len(w) - 2, 1) + 1),
+               i -> array_to_string(list_slice(w, i, i + 2), ' ')))) AS shingle
+      FROM words
+    ), base AS (
+      SELECT doc_id, md5(shingle) AS bh FROM sh
+    ), sig AS (
+      SELECT doc_id, seed,
+             MIN(substr(md5(concat(CAST(seed // 4 AS VARCHAR), ':', bh)),
+                        8 * CAST(seed % 4 AS INT) + 1, 8)) AS mh
+      FROM base, range(64) t(seed)
+      GROUP BY doc_id, seed
+    ), bands AS (
+      SELECT doc_id, CAST(seed // 4 AS INT) AS band_idx,
+             md5(string_agg(mh, ',' ORDER BY seed)) AS bhash
+      FROM sig GROUP BY doc_id, seed // 4
+    )
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM bands a JOIN bands b
+      ON a.band_idx = b.band_idx AND a.bhash = b.bhash AND a.doc_id < b.doc_id
+    WHERE a.doc_id % 5 = 1 OR b.doc_id % 5 = 1
+    """,
+)
+def q_dedup_minhash_del_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from pyspark_pipeline_framework_spark.io.compaction import compact_batch_store
+    from pyspark_pipeline_framework_spark.suite.io_cases import _scratch
+
+    d = table(spark, sf_dir, "documents")
+    kw = dict(num_hashes=64, bands=16, shingle_k=3, hash_fn="md5")
+    # corpus bands: same pinned fixture as q_dedup_minhash_incr_md5
+    # (production precedent: the store is built once, appended forever).
+    # The TIMED work each run: the store write, the tombstone
+    # compaction (anti-join rewrite) and the incremental bucket join.
+    corpus = shared_df(
+        spark,
+        ("minhash_band_store", sf_dir, 64, 16, 3, "md5", "mod5"),
+        lambda: minhash_bands(d.where(F.col("doc_id") % 5 != 1), **kw),
+    )
+    store = _scratch(sf_dir, "band_store_del")
+    corpus.write.mode("overwrite").parquet(f"{store}/batch_id=0")
+    out = _scratch(sf_dir, "band_store_del_c")
+    shutil.rmtree(out, ignore_errors=True)  # compaction refuses overwrite
+    tomb = d.where(F.col("doc_id") % 7 == 2).select(F.col("doc_id").alias("id"))
+    baseline = compact_batch_store(
+        spark, store, out, remove_ids=tomb, remove_id_col="id"
+    )
+    new = minhash_bands(
+        d.where((F.col("doc_id") % 5 == 1) & (F.col("doc_id") % 7 != 2)), **kw
+    )
+    return incremental_candidate_pairs(new, baseline.drop("batch_id"))
+
+
 def _simhash_block_pairs(sigs: DataFrame) -> DataFrame:
     """Positional 16-bit-block LSH over simhash signatures (shared by
     the xxhash64 and md5-portable cases)."""

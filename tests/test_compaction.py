@@ -120,11 +120,226 @@ def test_compacted_ivf_store_search_and_cell_pruning(spark, tmp_path, sf_dir):
     assert m and "cell" in m.group(1)
 
 
+def test_resume_stream_into_partitioned_compacted_store(spark, tmp_path, sf_dir):
+    """r9 ADVICE: a store compacted with partition_by=['cell'] stays a
+    valid LIVE store when the resumed stream writer mirrors the layout
+    (partition_by=['cell']); a layout-mismatched writer must fail with
+    StoreLayoutError BEFORE writing anything."""
+    from pyspark_pipeline_framework_spark.llm.similarity import ivf_index, ivf_search
+    from pyspark_pipeline_framework_spark.streaming.stateful import (
+        StoreLayoutError,
+        streaming_ivf_add_batch,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cdf, _ = ivf_index(emb, dim=64, nlist=8, mode="exact", train_sample=256)
+    store = str(tmp_path / "ivf")
+    streaming_ivf_add_batch(store, cdf, dim=64, mode="exact")(
+        emb.where(F.col("vec_id") % 2 == 0), 0
+    )
+    compacted = str(tmp_path / "ivf_c")
+    compact_batch_store(spark, store, compacted, partition_by=["cell"])
+    n_history = spark.read.parquet(compacted).count()
+
+    # mismatch: flat writer onto nested store — typed error, no write
+    with pytest.raises(StoreLayoutError, match="conflicting directory"):
+        streaming_ivf_add_batch(compacted, cdf, dim=64, mode="exact")(
+            emb.where(F.col("vec_id") % 2 == 1), 0
+        )
+    assert spark.read.parquet(compacted).count() == n_history
+
+    # mirrored writer: fresh-checkpoint restart (batch ids reset to 0)
+    # appends batch_id=0/cell=K next to the baseline — store readable,
+    # searchable, counts add up
+    streaming_ivf_add_batch(
+        compacted, cdf, dim=64, mode="exact", partition_by=["cell"]
+    )(emb.where(F.col("vec_id") % 2 == 1), 0)
+    grown = spark.read.parquet(compacted)
+    assert grown.count() == emb.count()
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    kw = dict(dim=64, k=5, nprobe=2, mode="exact")
+    got = sorted(map(tuple, ivf_search(
+        grown.drop("batch_id"), cdf, queries, **kw
+    ).collect()))
+    from pyspark_pipeline_framework_spark.llm.similarity import ivf_add
+
+    want = sorted(map(tuple, ivf_search(
+        ivf_add(emb, cdf, dim=64, mode="exact"), cdf, queries, **kw
+    ).collect()))
+    assert got == want and want  # mixed baseline+new store == full corpus
+
+    # mismatch the other way: nested writer onto a FLAT store
+    with pytest.raises(StoreLayoutError, match="conflicting directory"):
+        streaming_ivf_add_batch(
+            store, cdf, dim=64, mode="exact", partition_by=["cell"]
+        )(emb.where(F.col("vec_id") % 2 == 1), 1)
+
+
+def test_resume_neardup_stream_into_partitioned_compacted_store(
+    spark, tmp_path, sf_dir
+):
+    """Band-store variant of the layout-mirroring contract: compact
+    with partition_by=['band_idx'], resume the neardup stream with the
+    same partition_by — the next batch's pairs equal the uncompacted
+    history's pairs."""
+    from pyspark_pipeline_framework_spark.llm.dedup import (
+        incremental_candidate_pairs,
+        minhash_bands,
+    )
+    from pyspark_pipeline_framework_spark.streaming.stateful import (
+        StoreLayoutError,
+        incremental_neardup_batch,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    store, _, _ = _band_store(spark, tmp_path, docs)
+    compacted = str(tmp_path / "store_c")
+    compact_batch_store(spark, store, compacted, partition_by=["band_idx"])
+
+    with pytest.raises(StoreLayoutError, match="conflicting directory"):
+        incremental_neardup_batch(compacted, str(tmp_path / "px"))(
+            docs.where(F.col("doc_id") % 3 == 2), 0
+        )
+
+    batch2 = docs.where(F.col("doc_id") % 3 == 2)
+    pairs2 = str(tmp_path / "pairs_c")
+    incremental_neardup_batch(
+        compacted, pairs2, partition_by=["band_idx"]
+    )(batch2, 0)
+    want = sorted(
+        (r.id_a, r.id_b)
+        for r in incremental_candidate_pairs(
+            minhash_bands(batch2),
+            minhash_bands(docs.where(F.col("doc_id") % 3 != 2)),
+        ).collect()
+    )
+    got = sorted(
+        (r.id_a, r.id_b)
+        for r in spark.read.parquet(f"{pairs2}/batch_id=0").collect()
+    )
+    assert got == want
+
+
+def test_compaction_tombstones_band_store(spark, tmp_path, sf_dir):
+    """remove_ids during compaction == from-scratch rebuild on the
+    reduced corpus: the next incremental tick's pairs are identical,
+    and no tombstoned id survives anywhere in the baseline."""
+    from pyspark_pipeline_framework_spark.llm.dedup import (
+        incremental_candidate_pairs,
+        minhash_bands,
+    )
+    from pyspark_pipeline_framework_spark.streaming.stateful import (
+        incremental_neardup_batch,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    store, _, _ = _band_store(spark, tmp_path, docs)
+    deleted = docs.where(F.col("doc_id") % 4 == 0).select(
+        F.col("doc_id").alias("id")
+    )
+    compacted = str(tmp_path / "store_del")
+    got_store = compact_batch_store(
+        spark, store, compacted, remove_ids=deleted, remove_id_col="id"
+    )
+    assert got_store.join(deleted, "id", "inner").count() == 0
+
+    batch2 = docs.where((F.col("doc_id") % 3 == 2) & (F.col("doc_id") % 4 != 0))
+    pairs_dir = str(tmp_path / "pairs_del")
+    incremental_neardup_batch(compacted, pairs_dir)(batch2, 0)
+    got = sorted(
+        (r.id_a, r.id_b)
+        for r in spark.read.parquet(f"{pairs_dir}/batch_id=0").collect()
+    )
+    rebuilt_corpus = minhash_bands(
+        docs.where((F.col("doc_id") % 3 != 2) & (F.col("doc_id") % 4 != 0))
+    )
+    want = sorted(
+        (r.id_a, r.id_b)
+        for r in incremental_candidate_pairs(
+            minhash_bands(batch2), rebuilt_corpus
+        ).collect()
+    )
+    assert got == want
+
+    # a python list works too, and repeated ids don't skew the anti-join
+    ids = [r.id for r in deleted.collect()]
+    got2 = compact_batch_store(
+        spark, store, str(tmp_path / "store_del2"),
+        remove_ids=ids + ids[:3], remove_id_col="id",
+    )
+    assert got2.count() == got_store.count()
+
+
+def test_compaction_tombstones_ivf_store(spark, tmp_path, sf_dir):
+    """IVF store: search over the tombstone-compacted baseline equals
+    search over a from-scratch assignment of the reduced corpus."""
+    from pyspark_pipeline_framework_spark.llm.similarity import (
+        ivf_add,
+        ivf_index,
+        ivf_search,
+    )
+    from pyspark_pipeline_framework_spark.streaming.stateful import (
+        streaming_ivf_add_batch,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cdf, _ = ivf_index(emb, dim=64, nlist=8, mode="exact", train_sample=256)
+    store = str(tmp_path / "ivf")
+    process = streaming_ivf_add_batch(store, cdf, dim=64, mode="exact")
+    process(emb.where(F.col("vec_id") % 2 == 0), 0)
+    process(emb.where(F.col("vec_id") % 2 == 1), 1)
+
+    compacted = str(tmp_path / "ivf_del")
+    got_store = compact_batch_store(
+        spark, store, compacted,
+        remove_ids=emb.where(F.col("vec_id") % 5 == 0).select("vec_id"),
+        remove_id_col="vec_id", partition_by=["cell"],
+    )
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    kw = dict(dim=64, k=5, nprobe=2, mode="exact")
+    got = sorted(map(tuple, ivf_search(
+        got_store.drop("batch_id"), cdf, queries, **kw
+    ).collect()))
+    want = sorted(map(tuple, ivf_search(
+        ivf_add(emb.where(F.col("vec_id") % 5 != 0), cdf, dim=64, mode="exact"),
+        cdf, queries, **kw,
+    ).collect()))
+    assert got == want and want
+
+
+def test_compaction_tombstone_validation(spark, tmp_path, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    store, _, _ = _band_store(spark, tmp_path, docs)
+    with pytest.raises(ValueError, match="together"):
+        compact_batch_store(spark, store, str(tmp_path / "x"), remove_ids=[1])
+    with pytest.raises(ValueError, match="together"):
+        compact_batch_store(spark, store, str(tmp_path / "x"), remove_id_col="id")
+    with pytest.raises(ValueError, match="not in store"):
+        compact_batch_store(
+            spark, store, str(tmp_path / "x"),
+            remove_ids=[1], remove_id_col="nope",
+        )
+    with pytest.raises(ValueError, match="single id column"):
+        compact_batch_store(
+            spark, store, str(tmp_path / "x"),
+            remove_ids=docs.select("doc_id", "text"), remove_id_col="id",
+        )
+
+
 def test_compaction_validation_errors(spark, tmp_path, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
     store, _, _ = _band_store(spark, tmp_path, docs)
     with pytest.raises(ValueError, match="NEW store directory"):
         compact_batch_store(spark, store, store + "/")
+    # nesting in either direction is as fatal as equality (r9 ADVICE)
+    with pytest.raises(ValueError, match="must not be nested"):
+        compact_batch_store(spark, store, store + "/compacted")
+    with pytest.raises(ValueError, match="must not be nested"):
+        compact_batch_store(spark, store + "/batch_id=0", str(tmp_path))
     with pytest.raises(ValueError, match="negative int"):
         compact_batch_store(spark, store, str(tmp_path / "x"), baseline_batch_id=0)
     with pytest.raises(ValueError, match="partition_by columns"):

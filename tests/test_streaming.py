@@ -529,3 +529,63 @@ def test_dedup_keys_config_validation():
             {**base, "watermark": {"column": "ts", "delay": "1 minute"},
              "dedup_keys": []}
         )
+
+
+def test_ivf_add_dim_rejects_bool():
+    """bool subclasses int: `dim: true` must not validate as dim=1
+    (r9 ADVICE — same strictness as every other int field)."""
+    import pytest as _pytest
+
+    from pyspark_pipeline_framework_spark.streaming.config import (
+        StreamingConfigError,
+        validate_stream_params,
+    )
+
+    params = {
+        "source": {"type": "rate"},
+        "checkpoint": "/tmp/ck",
+        "ivf_add": {"store": "/tmp/s", "centroids": "/tmp/c", "dim": True},
+    }
+    with _pytest.raises(StreamingConfigError, match="positive int"):
+        validate_stream_params(params)
+    with _pytest.raises(StreamingConfigError, match="positive int"):
+        validate_stream_params(
+            {**params, "ivf_add": {**params["ivf_add"], "dim": 0}}
+        )
+
+
+def test_incremental_store_partition_by_validation():
+    """partition_by on the incremental-store blocks (layout mirroring,
+    r9 ADVICE): non-empty list of column names or load-time failure."""
+    import pytest as _pytest
+
+    from pyspark_pipeline_framework_spark.streaming.config import (
+        StreamingConfigError,
+        validate_stream_params,
+    )
+
+    ivf = {
+        "source": {"type": "rate"},
+        "checkpoint": "/tmp/ck",
+        "ivf_add": {"store": "/tmp/s", "centroids": "/tmp/c", "dim": 8},
+    }
+    validate_stream_params(
+        {**ivf, "ivf_add": {**ivf["ivf_add"], "partition_by": ["cell"]}}
+    )
+    for bad in ([], "cell", [1], [""]):
+        with _pytest.raises(StreamingConfigError, match="partition_by"):
+            validate_stream_params(
+                {**ivf, "ivf_add": {**ivf["ivf_add"], "partition_by": bad}}
+            )
+    nd = {
+        "source": {"type": "rate"},
+        "checkpoint": "/tmp/ck",
+        "neardup": {"store": "/tmp/s", "pairs": "/tmp/p"},
+    }
+    validate_stream_params(
+        {**nd, "neardup": {**nd["neardup"], "partition_by": ["band_idx"]}}
+    )
+    with _pytest.raises(StreamingConfigError, match="partition_by"):
+        validate_stream_params(
+            {**nd, "neardup": {**nd["neardup"], "partition_by": []}}
+        )
