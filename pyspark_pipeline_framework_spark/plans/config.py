@@ -146,6 +146,26 @@ class ComponentConfig:
                 validate_stream_params(self.params)
             except StreamingConfigError as exc:
                 raise PipelineValidationError(f"component {self.name!r}: {exc}") from exc
+        if self.op == "dedup_ngram_pairs":
+            # the uncapped inverted index is quadratic in posting-list
+            # length — declaratively, the unbounded form must be an
+            # explicit opt-out (max_doc_freq: null), never the default
+            # (r9 VERDICT item 2); caught at config load, not mid-run
+            if "max_doc_freq" not in self.params:
+                raise PipelineValidationError(
+                    f"component {self.name!r}: op dedup_ngram_pairs "
+                    "requires max_doc_freq (hot-shingle cap bounding the "
+                    "quadratic pair emission); opt out EXPLICITLY with "
+                    "max_doc_freq: null for exact small-corpus runs"
+                )
+            mdf = self.params["max_doc_freq"]
+            if mdf is not None and (
+                not isinstance(mdf, int) or isinstance(mdf, bool) or mdf < 2
+            ):
+                raise PipelineValidationError(
+                    f"component {self.name!r}: max_doc_freq must be an "
+                    f"int >= 2 or null (explicit uncapped opt-out), got {mdf!r}"
+                )
 
     def resilience_override(self):
         """Resolved per-component ``ComponentResilience`` or ``None``

@@ -6,12 +6,15 @@ loading (runtime/loader.py:15-137) as the primary lookup; the dotted
 from __future__ import annotations
 
 import importlib
+import logging
 from typing import Any, Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
 from pyspark_pipeline_framework_spark.io.readers import Catalog, SourceConfig, read_source
 from pyspark_pipeline_framework_spark.io.writers import SinkConfig, write_sink
+
+logger = logging.getLogger(__name__)
 
 Operator = Callable[..., "DataFrame | None"]
 
@@ -215,9 +218,33 @@ def op_dedup_incremental_pairs(
 def op_dedup_ngram_pairs(
     spark: SparkSession, catalog: Catalog, *, output: str, input: str, **params
 ) -> DataFrame:
-    """Exact n-gram Jaccard pairs via inverted index -- llm.dedup.ngram_jaccard_pairs."""
+    """Exact n-gram Jaccard pairs via inverted index -- llm.dedup.ngram_jaccard_pairs.
+
+    Declarative contract (r9 VERDICT item 2): ``max_doc_freq`` is
+    REQUIRED — without a hot-shingle cap the in-list pair emission is
+    quadratic in posting-list length, which on a production corpus is
+    an unbounded-shuffle outage, not a default anyone should inherit
+    silently. Opting out of the cap must be explicit:
+    ``max_doc_freq: null`` (logged as a warning). The Python API
+    (``llm.dedup.ngram_jaccard_pairs``) keeps ``None`` as its default
+    for oracle-exact small-corpus use."""
     from pyspark_pipeline_framework_spark.llm.dedup import ngram_jaccard_pairs
 
+    if "max_doc_freq" not in params:
+        raise ValueError(
+            "op dedup_ngram_pairs requires max_doc_freq: the uncapped "
+            "inverted index emits O(posting_list^2) pairs per shingle "
+            "(boilerplate shingles make this an unbounded shuffle at "
+            "corpus scale). Set max_doc_freq: <N> — or opt out "
+            "EXPLICITLY with max_doc_freq: null for exact small-corpus "
+            "runs."
+        )
+    if params["max_doc_freq"] is None:
+        logger.warning(
+            "op dedup_ngram_pairs: max_doc_freq=null — running the "
+            "UNCAPPED quadratic inverted index; acceptable only on "
+            "small corpora or pre-filtered candidates"
+        )
     return catalog.put(output, ngram_jaccard_pairs(catalog.get(input), **params))
 
 

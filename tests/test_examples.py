@@ -178,6 +178,16 @@ def test_price_bands_example(spark):
     assert some.min_within_1k <= some.o_totalprice
 
 
+def test_ngram_exact_dedup_example(spark):
+    """op:dedup_ngram_pairs declared in HOCON with the REQUIRED
+    max_doc_freq cap: pairs land; dropping the cap key fails at load."""
+    assert main([os.path.join(REPO, "examples", "ngram_exact_dedup.conf")]) == 0
+    pairs = spark.read.parquet(os.path.join(REPO, ".scratch/examples/ngram_exact_pairs"))
+    assert {"id_a", "id_b", "jaccard"} <= set(pairs.columns)
+    assert pairs.count() > 0
+    assert all(r.jaccard >= 0.8 for r in pairs.collect())
+
+
 def test_streaming_ann_index_example(spark):
     """Declarative streaming ANN growth: train once (batch components),
     then the ivf_add block drains the embeddings stream into the
@@ -188,6 +198,13 @@ def test_streaming_ann_index_example(spark):
         shutil.rmtree(os.path.join(REPO, ".scratch/examples", d), ignore_errors=True)
     assert main([os.path.join(REPO, "examples", "streaming_ann_index.conf")]) == 0
     store = spark.read.parquet(os.path.join(REPO, ".scratch/examples/ann_stream_store"))
-    n = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").count()
+    # derive the expected count from the SAME data_root the example
+    # config resolves (r9 ADVICE: a second hardcoded path silently
+    # tests the wrong dataset if the example's defaults ever diverge)
+    from pyspark_pipeline_framework_spark.plans import hocon
+
+    conf = hocon.load(os.path.join(REPO, "examples", "streaming_ann_index.conf"))
+    data_root = conf["defaults"]["data_root"]
+    n = spark.read.parquet(os.path.join(data_root, "embeddings.parquet")).count()
     assert store.count() == n
     assert store.select("cell").distinct().count() > 1

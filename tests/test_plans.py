@@ -978,6 +978,57 @@ def test_full_dedup_pipeline_registry_ops(spark, sf_dir):
     )
 
 
+def test_ngram_pairs_requires_max_doc_freq(spark, sf_dir):
+    """Declarative ngram_jaccard: max_doc_freq is REQUIRED at config
+    load (r9 VERDICT item 2 — the uncapped quadratic must be an
+    explicit opt-out, max_doc_freq: null, never the default)."""
+    import pytest as _pytest
+
+    from pyspark_pipeline_framework_spark.plans.config import PipelineValidationError
+
+    def comps(params):
+        return [
+            {"name": "load", "op": "read", "output": "docs",
+             "params": {"format": "parquet",
+                        "path": f"{sf_dir}/documents.parquet"}},
+            {"name": "pairs", "op": "dedup_ngram_pairs", "output": "pairs",
+             "depends_on": ["load"], "params": {"input": "docs", **params}},
+        ]
+
+    with _pytest.raises(PipelineValidationError, match="max_doc_freq"):
+        PipelineConfig.from_dict(
+            {"name": "ng", "components": comps({"threshold": 0.8})}
+        )
+    for bad in (True, 1, "x", 1.5):
+        with _pytest.raises(PipelineValidationError, match="max_doc_freq"):
+            PipelineConfig.from_dict(
+                {"name": "ng",
+                 "components": comps({"max_doc_freq": bad})}
+            )
+    # capped form loads AND runs; explicit null loads with a warning
+    cfg = PipelineConfig.from_dict(
+        {"name": "ng",
+         "components": comps({"threshold": 0.8, "max_doc_freq": 200})}
+    )
+    runner = PipelineRunner(cfg, spark, resilience=NO_RETRY)
+    assert runner.run().status == PipelineStatus.SUCCESS
+    assert "jaccard" in runner.catalog.get("pairs").columns
+    PipelineConfig.from_dict(
+        {"name": "ng",
+         "components": comps({"threshold": 0.8, "max_doc_freq": None})}
+    )
+    # the registry-level backstop fires for programmatic (non-config) use
+    from pyspark_pipeline_framework_spark.io.readers import Catalog
+    from pyspark_pipeline_framework_spark.plans.registry import default_registry
+
+    cat = Catalog(spark)
+    cat.put("docs", spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    with _pytest.raises(ValueError, match="max_doc_freq"):
+        default_registry.get("dedup_ngram_pairs")(
+            spark, cat, output="p", input="docs"
+        )
+
+
 def test_range_frame_registry_op(spark, sf_dir):
     """op:range_frame routes params through the config path to the same
     results as operators.windows.global_range_frame directly."""
