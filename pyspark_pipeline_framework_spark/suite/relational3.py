@@ -166,6 +166,109 @@ def q_win_range_frame_min(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @case(
+    "q_win_range_frame_lead",
+    # LEADING-only frame (excludes the current row): the whole frame
+    # can live in one foreign bin — exercises the third probe kind
+    # (bin-local range window) of global_range_frame (r9 VERDICT item 5)
+    oracle="""
+    SELECT o_orderkey, o_totalprice,
+           CAST(COUNT(*) OVER (ORDER BY o_totalprice
+                               RANGE BETWEEN 500 FOLLOWING AND 1500 FOLLOWING) AS BIGINT)
+             AS n_ahead
+    FROM orders
+    """,
+)
+def q_win_range_frame_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark_pipeline_framework_spark.operators.windows import global_range_frame
+
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    return global_range_frame(
+        o,
+        order_col="o_totalprice",
+        lower=500,
+        upper=1500,
+        agg="count",
+        key_cols=["o_orderkey"],
+        result_col="n_ahead",
+    ).select("o_orderkey", "o_totalprice", "n_ahead")
+
+
+@case(
+    "q_win_range_frame_trail",
+    # TRAILING-only sum (excludes the current row): empty frames must
+    # stay NULL (SQL SUM over nothing), exact decimal accumulation
+    oracle="""
+    SELECT o_orderkey, o_totalprice,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6)))
+                OVER (ORDER BY o_totalprice
+                      RANGE BETWEEN 1500 PRECEDING AND 500 PRECEDING) AS DOUBLE)
+             AS sum_behind
+    FROM orders
+    """,
+)
+def q_win_range_frame_trail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark_pipeline_framework_spark.operators.windows import global_range_frame
+
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_totalprice",
+        F.col("o_totalprice").cast("decimal(38,6)").alias("_dec_price"),
+    )
+    out = global_range_frame(
+        o,
+        order_col="o_totalprice",
+        lower=-1500,
+        upper=-500,
+        agg="sum",
+        value_col="_dec_price",
+        key_cols=["o_orderkey"],
+        result_col="_sum_dec",
+    )
+    return out.select(
+        "o_orderkey",
+        "o_totalprice",
+        F.col("_sum_dec").cast("double").alias("sum_behind"),
+    )
+
+
+@case(
+    "q_win_range_frame_avg",
+    # the native FUSED avg path (one binning, one probe union, sum and
+    # count channels in the same window pass): deterministic
+    # cross-engine avg = CAST(exact decimal sum AS DOUBLE) / count
+    oracle="""
+    SELECT o_orderkey, o_totalprice,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6)))
+                OVER (ORDER BY o_totalprice
+                      RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW) AS DOUBLE)
+             / COUNT(o_totalprice)
+                OVER (ORDER BY o_totalprice
+                      RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW)
+             AS avg_within_1k
+    FROM orders
+    """,
+)
+def q_win_range_frame_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark_pipeline_framework_spark.operators.windows import global_range_frame
+
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_totalprice",
+        F.col("o_totalprice").cast("decimal(38,6)").alias("_dec_price"),
+    )
+    return global_range_frame(
+        o,
+        order_col="o_totalprice",
+        lower=-1000,
+        upper=0,
+        agg="avg",
+        value_col="_dec_price",
+        key_cols=["o_orderkey"],
+        result_col="avg_within_1k",
+    ).select("o_orderkey", "o_totalprice", "avg_within_1k")
+
+
+@case(
     "q_explode_outer",
     oracle="""
     SELECT c_custkey, word

@@ -339,7 +339,13 @@ values_strategy = st.lists(
 @settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     vals=values_strategy,
-    frame=st.sampled_from([(-3, 0), (0, 2), (-1, 1), (-5, 0)]),
+    # frames including the current row, leading-only, trailing-only,
+    # point frames — the r9 item-5 generalization must match the
+    # native single-partition window for ALL of them
+    frame=st.sampled_from([
+        (-3, 0), (0, 2), (-1, 1), (-5, 0),
+        (1, 3), (-4, -2), (2, 2), (0, 0), (5, 30),
+    ]),
     widen=st.sampled_from([None, 2.0, 7.5]),
 )
 def test_global_range_frame_matches_global_window(spark, vals, frame, widen):
@@ -376,28 +382,85 @@ def test_global_range_frame_matches_global_window(spark, vals, frame, widen):
             ).select("id", "s").collect()
         }
         assert got == want, agg
+    # native fused avg: x values are small exact ints in double, so
+    # CAST(sum AS DOUBLE)/count equals the built-in AVG bit-for-bit
+    want_avg = {
+        (r.id, r.a) for r in df.select("id", F.avg("x").over(w).alias("a")).collect()
+    }
+    got_avg = {
+        (r.id, r.a)
+        for r in global_range_frame(
+            df, "v", lo, hi, agg="avg", value_col="x", key_cols=["id"],
+            bin_width=bin_width, result_col="a",
+        ).select("id", "a").collect()
+    }
+    assert got_avg == want_avg
+
+
+def test_global_range_frame_avg_skips_nulls(spark):
+    """AVG ignores NULL values: the fused count channel must weight
+    only rows whose value is present — per frame, in every bin case."""
+    from pyspark.sql import Window
+
+    from pyspark_pipeline_framework_spark.operators.windows import global_range_frame
+
+    rows = [(i, float(i), None if i % 3 == 0 else float(i * 2)) for i in range(12)]
+    df = spark.createDataFrame(rows, "id long, v double, x double")
+    for lo, hi in ((-2, 0), (1, 3), (-3, -1)):
+        w = Window.orderBy("v").rangeBetween(lo, hi)
+        for agg, fn in (("avg", F.avg), ("sum", F.sum)):
+            want = {(r.id, r.a) for r in df.select("id", fn("x").over(w).alias("a")).collect()}
+            got = {
+                (r.id, r.a)
+                for r in global_range_frame(
+                    df, "v", lo, hi, agg=agg, value_col="x", key_cols=["id"],
+                    result_col="a",
+                ).select("id", "a").collect()
+            }
+            assert got == want, (agg, lo, hi)
+    # empty frame: SUM/AVG stay NULL, never 0 (the r10 probe-coalesce
+    # regression: a lone row with a leading frame summed to 0.0)
+    one = spark.createDataFrame([(0, 0.0, 0.0)], "id long, v double, x double")
+    for agg in ("sum", "avg"):
+        r = global_range_frame(
+            one, "v", 1, 3, agg=agg, value_col="x", key_cols=["id"],
+            result_col="a",
+        ).select("a").collect()
+        assert r[0].a is None, agg
+    r = global_range_frame(
+        one, "v", 1, 3, agg="count", key_cols=["id"], result_col="a"
+    ).select("a").collect()
+    assert r[0].a == 0
 
 
 def test_global_range_frame_rejects_bad_args(spark):
     from pyspark_pipeline_framework_spark.operators.windows import global_range_frame
 
     df = spark.createDataFrame([(1, 1.0)], "id long, v double")
-    with pytest.raises(ValueError, match="include the current row"):
-        global_range_frame(df, "v", 1.0, 2.0, key_cols=["id"])
+    with pytest.raises(ValueError, match="lower <= upper"):
+        global_range_frame(df, "v", 2.0, 1.0, key_cols=["id"])
     with pytest.raises(ValueError, match="whole numbers"):
         global_range_frame(df, "v", -1.5, 0.0, key_cols=["id"])
     with pytest.raises(ValueError, match="bin_width"):
         global_range_frame(df, "v", -1.0, 0.0, key_cols=["id"], bin_width=0.5)
-    with pytest.raises(ValueError, match="bin_width"):
-        global_range_frame(df, "v", 0.0, 0.0, key_cols=["id"])  # span 0, no width
     with pytest.raises(ValueError, match="key_cols"):
         global_range_frame(df, "v", -1.0, 0.0)
     with pytest.raises(ValueError, match="value_col"):
         global_range_frame(df, "v", -1.0, 0.0, agg="sum", key_cols=["id"])
     with pytest.raises(ValueError, match="value_col"):
         global_range_frame(df, "v", -1.0, 0.0, agg="min", key_cols=["id"])
-    with pytest.raises(ValueError, match="'count', 'sum', 'min' or 'max'"):
+    with pytest.raises(ValueError, match="value_col"):
+        global_range_frame(df, "v", -1.0, 0.0, agg="avg", key_cols=["id"])
+    with pytest.raises(ValueError, match="'count', 'sum', 'min', 'max' or 'avg'"):
         global_range_frame(df, "v", -1.0, 0.0, agg="median", key_cols=["id"])
+    # previously-rejected shapes that are now legal: leading-only,
+    # point frame with defaulted bin width
+    assert "n" in global_range_frame(
+        df, "v", 1.0, 2.0, agg="count", key_cols=["id"], result_col="n"
+    ).columns
+    assert "n" in global_range_frame(
+        df, "v", 0.0, 0.0, agg="count", key_cols=["id"], result_col="n"
+    ).columns
 
 
 def test_global_range_frame_null_order_values(spark):

@@ -623,15 +623,21 @@ class Gen:
         cannot drift the hash."""
         r = self.r
         base, order, pk = r.choice(self.RANGE_FRAME_TABLES)
-        lower = -r.choice([0, 1, 10, 100, 1000])
-        upper = r.choice([0, 1, 10, 100, 1000])
-        if lower == 0 and upper == 0:
-            upper = 100
+        style = r.choice(["incl", "incl", "lead", "trail"])
+        if style == "incl":  # frame includes the current row
+            lower = -r.choice([0, 1, 10, 100, 1000])
+            upper = r.choice([0, 1, 10, 100, 1000])
+            if lower == 0 and upper == 0:
+                upper = 100
+        else:  # frame EXCLUDES the current row (r9 item 5: third probe kind)
+            a = r.choice([1, 10, 100, 500])
+            b = a + r.choice([1, 10, 100, 1000])
+            lower, upper = (a, b) if style == "lead" else (-b, -a)
         cols = list(TABLES[base]["cols"].items())
         return {"kind": "rangeframe", "base": base, "stages": [],
                 "order": order, "pk": pk,
                 "lower": lower, "upper": upper,
-                "agg": r.choice(["count", "sum", "min", "max"]),
+                "agg": r.choice(["count", "sum", "min", "max", "avg"]),
                 "widen": r.choice([None, 2.0, 5.0]),
                 "pred": self.predicate(base, cols) if r.random() < 0.6 else None,
                 "terminal": {"op": "rangeframe"}}
@@ -1150,14 +1156,25 @@ def to_sql(spec: dict) -> str:
     if spec.get("kind") == "rangeframe":
         order, pk, agg = spec["order"], spec["pk"], spec["agg"]
         lo, hi = spec["lower"], spec["upper"]
-        lo_b = "CURRENT ROW" if lo == 0 else f"{-lo} PRECEDING"
-        hi_b = "CURRENT ROW" if hi == 0 else f"{hi} FOLLOWING"
-        frame = f"ORDER BY {order} RANGE BETWEEN {lo_b} AND {hi_b}"
+
+        def _bound(x: int) -> str:
+            if x == 0:
+                return "CURRENT ROW"
+            return f"{-x} PRECEDING" if x < 0 else f"{x} FOLLOWING"
+
+        frame = f"ORDER BY {order} RANGE BETWEEN {_bound(lo)} AND {_bound(hi)}"
         if agg == "count":
             e = f"CAST(COUNT(*) OVER ({frame}) AS BIGINT)"
         elif agg == "sum":
             e = (f"CAST(SUM(CAST({order} AS DECIMAL(38,6))) "
                  f"OVER ({frame}) AS DOUBLE)")
+        elif agg == "avg":
+            # the engine's native-avg recipe: exact decimal sum, one
+            # double division; empty frame (leading/trailing) -> NULL
+            e = (f"CASE WHEN COUNT({order}) OVER ({frame}) > 0 THEN "
+                 f"CAST(SUM(CAST({order} AS DECIMAL(38,6))) "
+                 f"OVER ({frame}) AS DOUBLE) / COUNT({order}) OVER ({frame}) "
+                 f"END")
         else:
             e = f"{agg.upper()}({order}) OVER ({frame})"
         src = spec["base"] + (f" WHERE {spec['pred']}" if spec["pred"] else "")
@@ -1810,6 +1827,12 @@ def to_spark(spec: dict, spark, sf_dir: str, base_df=None):
                 f, order_col=order, lower=lo, upper=hi, agg="sum",
                 value_col="_v", key_cols=[pk], bin_width=bw, result_col="_res",
             ).withColumn("_res", F.col("_res").cast("double"))
+        elif agg == "avg":
+            f = f.select(pk, order, F.col(order).cast("decimal(38,6)").alias("_v"))
+            out = global_range_frame(
+                f, order_col=order, lower=lo, upper=hi, agg="avg",
+                value_col="_v", key_cols=[pk], bin_width=bw, result_col="_res",
+            )
         elif agg == "count":
             f = f.select(pk, order)
             out = global_range_frame(
