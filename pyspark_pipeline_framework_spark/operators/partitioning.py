@@ -34,9 +34,16 @@ def ensure_parallelism(
     wave; skew behavior is identical to what the aggregate's own
     exchange would produce.
     """
-    target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
-    # getNumPartitions is plan metadata — it does not launch a job
-    if df.rdd.getNumPartitions() < target:
+    from pyspark_pipeline_framework_spark.connect_compat import (
+        scan_partitions,
+        session_parallelism,
+    )
+
+    target = min_partitions or session_parallelism(df.sparkSession)
+    # classic: exact plan metadata (no job); Connect: inputFiles lower
+    # bound, or None for a non-file source — leave those plans alone
+    current = scan_partitions(df)
+    if current is not None and current < target:
         if key is not None:
             return df.repartition(target, F.col(key))
         return df.repartition(target)

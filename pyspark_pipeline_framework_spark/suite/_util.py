@@ -63,7 +63,14 @@ def shared_df(spark, key: tuple, build):
     id so a restarted session never sees another session's plans.
     Results are bit-identical to recomputation — the memo only skips
     repeated work, never changes it."""
-    full_key = (spark.sparkContext.applicationId,) + key
+    try:
+        app_id = spark.sparkContext.applicationId
+    except Exception:  # Spark Connect: no SparkContext — scope by app conf
+        try:
+            app_id = spark.conf.get("spark.app.id", "connect")
+        except Exception:
+            app_id = "connect"
+    full_key = (app_id,) + key
     with _SHARED_LOCK:
         df = _SHARED_DF.get(full_key)
         if df is None:
