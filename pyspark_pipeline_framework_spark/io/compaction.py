@@ -189,4 +189,9 @@ def compact_batch_store(
     # errorifexists: compaction targets a fresh directory, never an
     # existing one — the swap is the caller's explicit, checkable step
     body.write.mode("errorifexists").partitionBy(*spec).parquet(out_path)
-    return spark.read.parquet(out_path)
+    # read back with the EXPLICIT schema: a zero-row partitioned write
+    # (empty history, or every row tombstoned) emits no data files, and
+    # schema inference over the bare directory would fail — an empty
+    # baseline is a legitimate store state, not an error. Partition
+    # columns in the schema are matched by name against the dir layout.
+    return spark.read.schema(body.schema).parquet(out_path)

@@ -344,6 +344,11 @@ def q_dedup_minhash_incr_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     # text over the REDUCED corpus, so the result must equal a
     # from-scratch rebuild after the deletions: a stale band surviving
     # the tombstone (or an over-deleted survivor) breaks the hash.
+    # 32 hashes / 8 bands (vs the incr case's 64/16): the deletion case
+    # should re-prove TOMBSTONES, not re-pay the incr case's banding
+    # width — and the second hyperparameter combo widens md5-recipe
+    # coverage (rows_per_band stays 4, so the one-digest-per-4-perms
+    # slicing is exercised at a different band count)
     oracle=r"""
     WITH words AS (
       SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS w
@@ -359,7 +364,7 @@ def q_dedup_minhash_incr_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, seed,
              MIN(substr(md5(concat(CAST(seed // 4 AS VARCHAR), ':', bh)),
                         8 * CAST(seed % 4 AS INT) + 1, 8)) AS mh
-      FROM base, range(64) t(seed)
+      FROM base, range(32) t(seed)
       GROUP BY doc_id, seed
     ), bands AS (
       SELECT doc_id, CAST(seed // 4 AS INT) AS band_idx,
@@ -379,14 +384,14 @@ def q_dedup_minhash_del_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark_pipeline_framework_spark.suite.io_cases import _scratch
 
     d = table(spark, sf_dir, "documents")
-    kw = dict(num_hashes=64, bands=16, shingle_k=3, hash_fn="md5")
-    # corpus bands: same pinned fixture as q_dedup_minhash_incr_md5
-    # (production precedent: the store is built once, appended forever).
-    # The TIMED work each run: the store write, the tombstone
-    # compaction (anti-join rewrite) and the incremental bucket join.
+    kw = dict(num_hashes=32, bands=8, shingle_k=3, hash_fn="md5")
+    # corpus bands: pinned fixture (production precedent: the store is
+    # built once, appended forever). The TIMED work each run: the store
+    # write, the tombstone compaction (anti-join rewrite) and the
+    # incremental bucket join against the compacted baseline.
     corpus = shared_df(
         spark,
-        ("minhash_band_store", sf_dir, 64, 16, 3, "md5", "mod5"),
+        ("minhash_band_store", sf_dir, 32, 8, 3, "md5", "mod5"),
         lambda: minhash_bands(d.where(F.col("doc_id") % 5 != 1), **kw),
     )
     store = _scratch(sf_dir, "band_store_del")

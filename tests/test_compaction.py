@@ -311,6 +311,28 @@ def test_compaction_tombstones_ivf_store(spark, tmp_path, sf_dir):
     assert got == want and want
 
 
+def test_compaction_of_emptied_store(spark, tmp_path, sf_dir):
+    """A zero-row baseline is a legitimate store state (empty history,
+    or every row tombstoned): the read-back must return an empty frame
+    with the store schema, not fail schema inference over a dir holding
+    only _SUCCESS."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    store, _, _ = _band_store(spark, tmp_path, docs)
+    all_ids = spark.read.parquet(store).select("id").distinct()
+    got = compact_batch_store(
+        spark, store, str(tmp_path / "all_gone"),
+        remove_ids=all_ids, remove_id_col="id",
+    )
+    assert got.count() == 0
+    assert set(got.columns) == set(spark.read.parquet(store).columns)
+    # partition_by form of the same edge
+    got2 = compact_batch_store(
+        spark, store, str(tmp_path / "all_gone_p"),
+        remove_ids=all_ids, remove_id_col="id", partition_by=["band_idx"],
+    )
+    assert got2.count() == 0 and "band_idx" in got2.columns
+
+
 def test_compaction_tombstone_validation(spark, tmp_path, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
     store, _, _ = _band_store(spark, tmp_path, docs)
