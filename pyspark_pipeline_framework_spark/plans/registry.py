@@ -417,6 +417,131 @@ def op_ivf_search(
     )
 
 
+@default_registry.register("pq_train")
+def op_pq_train(
+    spark: SparkSession, catalog: Catalog, *, output: str, input: str, dim: int, **params
+) -> DataFrame:
+    """Train PQ codebooks once (exact-integer Lloyd per subspace);
+    persist the (m_sub*ksub)-row codebook table and encode batches
+    forever with ``op: pq_encode`` -- llm.pq.pq_train_codebooks_exact."""
+    from pyspark_pipeline_framework_spark.llm.pq import (
+        codebooks_to_df,
+        pq_train_codebooks_exact,
+    )
+    from pyspark_pipeline_framework_spark.llm.similarity import drop_corrupt_vectors
+
+    vec_col = params.get("vec_col", "embedding")
+    corpus = drop_corrupt_vectors(catalog.get(input), vec_col, dim)
+    return catalog.put(
+        output, codebooks_to_df(spark, pq_train_codebooks_exact(corpus, dim, **params))
+    )
+
+
+@default_registry.register("pq_encode")
+def op_pq_encode(
+    spark: SparkSession,
+    catalog: Catalog,
+    *,
+    output: str,
+    input: str,
+    codebooks: str,
+    dim: int,
+    **params,
+) -> DataFrame:
+    """Map-only PQ encoding of an embedding batch under frozen
+    codebooks -- append the (id, codes) result to the code store."""
+    from pyspark_pipeline_framework_spark.llm.pq import pq_encode
+
+    return catalog.put(
+        output, pq_encode(catalog.get(input), catalog.get(codebooks), dim, **params)
+    )
+
+
+@default_registry.register("pq_search")
+def op_pq_search(
+    spark: SparkSession,
+    catalog: Catalog,
+    *,
+    output: str,
+    codes: str,
+    codebooks: str,
+    queries: str,
+    dim: int,
+    **params,
+) -> DataFrame:
+    """ADC top-k over a PQ code store (broadcast distance tables,
+    one wide aggregate) -- llm.pq.pq_search_adc."""
+    from pyspark_pipeline_framework_spark.llm.pq import pq_search_adc
+
+    return catalog.put(
+        output,
+        pq_search_adc(
+            catalog.get(codes),
+            catalog.get(codebooks),
+            catalog.get(queries),
+            dim,
+            **params,
+        ),
+    )
+
+
+@default_registry.register("ivfpq_add")
+def op_ivfpq_add(
+    spark: SparkSession,
+    catalog: Catalog,
+    *,
+    output: str,
+    input: str,
+    centroids: str,
+    codebooks: str,
+    dim: int,
+    **params,
+) -> DataFrame:
+    """One map-only pass assigning + PQ-encoding an embedding batch
+    under a frozen quantizer pair (train via op: ivf_train mode=exact
+    + op: pq_train) -- append the (id, cell, codes) rows to the IVFPQ
+    store; no raw vector is stored."""
+    from pyspark_pipeline_framework_spark.llm.pq import ivfpq_add
+
+    return catalog.put(
+        output,
+        ivfpq_add(
+            catalog.get(input), catalog.get(centroids), catalog.get(codebooks),
+            dim, **params,
+        ),
+    )
+
+
+@default_registry.register("ivfpq_search")
+def op_ivfpq_search(
+    spark: SparkSession,
+    catalog: Catalog,
+    *,
+    output: str,
+    store: str,
+    centroids: str,
+    codebooks: str,
+    queries: str,
+    dim: int,
+    **params,
+) -> DataFrame:
+    """Cell-pruned ADC top-k over an IVFPQ store --
+    llm.pq.ivfpq_search."""
+    from pyspark_pipeline_framework_spark.llm.pq import ivfpq_search
+
+    return catalog.put(
+        output,
+        ivfpq_search(
+            catalog.get(store),
+            catalog.get(centroids),
+            catalog.get(codebooks),
+            catalog.get(queries),
+            dim,
+            **params,
+        ),
+    )
+
+
 @default_registry.register("language_id")
 def op_language_id(
     spark: SparkSession, catalog: Catalog, *, output: str, input: str, **params

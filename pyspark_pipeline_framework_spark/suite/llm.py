@@ -1877,3 +1877,259 @@ def q_llm_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_to_token_budget(
         d, budget_tokens=24_000, num_shards=8, salt="budget", hash_fn="md5"
     ).select("doc_id", "shard", "cum_tokens")
+
+
+# --------------------------------------------------------------------------
+# Product quantization (PQ) ANN — train + encode + ADC search, all replayed
+# in SQL (llm/pq.py; beyond-ref like the rest of §2.8's vector surface)
+# --------------------------------------------------------------------------
+
+
+def _pq_model_ctes(
+    dim: int, m_sub: int, ksub: int, train_iters: int, n_train: int
+) -> list[str]:
+    """SQL replay of exact PQ TRAINING + corpus encoding, mirroring
+    ``pq_train_codebooks_exact`` / ``pq_encode_udf`` bit-for-bit:
+    md5-ordered sample, fixed-point unit normalization (zero-norm
+    guard), per-subspace init from the first ksub subvectors, each
+    Lloyd iteration (integer-L2-surrogate argmin with ties to the
+    lowest codeword, fixed-point means, empty codewords carried
+    forward), then every corpus vector's per-subspace code. Ends with
+    CTEs ``codes`` (vec_id, s, j) and ``csub`` (normalized corpus
+    subvectors) over the final codebook CTE ``pc{train_iters}``."""
+    dsub = dim // m_sub
+    # fixed-point unit norm with the zero-norm guard (stay unnormalized)
+    norm_of = lambda arr: (  # noqa: E731
+        f"(CASE WHEN {_o_doti(arr, arr)} = 0 THEN 1 "
+        f"ELSE SQRT(CAST({_o_doti(arr, arr)} AS DOUBLE) / 1e14) END)"
+    )
+    dist = lambda x, c: f"({_o_doti(c, c)} - 2 * {_o_doti(x, c)})"  # noqa: E731
+    ctes = [
+        f"""psample AS (
+      SELECT vec_id, embedding,
+             ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+      FROM embeddings QUALIFY rn <= {n_train})""",
+        f"""pnsamp AS (
+      SELECT vec_id, rn,
+             list_transform(embedding, v -> CAST(v AS DOUBLE) / nrm) AS nv
+      FROM (SELECT vec_id, rn, embedding, {norm_of("embedding")} AS nrm
+            FROM psample))""",
+        f"""pssub AS (
+      SELECT vec_id, rn, g.s, nv[g.s * {dsub} + 1 : (g.s + 1) * {dsub}] AS x
+      FROM pnsamp CROSS JOIN generate_series(0, {m_sub - 1}) g(s))""",
+        f"""pc0 AS (
+      SELECT s, rn - 1 AS j, x AS c FROM pssub WHERE rn <= {ksub})""",
+    ]
+    for i in range(1, train_iters + 1):
+        prev = f"pc{i - 1}"
+        ctes += [
+            f"""pa{i} AS (
+      SELECT vec_id, s, x, j FROM (
+        SELECT a.vec_id, a.s, a.x, c.j,
+               ROW_NUMBER() OVER (PARTITION BY a.vec_id, a.s
+                                  ORDER BY {dist("a.x", "c.c")} ASC, c.j) AS r
+        FROM pssub a JOIN {prev} c ON c.s = a.s) WHERE r = 1)""",
+            f"""pm{i} AS (
+      SELECT a.s, a.j, g.d,
+             SUM(CAST(FLOOR(CAST(a.x[g.d] AS DOUBLE) * 1e9) AS BIGINT)) AS sm,
+             COUNT(*) AS n
+      FROM pa{i} a CROSS JOIN generate_series(1, {dsub}) g(d) GROUP BY 1, 2, 3)""",
+            f"""pmm{i} AS (
+      SELECT s, j, list(CAST(sm AS DOUBLE) / (CAST(n AS DOUBLE) * 1e9) ORDER BY d) AS m
+      FROM pm{i} GROUP BY s, j)""",
+            f"""pc{i} AS (
+      SELECT c.s, c.j, COALESCE(mm.m, c.c) AS c
+      FROM {prev} c LEFT JOIN pmm{i} mm ON c.s = mm.s AND c.j = mm.j)""",
+        ]
+    final = f"pc{train_iters}"
+    ctes += [
+        f"""pncorp AS (
+      SELECT vec_id, list_transform(embedding, v -> CAST(v AS DOUBLE) / nrm) AS nv
+      FROM (SELECT vec_id, embedding, {norm_of("embedding")} AS nrm
+            FROM embeddings
+            WHERE {_o_doti("embedding", "embedding")} > 0))""",
+        f"""csub AS (
+      SELECT vec_id, g.s, nv[g.s * {dsub} + 1 : (g.s + 1) * {dsub}] AS x
+      FROM pncorp CROSS JOIN generate_series(0, {m_sub - 1}) g(s))""",
+        f"""codes AS (
+      SELECT vec_id, s, j FROM (
+        SELECT cs.vec_id, cs.s, c.j,
+               ROW_NUMBER() OVER (PARTITION BY cs.vec_id, cs.s
+                                  ORDER BY {dist("cs.x", "c.c")} ASC, c.j) AS r
+        FROM csub cs JOIN {final} c ON c.s = cs.s) WHERE r = 1)""",
+    ]
+    return ctes
+
+
+def _pq_adc_oracle(
+    dim: int = 64,
+    m_sub: int = 8,
+    ksub: int = 16,
+    train_iters: int = 2,
+    n_train: int = 256,
+    k: int = 5,
+    n_query: int = 5,
+) -> str:
+    """PQ-ADC ANN oracle: trained codebooks + corpus codes from
+    :func:`_pq_model_ctes`, then the per-query distance tables, the
+    lookup-sum scoring and the rank filter replayed in SQL. Ranking
+    compares the INTEGER lookup sums (exactly like the engine), so
+    near-ties cannot diverge across engines."""
+    ctes = _pq_model_ctes(dim, m_sub, ksub, train_iters, n_train)
+    final = f"pc{train_iters}"
+    ctes += [
+        f"""dtab AS (
+      SELECT q.vec_id AS query_id, c.s, c.j, {_o_doti("q.x", "c.c")} AS dt
+      FROM csub q JOIN {final} c ON c.s = q.s
+      WHERE q.vec_id < {n_query})""",
+        """pscored AS (
+      SELECT d.query_id, co.vec_id, SUM(d.dt) AS adc_int
+      FROM codes co
+      JOIN dtab d ON d.s = co.s AND d.j = co.j AND co.vec_id <> d.query_id
+      GROUP BY 1, 2)""",
+    ]
+    joined = ",\n    ".join(ctes)
+    return f"""
+    WITH {joined}
+    SELECT query_id, vec_id, adc_dot, rank FROM (
+      SELECT query_id, vec_id,
+             CAST(adc_int AS DOUBLE) / 1e14 AS adc_dot,
+             CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY adc_int DESC, vec_id) AS BIGINT) AS rank
+      FROM pscored) WHERE rank <= {k}
+    """
+
+
+def _knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark_pipeline_framework_spark.llm.pq import cosine_topk_pq
+
+    emb = table(spark, sf_dir, "embeddings")
+    return shared_df(
+        spark,
+        ("knn_pq", sf_dir, 64, 32, 32, 256),
+        lambda: cosine_topk_pq(
+            emb, _knn_queries(emb), dim=64, k=5, m_sub=32, ksub=32,
+            train_iters=2, train_sample=256,
+        ),
+    )
+
+
+@case("q_sim_knn_pq", oracle=_pq_adc_oracle(m_sub=32, ksub=32), category="llm")
+def q_sim_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC ANN (FAISS IndexPQ semantics,
+    llm/pq.py): 64-dim vectors → 8 codes of 16 codewords (32×
+    compression), searched by summing broadcast distance-table
+    lookups. The oracle replays TRAINING (md5 sample, normalization,
+    per-subspace integer Lloyd), ENCODING and the ADC SEARCH in SQL —
+    the whole model is hash-gated, like the exact-mode IVF case."""
+    return _knn_pq(spark, sf_dir).select("query_id", "vec_id", "adc_dot", "rank")
+
+
+@case(
+    "q_sim_knn_pq_recall",
+    oracle=_RECALL_GATE_ORACLE.format(metric="pq_recall_at_5"),
+    category="llm",
+)
+def q_sim_knn_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall gate for PQ-ADC vs exact brute-force cosine: 32
+    subspaces × 32 codewords on this (worst-case: uniform random)
+    64-dim data must keep recall@5 above 0.4 — measured 0.64-0.72 at
+    sf0.001/0.01/0.1 — the quantization-error analogue of the LSH/IVF
+    recall gates."""
+    exact = _knn_exact(spark, sf_dir).select("query_id", "vec_id")
+    approx = _knn_pq(spark, sf_dir).select("query_id", "vec_id")
+    return _recall_gate(approx, exact, "pq_recall_at_5", 0.4)
+
+
+def _ivfpq_oracle(
+    dim: int = 64,
+    nlist: int = 8,
+    nprobe: int = 3,
+    m_sub: int = 32,
+    ksub: int = 32,
+    train_iters: int = 2,
+    n_train: int = 256,
+    k: int = 5,
+    n_query: int = 5,
+) -> str:
+    """IVFPQ ANN oracle — the two model replays COMPOSED: IVF training
+    + cell assignment from :func:`_ivf_model_ctes`, PQ training +
+    corpus codes from :func:`_pq_model_ctes` (disjoint CTE
+    namespaces), then cell probing, the candidate join, and ADC
+    scoring of only the candidates, all in SQL."""
+    ivf_ctes, ivf_final = _ivf_model_ctes(dim, nlist, train_iters, n_train)
+    pq_ctes = _pq_model_ctes(dim, m_sub, ksub, train_iters, n_train)
+    pq_final = f"pc{train_iters}"
+    ctes = ivf_ctes + pq_ctes + [
+        f"""iprobe AS (
+      SELECT query_id, cell FROM (
+        SELECT e.vec_id AS query_id, c.j AS cell,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {_o_doti("e.embedding", "c.c")} DESC, c.j) AS r
+        FROM embeddings e CROSS JOIN {ivf_final} c
+        WHERE e.vec_id < {n_query}
+          AND {_o_doti("e.embedding", "e.embedding")} > 0) WHERE r <= {nprobe})""",
+        """icand AS (
+      SELECT p.query_id, cc.vec_id
+      FROM iprobe p JOIN corpuscell cc ON cc.cell = p.cell AND cc.vec_id <> p.query_id)""",
+        f"""idtab AS (
+      SELECT q.vec_id AS query_id, c.s, c.j, {_o_doti("q.x", "c.c")} AS dt
+      FROM csub q JOIN {pq_final} c ON c.s = q.s
+      WHERE q.vec_id < {n_query})""",
+        """iscored AS (
+      SELECT ca.query_id, ca.vec_id, SUM(d.dt) AS adc_int
+      FROM icand ca
+      JOIN codes co ON co.vec_id = ca.vec_id
+      JOIN idtab d ON d.query_id = ca.query_id AND d.s = co.s AND d.j = co.j
+      GROUP BY 1, 2)""",
+    ]
+    joined = ",\n    ".join(ctes)
+    return f"""
+    WITH {joined}
+    SELECT query_id, vec_id, adc_dot, rank FROM (
+      SELECT query_id, vec_id,
+             CAST(adc_int AS DOUBLE) / 1e14 AS adc_dot,
+             CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY adc_int DESC, vec_id) AS BIGINT) AS rank
+      FROM iscored) WHERE rank <= {k}
+    """
+
+
+def _knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark_pipeline_framework_spark.llm.pq import cosine_topk_ivfpq
+
+    emb = table(spark, sf_dir, "embeddings")
+    return shared_df(
+        spark,
+        ("knn_ivfpq", sf_dir, 64, 8, 3, 32, 32, 256),
+        lambda: cosine_topk_ivfpq(
+            emb, _knn_queries(emb), dim=64, k=5, nlist=8, nprobe=3,
+            m_sub=32, ksub=32, train_iters=2, train_sample=256,
+        ),
+    )
+
+
+@case("q_sim_knn_ivfpq", oracle=_ivfpq_oracle(), category="llm")
+def q_sim_knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFPQ ANN (FAISS IndexIVFPQ semantics, llm/pq.py): coarse cells
+    bound the candidates, PQ codes replace the raw vectors in scoring
+    — the store holds a few bytes per vector and the search reads
+    nothing else. The oracle replays BOTH trained models (IVF Lloyd +
+    per-subspace PQ Lloyd), the cell probe, the candidate join and
+    the ADC scoring in SQL."""
+    return _knn_ivfpq(spark, sf_dir).select("query_id", "vec_id", "adc_dot", "rank")
+
+
+@case(
+    "q_sim_knn_ivfpq_recall",
+    oracle=_RECALL_GATE_ORACLE.format(metric="ivfpq_recall_at_5"),
+    category="llm",
+)
+def q_sim_knn_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall gate for the composed index: IVF pruning (nprobe 3 of 8)
+    × PQ quantization on worst-case uniform data — the two error
+    sources multiply, so the bound sits lower than either alone
+    (measured 0.32–0.40 at sf0.001/0.01/0.1; gate at 0.25)."""
+    exact = _knn_exact(spark, sf_dir).select("query_id", "vec_id")
+    approx = _knn_ivfpq(spark, sf_dir).select("query_id", "vec_id")
+    return _recall_gate(approx, exact, "ivfpq_recall_at_5", 0.25)

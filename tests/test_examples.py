@@ -123,6 +123,20 @@ def test_ann_index_example(spark):
     assert any(d.startswith("cell=") for d in os.listdir(store_root))
 
 
+def test_pq_index_example(spark):
+    """PQ ANN through the registry ops declared in HOCON; the knn
+    results, codebook table, and code store all land."""
+    assert main([os.path.join(REPO, "examples", "pq_index.conf")]) == 0
+    knn = spark.read.parquet(os.path.join(REPO, ".scratch/examples/pq_knn"))
+    rows = knn.collect()
+    assert rows and all(1 <= r.rank <= 5 for r in rows)
+    cb = spark.read.parquet(os.path.join(REPO, ".scratch/examples/pq_codebooks"))
+    assert cb.count() == 16 * 16
+    codes = spark.read.parquet(os.path.join(REPO, ".scratch/examples/pq_codes"))
+    first = codes.first()
+    assert len(first.codes) == 16 and all(0 <= c < 16 for c in first.codes)
+
+
 def test_streaming_neardup_example(spark):
     """Declarative streaming near-dup: the neardup block drains the
     documents stream into candidate pairs + band store parquet."""

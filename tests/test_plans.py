@@ -927,6 +927,42 @@ def test_ivf_registry_ops(spark, sf_dir):
     assert sorted(map(tuple, runner.catalog.get("knn").collect())) == want
 
 
+def test_pq_registry_ops(spark, sf_dir):
+    """op:pq_train / op:pq_encode / op:pq_search compose the config-path
+    PQ-ADC pipeline to the same results as cosine_topk_pq directly."""
+    from pyspark_pipeline_framework_spark.io.readers import table as rtable
+    from pyspark_pipeline_framework_spark.llm.pq import cosine_topk_pq
+
+    comps = [
+        {"name": "emb", "op": "read", "output": "emb",
+         "params": {"format": "parquet", "path": f"{sf_dir}/embeddings.parquet"}},
+        {"name": "queries", "op": "sql", "output": "queries",
+         "depends_on": ["emb"],
+         "params": {"sql": "SELECT vec_id AS query_id, embedding FROM emb "
+                           "WHERE vec_id < 5"}},
+        {"name": "train", "op": "pq_train", "output": "codebooks",
+         "depends_on": ["emb"],
+         "params": {"input": "emb", "dim": 64, "m_sub": 16, "ksub": 16,
+                    "train_sample": 128}},
+        {"name": "encode", "op": "pq_encode", "output": "codes",
+         "depends_on": ["train"],
+         "params": {"input": "emb", "codebooks": "codebooks", "dim": 64}},
+        {"name": "search", "op": "pq_search", "output": "knn",
+         "depends_on": ["encode", "queries"],
+         "params": {"codes": "codes", "codebooks": "codebooks",
+                    "queries": "queries", "dim": 64, "k": 5}},
+    ]
+    cfg = PipelineConfig.from_dict({"name": "pq_ops", "components": comps})
+    runner = PipelineRunner(cfg, spark, resilience=NO_RETRY)
+    assert runner.run().status == PipelineStatus.SUCCESS
+    emb = rtable(spark, sf_dir, "embeddings")
+    queries = emb.filter(emb.vec_id < 5).selectExpr("vec_id AS query_id", "embedding")
+    want = sorted(map(tuple, cosine_topk_pq(
+        emb, queries, dim=64, k=5, m_sub=16, ksub=16, train_sample=128,
+    ).collect()))
+    assert sorted(map(tuple, runner.catalog.get("knn").collect())) == want
+
+
 def test_full_dedup_pipeline_registry_ops(spark, sf_dir):
     """The complete near-dup pipeline in config: minhash candidates ->
     exact-Jaccard verify -> connected-components canonicalization ->

@@ -298,6 +298,10 @@ class Gen:
             return self.ngram_pipeline()
         if r.random() < 0.015:
             return self.ivf_pipeline()
+        if r.random() < 0.015:
+            return self.pq_pipeline()
+        if r.random() < 0.01:
+            return self.ivfpq_pipeline()
         if r.random() < 0.03:
             return self.packing_pipeline()
         if r.random() < 0.03:
@@ -832,6 +836,49 @@ class Gen:
                 # fuzz shape covers the sub-resolution region)
                 "scale_pow": r.choice([0, 0, 0, -10, -17]),
                 "terminal": {"op": "ivf"}}
+
+    def pq_pipeline(self) -> dict:
+        """Parameterized PQ-ADC ANN differential: random (m_sub, ksub,
+        train_iters, train_sample, k, query count) through the exact
+        per-subspace Lloyd trainer + map-only encoder + distance-table
+        search vs the suite's parameterized SQL oracle, which replays
+        TRAINING and ENCODING as well as the ADC scoring. 40% of specs
+        encode the corpus as two separate frozen-codebook batches (the
+        incremental code-store path) instead of the one-shot pipeline."""
+        r = self.r
+        return {"kind": "pq", "base": "embeddings", "stages": [],
+                "m_sub": r.choice([8, 16, 32]),
+                "ksub": r.choice([8, 16, 32]),
+                "train_iters": r.choice([1, 2]),
+                "n_train": r.choice([128, 256]),
+                "k": r.choice([3, 5, 8]),
+                "n_query": r.choice([3, 5, 8]),
+                "incremental": r.random() < 0.4,
+                # same norm-safe magnitude range as the ivf kind; PQ
+                # unit-normalizes before encoding, so these powers also
+                # probe that the normalization really is magnitude-proof
+                "scale_pow": r.choice([0, 0, 0, -10, -17]),
+                "terminal": {"op": "pq"}}
+
+    def ivfpq_pipeline(self) -> dict:
+        """Composed-index differential: random IVF (nlist, nprobe) ×
+        PQ (m_sub, ksub) geometry through cosine_topk_ivfpq vs the
+        composed SQL oracle (both Lloyd replays + candidate join + ADC
+        scoring). 40% of specs build the store in two frozen-model
+        ivfpq_add batches."""
+        r = self.r
+        return {"kind": "ivfpq", "base": "embeddings", "stages": [],
+                "nlist": r.choice([4, 8]),
+                "nprobe": r.randint(1, 4),
+                "m_sub": r.choice([8, 16, 32]),
+                "ksub": r.choice([8, 16]),
+                "train_iters": r.choice([1, 2]),
+                "n_train": r.choice([128, 256]),
+                "k": r.choice([3, 5, 8]),
+                "n_query": r.choice([3, 5]),
+                "incremental": r.random() < 0.4,
+                "scale_pow": r.choice([0, 0, 0, -10, -17]),
+                "terminal": {"op": "ivfpq"}}
 
     def ngram_pipeline(self) -> dict:
         """Parameterized exact n-gram Jaccard differential: random
@@ -1422,6 +1469,29 @@ def to_sql(spec: dict) -> str:
             _ivf_exact_oracle(
                 nlist=spec["nlist"], nprobe=spec["nprobe"], k=spec["k"],
                 n_train=spec["n_train"], n_query=spec["n_query"],
+            ),
+            spec.get("scale_pow", 0),
+        )
+    if spec.get("kind") == "pq":
+        from pyspark_pipeline_framework_spark.suite.llm import _pq_adc_oracle
+
+        return _scale_embeddings_sql(
+            _pq_adc_oracle(
+                m_sub=spec["m_sub"], ksub=spec["ksub"],
+                train_iters=spec["train_iters"], n_train=spec["n_train"],
+                k=spec["k"], n_query=spec["n_query"],
+            ),
+            spec.get("scale_pow", 0),
+        )
+    if spec.get("kind") == "ivfpq":
+        from pyspark_pipeline_framework_spark.suite.llm import _ivfpq_oracle
+
+        return _scale_embeddings_sql(
+            _ivfpq_oracle(
+                nlist=spec["nlist"], nprobe=spec["nprobe"],
+                m_sub=spec["m_sub"], ksub=spec["ksub"],
+                train_iters=spec["train_iters"], n_train=spec["n_train"],
+                k=spec["k"], n_query=spec["n_query"],
             ),
             spec.get("scale_pow", 0),
         )
@@ -2122,6 +2192,69 @@ def to_spark(spec: dict, spark, sf_dir: str, base_df=None):
                 nprobe=spec["nprobe"], **kw,
             )
         return out.select("query_id", "vec_id", "cos_sim", "rank")
+    if spec.get("kind") == "pq":
+        from pyspark_pipeline_framework_spark.llm.pq import (
+            cosine_topk_pq,
+            pq_encode,
+            pq_index,
+            pq_search_adc,
+        )
+
+        emb = table(spark, sf_dir, "embeddings")
+        p = spec.get("scale_pow", 0)
+        if p:
+            s = 2.0 ** p
+            emb = emb.withColumn(
+                "embedding",
+                F.transform("embedding", lambda x: x.cast("double") * F.lit(s)),
+            )
+        queries = emb.filter(F.col("vec_id") < spec["n_query"]).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        kw = dict(dim=64, m_sub=spec["m_sub"], ksub=spec["ksub"],
+                  train_iters=spec["train_iters"], train_sample=spec["n_train"])
+        if spec["incremental"]:
+            cdf, _ = pq_index(emb, **kw)
+            store = pq_encode(
+                emb.where(F.col("vec_id") % 2 == 0), cdf, dim=64
+            ).union(pq_encode(emb.where(F.col("vec_id") % 2 == 1), cdf, dim=64))
+            out = pq_search_adc(store, cdf, queries, dim=64, k=spec["k"])
+        else:
+            out = cosine_topk_pq(emb, queries, k=spec["k"], **kw)
+        return out.select("query_id", "vec_id", "adc_dot", "rank")
+    if spec.get("kind") == "ivfpq":
+        from pyspark_pipeline_framework_spark.llm.pq import (
+            cosine_topk_ivfpq,
+            ivfpq_add,
+            ivfpq_index,
+            ivfpq_search,
+        )
+
+        emb = table(spark, sf_dir, "embeddings")
+        p = spec.get("scale_pow", 0)
+        if p:
+            s = 2.0 ** p
+            emb = emb.withColumn(
+                "embedding",
+                F.transform("embedding", lambda x: x.cast("double") * F.lit(s)),
+            )
+        queries = emb.filter(F.col("vec_id") < spec["n_query"]).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        kw = dict(dim=64, nlist=spec["nlist"], m_sub=spec["m_sub"],
+                  ksub=spec["ksub"], train_iters=spec["train_iters"],
+                  train_sample=spec["n_train"])
+        if spec["incremental"]:
+            cent, cb, _ = ivfpq_index(emb, **kw)
+            store = ivfpq_add(
+                emb.where(F.col("vec_id") % 2 == 0), cent, cb, dim=64
+            ).union(ivfpq_add(emb.where(F.col("vec_id") % 2 == 1), cent, cb, dim=64))
+            out = ivfpq_search(store, cent, cb, queries, dim=64,
+                               k=spec["k"], nprobe=spec["nprobe"])
+        else:
+            out = cosine_topk_ivfpq(emb, queries, k=spec["k"],
+                                    nprobe=spec["nprobe"], **kw)
+        return out.select("query_id", "vec_id", "adc_dot", "rank")
     if spec.get("kind") == "packing":
         from pyspark_pipeline_framework_spark.llm.packing import (
             chunk_documents,
@@ -2337,7 +2470,7 @@ def is_portable_sql(spec: dict) -> bool:
     ASOF JOIN, unnest(string_split(...)), the WINDOW-clause session
     oracle, and json_extract_string (derive_json)."""
     if spec.get("kind") in ("asof", "explode", "session", "minhash", "ngram",
-                            "ivf", "textops", "dq", "funnel",
+                            "ivf", "pq", "ivfpq", "textops", "dq", "funnel",
                             "retrieval", "bloom", "semdedup"):
         return False
     return not any(st["op"] == "derive_json" for st in spec["stages"])
