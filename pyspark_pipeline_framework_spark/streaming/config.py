@@ -170,7 +170,7 @@ def _check_neardup(nd: Any, *, has_sink: bool, checkpoint: Any) -> None:
 
 
 _IVF_ADD_REQUIRED = {"store", "centroids", "dim"}
-_IVF_ADD_OPTIONAL = {"id_col", "vec_col", "mode", "partition_by"}
+_IVF_ADD_OPTIONAL = {"id_col", "vec_col", "mode", "partition_by", "codebooks"}
 
 
 def _check_ivf_add(blk: Any, *, has_sink: bool, has_neardup: bool,
@@ -198,6 +198,21 @@ def _check_ivf_add(blk: Any, *, has_sink: bool, has_neardup: bool,
             f"ivf_add dim must be a positive int, got {blk['dim']!r}"
         )
     _check_partition_by(blk, "ivf_add")
+    # optional `codebooks` switches the block to IVFPQ growth (assign +
+    # PQ-encode in one map-only pass); that path is always exact-integer,
+    # so a `mode` field would be silently ignored — reject it loudly
+    if "codebooks" in blk:
+        if not isinstance(blk["codebooks"], str) or not blk["codebooks"]:
+            raise StreamingConfigError(
+                "ivf_add codebooks must be a parquet path string, "
+                f"got {blk['codebooks']!r}"
+            )
+        if "mode" in blk:
+            raise StreamingConfigError(
+                "ivf_add with codebooks (IVFPQ growth) does not take "
+                "'mode' — assignment and encoding are always the "
+                "exact-integer path"
+            )
     if has_sink or has_neardup:
         raise StreamingConfigError(
             "ivf_add is mutually exclusive with sink/neardup — the "
@@ -334,11 +349,23 @@ def run_stream_component(
         _check_ivf_add(ivf_add, has_sink=sink is not None, has_neardup=False,
                        checkpoint=checkpoint)
         blk = dict(ivf_add)
-        built_sink = ForeachBatchSink(
-            streaming_ivf_add_batch(
-                blk.pop("store"), blk.pop("centroids"), blk.pop("dim"), **blk
+        if "codebooks" in blk:
+            from pyspark_pipeline_framework_spark.streaming.stateful import (
+                streaming_ivfpq_add_batch,
             )
-        )
+
+            built_sink = ForeachBatchSink(
+                streaming_ivfpq_add_batch(
+                    blk.pop("store"), blk.pop("centroids"),
+                    blk.pop("codebooks"), blk.pop("dim"), **blk
+                )
+            )
+        else:
+            built_sink = ForeachBatchSink(
+                streaming_ivf_add_batch(
+                    blk.pop("store"), blk.pop("centroids"), blk.pop("dim"), **blk
+                )
+            )
     else:
         if sink is None:
             raise StreamingConfigError("stream component requires a 'sink' block")

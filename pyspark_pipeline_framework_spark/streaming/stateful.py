@@ -364,3 +364,58 @@ def streaming_ivf_add_batch(
         w.parquet(f"{store_path}/batch_id={batch_id}")
 
     return process
+
+
+def streaming_ivfpq_add_batch(
+    store_path: str,
+    centroids,
+    codebooks,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    partition_by: list[str] | None = None,
+):
+    """``foreachBatch`` factory: streaming IVFPQ-index growth — the
+    compressed sibling of :func:`streaming_ivf_add_batch`. Each
+    embedding micro-batch is cell-assigned AND PQ-encoded in one
+    map-only pass under the FROZEN quantizer pair
+    (:func:`~pyspark_pipeline_framework_spark.llm.pq.ivfpq_add`), so
+    the growing store holds ``(id, cell, codes)`` — a few bytes per
+    vector, no raw floats — and lands as ``<store_path>/batch_id=N``.
+
+    Same durability contract as the IVF variant: state lives in the
+    store parquet (zero executor state), replay is idempotent (a
+    replayed micro-batch overwrites its own ``batch_id`` partition),
+    both models are resolved ONCE on the first micro-batch (each
+    collect bounded by a model hyperparameter), and the first batch
+    probes the on-disk layout, raising :class:`StoreLayoutError`
+    before writing a partition that would conflict with a
+    ``partition_by``-compacted store. Search any union of batches with
+    :func:`~pyspark_pipeline_framework_spark.llm.pq.ivfpq_search` over
+    ``spark.read.parquet(store_path)``; pass ``partition_by=["cell"]``
+    to enable static cell pruning on top of batch lineage."""
+    from pyspark_pipeline_framework_spark.llm.pq import (
+        _as_codebook_matrix,
+        ivfpq_add,
+    )
+    from pyspark_pipeline_framework_spark.llm.similarity import _as_centroid_matrix
+
+    memo: list = []
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if not memo:
+            _check_store_layout(batch_df.sparkSession, store_path, partition_by)
+            c, b = centroids, codebooks
+            if isinstance(c, str):
+                c = batch_df.sparkSession.read.parquet(c)
+            if isinstance(b, str):
+                b = batch_df.sparkSession.read.parquet(b)
+            memo.append((_as_centroid_matrix(c), _as_codebook_matrix(b)))
+        C, B = memo[0]
+        store_rows = ivfpq_add(batch_df, C, B, dim, id_col=id_col, vec_col=vec_col)
+        w = store_rows.write.mode("overwrite")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(f"{store_path}/batch_id={batch_id}")
+
+    return process

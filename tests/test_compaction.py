@@ -425,3 +425,44 @@ def test_compaction_sorted_within_partitions(spark, tmp_path, sf_dir):
         compact_batch_store(
             spark, store, str(tmp_path / "x"), sort_within_partitions=["nope"]
         )
+
+
+def test_compacted_ivfpq_store_search_and_cell_pruning(spark, tmp_path, sf_dir):
+    """IVFPQ store compaction with partition_by=['cell']: search
+    results identical over the folded baseline, and prune_cells
+    static-prunes the compacted store's scan."""
+    import re
+
+    from pyspark_pipeline_framework_spark.llm.pq import ivfpq_index, ivfpq_search
+    from pyspark_pipeline_framework_spark.streaming.stateful import (
+        streaming_ivfpq_add_batch,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cdf, cbdf, _ = ivfpq_index(
+        emb, dim=64, nlist=8, m_sub=16, ksub=16, train_sample=256
+    )
+    store = str(tmp_path / "ivfpq")
+    process = streaming_ivfpq_add_batch(store, cdf, cbdf, dim=64)
+    process(emb.where(F.col("vec_id") % 2 == 0), 0)
+    process(emb.where(F.col("vec_id") % 2 == 1), 1)
+
+    compacted = str(tmp_path / "ivfpq_c")
+    got = compact_batch_store(spark, store, compacted, partition_by=["cell"])
+    assert got.count() == spark.read.parquet(store).count()
+
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    want = sorted(map(tuple, ivfpq_search(
+        spark.read.parquet(store).drop("batch_id"), cdf, cbdf, queries,
+        dim=64, k=5, nprobe=2,
+    ).collect()))
+    pruned = ivfpq_search(
+        spark.read.parquet(compacted).drop("batch_id"), cdf, cbdf, queries,
+        dim=64, k=5, nprobe=2, prune_cells=True,
+    )
+    assert sorted(map(tuple, pruned.collect())) == want and want
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "cell" in m.group(1)

@@ -259,3 +259,48 @@ def test_no_unpartitioned_windows_anywhere_in_suite(spark, sf_dir):
             if " ASC" in arg or " DESC" in arg or arg.startswith("specifiedwindowframe"):
                 offenders.setdefault(name, []).append(arg[:80])
     assert not offenders, f"global (single-partition) windows: {offenders}"
+
+
+def _raw_plan(df):
+    return df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_pq_adc_search_plan(spark, sf_dir):
+    """PQ-ADC search: distance tables broadcast (never shuffled against
+    the code store), no cartesian product, lookup-sum as a real
+    partial+final hash aggregate. (Built on the raw operator — the
+    suite case memoizes through a localCheckpoint, which truncates the
+    plan to an ExistingRDD scan.)"""
+    from pyspark.sql import functions as F
+
+    from pyspark_pipeline_framework_spark.llm.pq import cosine_topk_pq
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    p = _raw_plan(cosine_topk_pq(emb, q, dim=64, k=5, m_sub=16, ksub=16,
+                                 train_sample=128))
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+    assert "HashAggregate" in p
+
+
+def test_ivfpq_search_plan(spark, sf_dir):
+    """IVFPQ search: the cell probe AND the distance tables ride
+    broadcast joins; candidates never go through a cartesian product."""
+    from pyspark.sql import functions as F
+
+    from pyspark_pipeline_framework_spark.llm.pq import cosine_topk_ivfpq
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    p = _raw_plan(cosine_topk_ivfpq(emb, q, dim=64, k=5, nlist=8, nprobe=3,
+                                    m_sub=16, ksub=16, train_sample=128))
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+    assert "HashAggregate" in p

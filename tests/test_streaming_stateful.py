@@ -484,3 +484,100 @@ def test_streaming_ivf_add_empty_micro_batch(spark, tmp_path, sf_dir):
     got = spark.read.parquet(store)
     assert got.count() == emb.where(F.col("vec_id") % 2 == 0).count()
     assert got.where(F.col("batch_id") == 1).count() == 0
+
+
+def test_streaming_ivfpq_add_matches_batch(spark, tmp_path, sf_dir):
+    """Streaming IVFPQ-index growth: three parquet micro-batches
+    through streaming_ivfpq_add_batch under a frozen quantizer pair
+    must leave the SAME (cell, codes) store — and therefore identical
+    search results — as one batch ivfpq_add over all vectors. Both
+    models are read from parquet paths, the production restart shape."""
+    from pyspark.sql import functions as F
+
+    from pyspark_pipeline_framework_spark.llm.pq import (
+        ivfpq_add,
+        ivfpq_index,
+        ivfpq_search,
+    )
+    from pyspark_pipeline_framework_spark.streaming.sinks import ForeachBatchSink
+    from pyspark_pipeline_framework_spark.streaming.stateful import (
+        streaming_ivfpq_add_batch,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cdf, cbdf, want_store = ivfpq_index(
+        emb, dim=64, nlist=8, m_sub=16, ksub=16, train_sample=256
+    )
+    cpath, bpath = str(tmp_path / "centroids"), str(tmp_path / "codebooks")
+    cdf.write.parquet(cpath)
+    cbdf.write.parquet(bpath)
+
+    src = str(tmp_path / "in")
+    for i in range(3):
+        emb.where(F.col("vec_id") % 3 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    store, ckpt = str(tmp_path / "store"), str(tmp_path / "ck")
+    StreamingPipeline(
+        source=FileStreamingSource(
+            src,
+            file_format="parquet",
+            schema="vec_id BIGINT, embedding ARRAY<DOUBLE>",
+            options={"maxFilesPerTrigger": "1"},
+        ),
+        sink=ForeachBatchSink(
+            streaming_ivfpq_add_batch(store, cpath, bpath, dim=64)
+        ),
+        trigger=Trigger(TriggerType.AVAILABLE_NOW),
+        checkpoint_location=ckpt,
+    ).set_spark_session(spark).run(timeout_s=120)
+
+    streamed = spark.read.parquet(store)
+    want_rows = sorted(
+        (r.vec_id, r.cell, tuple(r.codes)) for r in want_store.collect()
+    )
+    got_rows = sorted(
+        (r.vec_id, r.cell, tuple(r.codes)) for r in streamed.collect()
+    )
+    assert got_rows == want_rows and want_rows
+    assert streamed.select("batch_id").distinct().count() == 3
+
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = sorted(map(tuple, ivfpq_search(
+        streamed.drop("batch_id"), cdf, cbdf, queries, dim=64, k=5, nprobe=3
+    ).collect()))
+    want = sorted(map(tuple, ivfpq_search(
+        want_store, cdf, cbdf, queries, dim=64, k=5, nprobe=3
+    ).collect()))
+    assert got == want and want
+
+
+def test_ivf_add_block_codebooks_validation():
+    """The ivf_add stream block's IVFPQ switch: codebooks must be a
+    path string and excludes 'mode' (the IVFPQ path is always
+    exact-integer)."""
+    import pytest as _pytest
+
+    from pyspark_pipeline_framework_spark.streaming.config import (
+        StreamingConfigError,
+        validate_stream_params,
+    )
+
+    base = {
+        "source": {"type": "rate"},
+        "checkpoint": "/tmp/ck",
+        "ivf_add": {"store": "/tmp/s", "centroids": "/tmp/c", "dim": 8},
+    }
+    ok = {**base, "ivf_add": {**base["ivf_add"], "codebooks": "/tmp/b"}}
+    validate_stream_params(ok)
+    with _pytest.raises(StreamingConfigError, match="parquet path"):
+        validate_stream_params(
+            {**base, "ivf_add": {**base["ivf_add"], "codebooks": 7}}
+        )
+    with _pytest.raises(StreamingConfigError, match="mode"):
+        validate_stream_params(
+            {**base, "ivf_add": {**base["ivf_add"], "codebooks": "/tmp/b",
+                                 "mode": "exact"}}
+        )

@@ -72,6 +72,8 @@ EXPECTED_DIVERGENT = {
     # real testdata, definitionally not on an empty corpus.
     "q_sim_knn_lsh_recall": "oracle literal pins the 5-query fixture outcome",
     "q_sim_knn_ivf_recall": "oracle literal pins the 5-query fixture outcome",
+    "q_sim_knn_pq_recall": "oracle literal pins the 5-query fixture outcome",
+    "q_sim_knn_ivfpq_recall": "oracle literal pins the 5-query fixture outcome",
 }
 
 

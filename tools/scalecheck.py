@@ -436,6 +436,29 @@ def run_battery(spark: SparkSession, docs_path: str, emb_path: str, meter: Stage
         "knn_ivf",
         lambda: cosine_topk_ivf(emb, queries, dim=64, k=5, nlist=8, nprobe=3).count(),
     )
+    # PQ flat ADC: fixed query set, code store grows R x -- the lookup
+    # join + one aggregate must stay linear (training is a bounded
+    # driver-side sample, constant in R)
+    from pyspark_pipeline_framework_spark.llm.pq import (
+        cosine_topk_ivfpq,
+        cosine_topk_pq,
+    )
+
+    timed(
+        "knn_pq",
+        lambda: cosine_topk_pq(
+            emb, queries, dim=64, k=5, m_sub=16, ksub=16, train_sample=256
+        ).count(),
+    )
+    # IVFPQ: constant nlist -> probed fraction constant -> candidate
+    # ADC work linear in R
+    timed(
+        "knn_ivfpq",
+        lambda: cosine_topk_ivfpq(
+            emb, queries, dim=64, k=5, nlist=8, nprobe=3,
+            m_sub=16, ksub=16, train_sample=256,
+        ).count(),
+    )
     out["_n_candidate_pairs"] = n_pairs
     return out
 
