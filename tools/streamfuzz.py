@@ -498,9 +498,82 @@ def _ivf_family(spark, tmp: str, seed: int, n_ivf: int, sf_dir: str) -> int:
     return failures
 
 
+def _ivfpq_family(spark, tmp: str, seed: int, n_ivfpq: int, sf_dir: str) -> int:
+    """Family 7: randomized streaming IVFPQ-index growth (the
+    compressed sibling of family 6). Random nlist/m_sub/ksub/
+    batch-count/subset/split-salt per spec; one batch replayed
+    mid-stream; the streamed (id, cell, codes) store compared to the
+    batch ivfpq_add twin, ADC search compared on a sampled third."""
+    import random as _random
+
+    from pyspark.sql import functions as F
+
+    from pyspark_pipeline_framework_spark.llm.pq import (
+        ivfpq_add,
+        ivfpq_index,
+        ivfpq_search,
+    )
+    from pyspark_pipeline_framework_spark.streaming.stateful import (
+        streaming_ivfpq_add_batch,
+    )
+
+    rng = _random.Random(seed * 7919 + 77)
+    emb_full = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    failures = 0
+    for i in range(n_ivfpq):
+        nlist = rng.choice([4, 8])
+        m_sub = rng.choice([8, 16, 32])
+        ksub = rng.choice([8, 16])
+        nb = rng.randint(2, 4)
+        m = rng.randint(1, 3)
+        salt = rng.randint(0, 10**6)
+        t0 = time.time()
+        sub = emb_full.where(F.col("vec_id") % m == 0)
+        cdf, cbdf, want_df = ivfpq_index(
+            sub, dim=64, nlist=nlist, m_sub=m_sub, ksub=ksub,
+            train_sample=rng.choice([128, 256]),
+        )
+        store = os.path.join(tmp, f"ivfpq7_{i}")
+        proc = streaming_ivfpq_add_batch(store, cdf, cbdf, 64)
+        replay_at = rng.randrange(nb)
+        for j in range(nb):
+            b = sub.where((F.col("vec_id") + salt) % nb == j)
+            proc(b, j)
+            if j == replay_at:
+                proc(b, j)  # at-least-once replay of the same batch id
+        streamed = spark.read.parquet(store)
+        got = sorted((r.vec_id, r.cell, tuple(r.codes)) for r in streamed.collect())
+        want = sorted((r.vec_id, r.cell, tuple(r.codes)) for r in want_df.collect())
+        ok = got == want and got
+        label = f"ivfpq7 #{i} nlist={nlist} m_sub={m_sub} ksub={ksub} nb={nb} m={m}"
+        if not ok:
+            failures += 1
+            print(f"FAIL  {label}: streamed store != batch store "
+                  f"({len(got)} vs {len(want)} rows)")
+            continue
+        if i % 3 == 0:
+            qids = [r.vec_id for r in sub.limit(3).collect()]
+            queries = sub.where(F.col("vec_id").isin(qids)).select(
+                F.col("vec_id").alias("query_id"), "embedding"
+            )
+            s_got = sorted(map(tuple, ivfpq_search(
+                streamed.drop("batch_id"), cdf, cbdf, queries,
+                dim=64, k=3, nprobe=2).collect()))
+            s_want = sorted(map(tuple, ivfpq_search(
+                want_df, cdf, cbdf, queries,
+                dim=64, k=3, nprobe=2).collect()))
+            if s_got != s_want:
+                failures += 1
+                print(f"FAIL  {label}: streamed search != batch search")
+                continue
+            label += " +search"
+        print(f"OK    {label} ({len(got)} rows, {time.time() - t0:.1f}s)")
+    return failures
+
+
 def run(n_dedup: int, n_agg: int, seed: int, sf_dir: str,
         n_join: int = 10, n_session: int = 10, n_stateful: int = 10,
-        n_ivf: int = 8) -> int:
+        n_ivf: int = 8, n_ivfpq: int = 6) -> int:
     import random
 
     from pyspark.sql import functions as F
@@ -778,6 +851,15 @@ def run(n_dedup: int, n_agg: int, seed: int, sf_dir: str,
         failures += _ivf_family(spark, tmp, seed, n_ivf, sf_dir)
         n_run6 = n_ivf
 
+    # ---- family 7: streaming IVFPQ index growth ----------------------
+    # same contract as family 6 over the compressed (id, cell, codes)
+    # store: frozen quantizer PAIR, injected at-least-once replay,
+    # store equality + sampled ADC-search equality vs the batch twin.
+    n_run7 = 0
+    if n_ivfpq:
+        failures += _ivfpq_family(spark, tmp, seed, n_ivfpq, sf_dir)
+        n_run7 = n_ivfpq
+
     # ---- family 5: randomized stateful processors -------------------
     # (VERDICT r7 item 6) random key cardinality / batch splits / state
     # lifecycle, run through BOTH state APIs — the legacy
@@ -801,11 +883,11 @@ def run(n_dedup: int, n_agg: int, seed: int, sf_dir: str,
 
     shutil.rmtree(tmp, ignore_errors=True)
     total = (len(dedup_specs) + len(agg_specs)
-             + len(join_specs) + len(session_specs)) + n_run5 + n_run6
+             + len(join_specs) + len(session_specs)) + n_run5 + n_run6 + n_run7
     print(f"\n{total} stateful streaming specs, {failures} mismatches, "
           f"{time.time() - t_all:.0f}s (seed={seed})")
-    return 1 if failures or total < (n_dedup + n_agg + n_join
-                                     + n_session + n_stateful + n_ivf) else 0
+    return 1 if failures or total < (n_dedup + n_agg + n_join + n_session
+                                     + n_stateful + n_ivf + n_ivfpq) else 0
 
 
 def main() -> int:
@@ -816,13 +898,14 @@ def main() -> int:
     ap.add_argument("--n-session", type=int, default=10)
     ap.add_argument("--n-stateful", type=int, default=10)
     ap.add_argument("--n-ivf", type=int, default=8)
+    ap.add_argument("--n-ivfpq", type=int, default=6)
     ap.add_argument("--seed", type=int, default=2026)
     ap.add_argument("--sf", default=os.environ.get("SPARK_GRAFT_SF_DIR",
                                                    "/root/testdata/sf0.01"))
     a = ap.parse_args()
     return run(a.n_dedup, a.n_agg, a.seed, a.sf,
                n_join=a.n_join, n_session=a.n_session,
-               n_stateful=a.n_stateful, n_ivf=a.n_ivf)
+               n_stateful=a.n_stateful, n_ivf=a.n_ivf, n_ivfpq=a.n_ivfpq)
 
 
 if __name__ == "__main__":
