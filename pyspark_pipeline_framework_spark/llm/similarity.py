@@ -881,6 +881,71 @@ def quantize_embeddings(
     )
 
 
+def cosine_topk_int8(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    dim: int | None = None,
+    levels: int = 127,
+) -> DataFrame:
+    """Brute-force cosine top-k over int8-QUANTIZED vectors — the
+    search half of :func:`quantize_embeddings`: both sides quantize
+    map-only (bit-exact IEEE ops), and scoring needs no floats at all
+    until the final cosine — the dot and both squared norms are pure
+    int64 sums over int8 codes, and the per-vector scale factors
+    CANCEL in the cosine ratio, so the quantized ranking is a pure
+    function of the codes. At 100 TB this is the cheap lever: a 4×
+    smaller scan (int8 + one double per vector) with near-lossless
+    cosine ranking, no trained model, no extra shuffle vs the float
+    brute force (broadcast query side, one top-k exchange).
+
+    Excludes zero-quantized vectors on both sides (an all-zero code
+    has no direction; its 0/0 cosine is engine-divergent — the same
+    contract as the float surface)."""
+    qc = quantize_embeddings(
+        drop_corrupt_vectors(corpus, vec_col, dim), vec_col, levels=levels
+    ).select(F.col(id_col), F.col("q_embedding").alias("__cq"))
+    qq = quantize_embeddings(
+        drop_corrupt_vectors(queries, vec_col, dim), vec_col, levels=levels
+    ).select(F.col(query_id_col), F.col("q_embedding").alias("__qq"))
+
+    def doti8(a: Column, b: Column) -> Column:
+        prods = F.zip_with(a, b, lambda x, y: x.cast("long") * y.cast("long"))
+        return F.aggregate(prods, F.lit(0).cast("long"), lambda acc, v: acc + v)
+
+    qc = qc.withColumn("__cn2", doti8(F.col("__cq"), F.col("__cq"))).filter(
+        F.col("__cn2") > 0
+    )
+    qq = qq.withColumn("__qn2", doti8(F.col("__qq"), F.col("__qq"))).filter(
+        F.col("__qn2") > 0
+    )
+    scored = (
+        ensure_parallelism(qc)
+        .join(F.broadcast(qq), F.col(query_id_col) != F.col(id_col))
+        .select(
+            query_id_col,
+            id_col,
+            (
+                doti8(F.col("__qq"), F.col("__cq")).cast("double")
+                / (
+                    F.sqrt(F.col("__qn2").cast("double"))
+                    * F.sqrt(F.col("__cn2").cast("double"))
+                )
+            ).alias("cos_sim_q"),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cos_sim_q").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def semantic_dedup_pairs(
     corpus: DataFrame,
     dim: int,

@@ -2133,3 +2133,61 @@ def q_sim_knn_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = _knn_exact(spark, sf_dir).select("query_id", "vec_id")
     approx = _knn_ivfpq(spark, sf_dir).select("query_id", "vec_id")
     return _recall_gate(approx, exact, "ivfpq_recall_at_5", 0.25)
+
+
+def _int8_knn_oracle(k: int = 5, n_query: int = 5, levels: int = 127) -> str:
+    """Int8-quantized kNN oracle: quantization replayed exactly (same
+    fragment as q_emb_quantize), then pure-integer dots and the cosine
+    ratio — no fixed-point machinery needed because the codes ARE
+    integers and the per-vector scales cancel in the ratio."""
+    doti8 = lambda a, b: (  # noqa: E731
+        f"list_sum(list_transform(range(1, len({a}) + 1), "
+        f"i -> CAST({a}[i] AS BIGINT) * CAST({b}[i] AS BIGINT)))"
+    )
+    return f"""
+    WITH m AS (
+      SELECT vec_id, embedding,
+             list_max(list_transform(embedding, x -> ABS(CAST(x AS DOUBLE)))) AS mx
+      FROM embeddings
+    ), qv AS (
+      SELECT vec_id,
+             CASE WHEN mx = 0 THEN list_transform(embedding, x -> 0)
+                  ELSE list_transform(embedding,
+                         x -> GREATEST(-{levels}, LEAST({levels},
+                                CAST(FLOOR(CAST(x AS DOUBLE) / mx * {levels}.0) AS INT))))
+             END AS q
+      FROM m
+    ), nn AS (
+      SELECT vec_id, q, {doti8("q", "q")} AS n2 FROM qv
+    ), scored AS (
+      SELECT qs.vec_id AS query_id, cs.vec_id,
+             CAST({doti8("qs.q", "cs.q")} AS DOUBLE)
+               / (SQRT(CAST(qs.n2 AS DOUBLE)) * SQRT(CAST(cs.n2 AS DOUBLE))) AS cos_sim_q
+      FROM nn qs JOIN nn cs
+        ON cs.vec_id <> qs.vec_id AND qs.n2 > 0 AND cs.n2 > 0
+      WHERE qs.vec_id < {n_query}
+    )
+    SELECT query_id, vec_id, cos_sim_q, rank FROM (
+      SELECT query_id, vec_id, cos_sim_q,
+             CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cos_sim_q DESC, vec_id) AS BIGINT) AS rank
+      FROM scored) WHERE rank <= {k}
+    """
+
+
+@case("q_sim_knn_int8", oracle=_int8_knn_oracle(), category="llm")
+def q_sim_knn_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine kNN over int8-QUANTIZED vectors (the search
+    half of q_emb_quantize's 4x storage shrink): scoring is pure
+    integer dots of the codes — scales cancel in the cosine ratio —
+    so the oracle replays quantization + ranking with no fixed-point
+    scaffolding at all."""
+    from pyspark_pipeline_framework_spark.llm.similarity import cosine_topk_int8
+
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return cosine_topk_int8(emb, queries, k=5).select(
+        "query_id", "vec_id", "cos_sim_q", "rank"
+    )
