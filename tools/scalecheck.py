@@ -259,28 +259,62 @@ def jvm_used_heap(spark: SparkSession) -> int:
     return int(rt.totalMemory() - rt.freeMemory())
 
 
+def _steal_jiffies() -> int | None:
+    """Host CPU-steal counter (same source as bench.py): jiffies stolen
+    from this VM since boot, or None where /proc/stat is unavailable."""
+    try:
+        with open("/proc/stat") as f:
+            return int(f.readline().split()[8])
+    except Exception:
+        return None
+
+
 def _make_timed(out: dict, meter: "StageMeter"):
     """Measure an op's wall time; ops slower than 1.5s are re-measured
     once and the MINIMUM is recorded (`wall_cold_s` keeps the first
     run). The host shows multi-second CPU-steal bands; the harness
     grades scaling SHAPE, so one transient stall must not fail a
-    linearity bound. Stage shuffle metrics come from the first run."""
+    linearity bound. Stage shuffle metrics come from the first run.
 
-    def timed(name: str, fn):
-        meter.mark()
+    r10: steal is METERED per measurement window (bench.py's policy):
+    when the minimum-so-far window still lost > max(0.5s, 20% of wall)
+    to steal, the op is re-measured up to two more times and the
+    cleanest (lowest-steal, then lowest-wall) run is recorded, with
+    `steal_s` kept in the record — a steal burst shows up in the
+    artifact instead of masquerading as a scaling regression."""
+
+    def one_run(fn):
+        s0 = _steal_jiffies()
         t0 = time.monotonic()
         val = fn()
         wall = time.monotonic() - t0
+        s1 = _steal_jiffies()
+        steal = (s1 - s0) / 100.0 if s0 is not None and s1 is not None else 0.0
+        return val, wall, steal
+
+    def timed(name: str, fn):
+        meter.mark()
+        val, wall, steal = one_run(fn)
         rec = {"wall_s": round(wall, 3), "rows": val if isinstance(val, int) else None}
         stage = meter.read()
         if stage:
             rec.update(stage)
+        best_wall, best_steal = wall, steal
         if wall > 1.5:
-            t0 = time.monotonic()
-            fn()
-            rerun = time.monotonic() - t0
+            _, rerun, steal2 = one_run(fn)
             rec["wall_cold_s"] = rec["wall_s"]
-            rec["wall_s"] = round(min(wall, rerun), 3)
+            if rerun < best_wall:
+                best_wall, best_steal = rerun, steal2
+        retries = 0
+        while best_steal > max(0.5, 0.2 * best_wall) and retries < 2:
+            retries += 1
+            _, rerun, steal2 = one_run(fn)
+            if (steal2, rerun) < (best_steal, best_wall):
+                best_wall, best_steal = rerun, steal2
+        rec["wall_s"] = round(best_wall, 3)
+        rec["steal_s"] = round(best_steal, 2)
+        if retries:
+            rec["steal_retries"] = retries
         out[name] = rec
         return val
 
@@ -663,8 +697,33 @@ def write_report(path: str, base_dir: str, results: dict[int, dict],
             f"- candidate pairs grow ≤ R·{PAIR_SLACK} — PASS",
             "- driver used-heap growth < 2 GiB across the full sweep — PASS",
         ]
+    # per-scale metered steal (r10): total steal-seconds observed in
+    # the recorded (post-retry) measurement windows — a contaminated
+    # host shows up in the artifact, not as a phantom regression
+    steal_rows = []
+    for r in scales:
+        tot = sum(v.get("steal_s", 0.0) for v in results[r].values()
+                  if isinstance(v, dict))
+        retr = sum(v.get("steal_retries", 0) for v in results[r].values()
+                   if isinstance(v, dict))
+        steal_rows.append(f"| x{r} | {tot:.1f}s | {retr} |")
+    lines += [
+        "",
+        "| scale | steal in recorded windows | steal retries |",
+        "|---|---|---|",
+        *steal_rows,
+    ]
+    # preserve curated addenda (hand-written sections below the marker
+    # — e.g. the TPC-H ×30/×100 runs) across automated rewrites
+    marker = "<!-- curated-addenda -->"
+    tail = ""
+    if os.path.exists(path):
+        with open(path) as f:
+            prev = f.read()
+        if marker in prev:
+            tail = "\n" + marker + prev.split(marker, 1)[1]
     with open(path, "w") as f:
-        f.write("\n".join(lines) + "\n")
+        f.write("\n".join(lines) + "\n" + tail)
 
 
 def main(argv: list[str] | None = None) -> int:
