@@ -1002,24 +1002,67 @@ def dedup_clusters(
     id_col: str = "doc_id",
     algorithm: str = "label",
     checkpoint_dir: str | None = None,
+    score_col: str | None = None,
+    keep: str = "max",
 ) -> DataFrame:
     """Canonicalize near-dup candidate pairs into keep/drop decisions:
     every document maps to the smallest id in its connected component
     (itself if unpaired), ``is_duplicate`` marks the non-canonical
     members — the rows an LLM-data pipeline drops.
 
+    ``score_col`` switches the KEEP POLICY from min-id to
+    best-scoring: within each cluster the kept row is the one with the
+    ``keep`` ("max"/"min") value of ``score_col`` (ties → lowest id,
+    NULL scores last under either direction — engine-portable), and
+    the result gains a ``canonical_id`` column naming it. Keeping the
+    longest / highest-quality member instead of the arbitrary min-id
+    one is the usual curation policy (the cluster label itself stays
+    min-id — stable under re-runs regardless of score drift).
+
     One left join of the corpus against the (tiny relative to corpus)
     component labels; the corpus itself is never shuffled on anything
-    but the join key."""
+    but the join key. The scoring window runs over cluster MEMBERS
+    only (rows that appear in ``pairs``), never the whole corpus."""
     cc = connected_components(pairs, algorithm=algorithm, checkpoint_dir=checkpoint_dir)
-    return (
+    base = (
         df.select(F.col(id_col))
         .join(cc, F.col(id_col) == cc.id, "left")
         .select(
             F.col(id_col),
             F.coalesce("cluster_id", F.col(id_col)).alias("cluster_id"),
-            (F.coalesce("cluster_id", F.col(id_col)) != F.col(id_col)).alias("is_duplicate"),
         )
+    )
+    if score_col is None:
+        return base.select(
+            id_col,
+            "cluster_id",
+            (F.col("cluster_id") != F.col(id_col)).alias("is_duplicate"),
+        )
+    if keep not in ("max", "min"):
+        raise ValueError(f"keep must be 'max' or 'min', got {keep!r}")
+    members = df.select(
+        F.col(id_col).alias("__mid"), F.col(score_col).alias("__score")
+    ).join(cc.select(F.col("id").alias("__mid"), "cluster_id"), "__mid")
+    # explicit NULLS LAST both directions: Spark's ASC default is
+    # nulls-first, DuckDB's is nulls-last — pin the portable order
+    order = (
+        F.col("__score").desc_nulls_last()
+        if keep == "max"
+        else F.col("__score").asc_nulls_last()
+    )
+    w = Window.partitionBy("cluster_id").orderBy(order, F.col("__mid").asc())
+    canon = (
+        members.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("cluster_id", F.col("__mid").alias("canonical_id"))
+    )
+    return base.join(canon, "cluster_id", "left").select(
+        F.col(id_col),
+        F.col("cluster_id"),
+        F.coalesce("canonical_id", F.col(id_col)).alias("canonical_id"),
+        (F.coalesce("canonical_id", F.col(id_col)) != F.col(id_col)).alias(
+            "is_duplicate"
+        ),
     )
 
 

@@ -2191,3 +2191,65 @@ def q_sim_knn_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk_int8(emb, queries, k=5).select(
         "query_id", "vec_id", "cos_sim_q", "rank"
     )
+
+
+_CLUSTER_KEEP_ORACLE = r"""
+    WITH RECURSIVE words AS (
+      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS w FROM documents
+    ), sh AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+               range(1, greatest(len(w) - 2, 1) + 1),
+               i -> array_to_string(list_slice(w, i, i + 2), ' ')))) AS shingle
+      FROM words
+    ), sizes AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz FROM sh GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS BIGINT) AS n_common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), pairs AS (
+      SELECT id_a, id_b FROM inter
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE CAST(n_common AS DOUBLE) / (sa.sz + sb.sz - n_common) >= 0.8
+    ), edges AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs
+    ), reach(u, v) AS (
+      SELECT u, v FROM edges
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+    ), clusters AS (
+      SELECT d.doc_id,
+             COALESCE(LEAST(d.doc_id, MIN(r.v)), d.doc_id) AS cluster_id
+      FROM documents d
+      LEFT JOIN reach r ON r.u = d.doc_id
+      GROUP BY d.doc_id
+    ), canon AS (
+      SELECT cluster_id, doc_id AS canonical_id FROM (
+        SELECT c.cluster_id, c.doc_id,
+               ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+                                  ORDER BY d.n_chars DESC NULLS LAST, c.doc_id) AS rn
+        FROM clusters c JOIN documents d ON d.doc_id = c.doc_id) WHERE rn = 1
+    )
+    SELECT c.doc_id, c.cluster_id, cn.canonical_id,
+           c.doc_id <> cn.canonical_id AS is_duplicate
+    FROM clusters c JOIN canon cn ON cn.cluster_id = c.cluster_id
+    """
+
+
+@case("q_dedup_cluster_keep", oracle=_CLUSTER_KEEP_ORACLE, category="llm")
+def q_dedup_cluster_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonicalization with a KEEP POLICY: same exact-Jaccard pairs
+    and connected components as q_dedup_cluster, but the kept member
+    of each cluster is the LONGEST document (n_chars, ties to lowest
+    id) instead of the min-id one — the usual curation choice. The
+    oracle extends the recursive-CTE closure with the same scored
+    ROW_NUMBER selection."""
+    from pyspark_pipeline_framework_spark.llm.dedup import dedup_clusters
+
+    d = table(spark, sf_dir, "documents")
+    return dedup_clusters(
+        d, _cluster_pairs(spark, sf_dir), score_col="n_chars", keep="max"
+    )

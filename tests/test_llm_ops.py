@@ -1173,3 +1173,49 @@ def test_ivf_search_prune_cells_repeated_calls_no_accumulation(spark, sf_dir, tm
     assert growth < 96 * 1024 * 1024, (
         f"post-GC driver heap grew {growth / 1e6:.0f} MB over 15 searches"
     )
+
+
+def test_dedup_clusters_keep_policy(spark):
+    """score_col keep policy: the kept member is the best-scoring one
+    (ties -> lowest id, NULLs last), singletons keep themselves, the
+    cluster label stays min-id, and an invalid keep mode raises."""
+    import pytest as _pytest
+
+    from pyspark_pipeline_framework_spark.llm.dedup import dedup_clusters
+
+    docs = spark.createDataFrame(
+        [(1, 10), (2, 30), (3, 30), (4, 99), (5, 7), (6, None)],
+        "doc_id: bigint, n_chars: int",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6)], "id_a: bigint, id_b: bigint"
+    )
+    out = {
+        r["doc_id"]: (r["cluster_id"], r["canonical_id"], r["is_duplicate"])
+        for r in dedup_clusters(
+            docs, pairs, score_col="n_chars", keep="max"
+        ).collect()
+    }
+    # cluster {1,2,3}: 2 and 3 tie at 30 -> lowest id 2 kept
+    assert out[1] == (1, 2, True)
+    assert out[2] == (1, 2, False)
+    assert out[3] == (1, 2, True)
+    # singleton keeps itself
+    assert out[4] == (4, 4, False)
+    # cluster {5,6}: 6 has NULL score -> sorts last, 5 kept
+    assert out[5] == (5, 5, False)
+    assert out[6] == (5, 5, True)
+    # keep="min": within {1,2,3} the smallest score is doc 1 (10)
+    out_min = {
+        r["doc_id"]: r["canonical_id"]
+        for r in dedup_clusters(
+            docs, pairs, score_col="n_chars", keep="min"
+        ).collect()
+    }
+    assert out_min[2] == 1 and out_min[6] == 5  # NULL still last
+    with _pytest.raises(ValueError, match="keep"):
+        dedup_clusters(docs, pairs, score_col="n_chars", keep="best")
+    # default policy unchanged: no canonical_id column, min-id kept
+    legacy = dedup_clusters(docs, pairs)
+    assert "canonical_id" not in legacy.columns
+    assert {r["doc_id"]: r["is_duplicate"] for r in legacy.collect()}[2] is True
