@@ -213,6 +213,60 @@ def domain_mix_sample(
     )
 
 
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    target_fraction: float,
+    id_col: str = "doc_id",
+    salt: str = "wsample",
+) -> DataFrame:
+    """Per-ROW importance sampling: keep probability proportional to
+    ``weight_col`` (e.g. a quality score or token count), scaled so
+    the EXPECTED kept fraction is ``target_fraction`` and capped at 1
+    — the row-level sibling of :func:`domain_mix_sample`'s per-domain
+    reweighting, the standard quality-/length-weighted data-mixing
+    step.
+
+    rate_r = LEAST(1, ((tf·N)·w_r) / S) with S the DECIMAL-summed
+    weight total and N the row count (both one tiny aggregate,
+    broadcast back); keep iff md5-uint32(id) < rate_r·2^32 — the same
+    deterministic engine-portable keep-set as the rest of the family
+    (the suite oracle replays rates and keep-set bit-exactly).
+
+    Rows with NULL, NaN or non-positive weight are EXCLUDED — from the
+    output and from the totals (a negative weight has no sampling
+    meaning, and letting it into the sum can flip the sign of every
+    other row's rate). Scale: one scalar aggregate + a map-side
+    filter; the corpus never shuffles."""
+    if not (0.0 < target_fraction <= 1.0):
+        raise ValueError(
+            f"target_fraction must be in (0, 1], got {target_fraction}"
+        )
+    wd = F.col(weight_col).cast("double")
+    # NaN > 0 is TRUE under Spark's NaN-is-greatest ordering — the
+    # isnan guard is load-bearing, not belt-and-braces
+    df = df.filter((wd > 0) & ~F.isnan(wd))
+    totals = df.agg(
+        F.sum(F.col(weight_col).cast("decimal(38,9)")).cast("double").alias("__wsum"),
+        F.count(F.lit(1)).cast("double").alias("__ntot"),
+    )
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.col(id_col).cast("string"), F.lit(":" + salt))), 1, 8),
+        16,
+        10,
+    ).cast("bigint")
+    rate = F.least(
+        F.lit(1.0),
+        (F.lit(float(target_fraction)) * F.col("__ntot") * F.col(weight_col).cast("double"))
+        / F.col("__wsum"),
+    )
+    return (
+        df.crossJoin(F.broadcast(totals))
+        .filter(h.cast("double") < rate * F.lit(4294967296.0))
+        .drop("__wsum", "__ntot")
+    )
+
+
 def stratified_sample(
     df: DataFrame,
     rate: float,

@@ -542,6 +542,40 @@ def op_ivfpq_search(
     )
 
 
+@default_registry.register("sample_stratified")
+def op_sample_stratified(
+    spark: SparkSession, catalog: Catalog, *, output: str, input: str, **params
+) -> DataFrame:
+    """Deterministic md5-keyed sampling (keep iff hash(id) < rate) --
+    llm.packing.stratified_sample."""
+    from pyspark_pipeline_framework_spark.llm.packing import stratified_sample
+
+    return catalog.put(output, stratified_sample(catalog.get(input), **params))
+
+
+@default_registry.register("sample_domain_mix")
+def op_sample_domain_mix(
+    spark: SparkSession, catalog: Catalog, *, output: str, input: str, **params
+) -> DataFrame:
+    """Temperature-reweighted per-domain sampling (p_d proportional to
+    n_d^alpha) -- llm.packing.domain_mix_sample."""
+    from pyspark_pipeline_framework_spark.llm.packing import domain_mix_sample
+
+    return catalog.put(output, domain_mix_sample(catalog.get(input), **params))
+
+
+@default_registry.register("sample_weighted")
+def op_sample_weighted(
+    spark: SparkSession, catalog: Catalog, *, output: str, input: str, **params
+) -> DataFrame:
+    """Per-row importance sampling (keep probability proportional to a
+    weight column, expected fraction pinned) --
+    llm.packing.weighted_sample."""
+    from pyspark_pipeline_framework_spark.llm.packing import weighted_sample
+
+    return catalog.put(output, weighted_sample(catalog.get(input), **params))
+
+
 @default_registry.register("language_id")
 def op_language_id(
     spark: SparkSession, catalog: Catalog, *, output: str, input: str, **params

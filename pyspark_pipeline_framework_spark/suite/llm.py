@@ -2253,3 +2253,36 @@ def q_dedup_cluster_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_clusters(
         d, _cluster_pairs(spark, sf_dir), score_col="n_chars", keep="max"
     )
+
+
+@case(
+    "q_sample_weighted",
+    # arithmetic structure mirrored EXACTLY (parenthesization included):
+    # rate = LEAST(1, ((tf·N)·w) / S), S = decimal-summed weights,
+    # keep iff md5-uint32(id||':wsample') < rate·2^32
+    oracle="""
+    WITH pos AS (
+      SELECT * FROM documents
+      WHERE CAST(n_chars AS DOUBLE) > 0 AND NOT isnan(CAST(n_chars AS DOUBLE))
+    ), t AS (
+      SELECT CAST(SUM(CAST(n_chars AS DECIMAL(38,9))) AS DOUBLE) AS wsum,
+             CAST(COUNT(*) AS DOUBLE) AS ntot
+      FROM pos
+    )
+    SELECT doc_id, lang FROM pos, t
+    WHERE CAST(('0x' || substr(md5(doc_id::VARCHAR || ':wsample'), 1, 8))::BIGINT AS DOUBLE)
+        < LEAST(1.0, ((0.4 * ntot) * CAST(n_chars AS DOUBLE)) / wsum) * 4294967296.0
+    """,
+    category="llm",
+)
+def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-weighted importance sampling at an expected 40% of the
+    corpus: keep probability proportional to n_chars (long documents
+    oversampled — the token-weighted mixing shape), deterministic
+    md5 keep-set, per-row rates replayed bit-exactly by the oracle."""
+    from pyspark_pipeline_framework_spark.llm.packing import weighted_sample
+
+    d = table(spark, sf_dir, "documents")
+    return weighted_sample(
+        d, weight_col="n_chars", target_fraction=0.4, id_col="doc_id"
+    ).select("doc_id", "lang")

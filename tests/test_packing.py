@@ -183,3 +183,39 @@ def test_token_budget_validation_and_zero_budget(spark):
         sample_to_token_budget(d, budget_tokens=10, num_shards=0)
     with pytest.raises(ValueError, match="num_shards"):
         global_shuffle(d, num_shards=0)
+
+
+def test_weighted_sample_fraction_and_weight_contract(spark, sf_dir):
+    """Expected kept fraction tracks target; NULL/non-positive weights
+    are never kept; invalid target raises; heavier rows keep more."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from pyspark_pipeline_framework_spark.llm.packing import weighted_sample
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n = d.count()
+    kept = weighted_sample(d, "n_chars", 0.4).count()
+    assert 0.25 * n <= kept <= 0.55 * n  # expectation 0.4, generous band
+    # weight monotonicity in expectation: uniform weights == stratified-
+    # style keep-set at the same rate; heavier-than-average rows keep
+    # at a higher rate than lighter ones
+    heavy = d.withColumn("w", (F.col("n_chars") > 300).cast("int") * 100 + 1)
+    out = weighted_sample(heavy, "w", 0.3)
+    heavy_rate = out.where("n_chars > 300").count() / max(
+        1, d.where("n_chars > 300").count()
+    )
+    light_rate = out.where("n_chars <= 300").count() / max(
+        1, d.where("n_chars <= 300").count()
+    )
+    assert heavy_rate > light_rate
+    # NULL / zero / negative weights never kept
+    bad = d.withColumn(
+        "w",
+        F.when(F.col("doc_id") % 3 == 0, None)
+        .when(F.col("doc_id") % 3 == 1, F.lit(0))
+        .otherwise(F.lit(-5)),
+    )
+    assert weighted_sample(bad, "w", 0.5).count() == 0
+    with _pytest.raises(ValueError, match="target_fraction"):
+        weighted_sample(d, "n_chars", 0.0)
