@@ -65,6 +65,7 @@ def compact_batch_store(
     sort_within_partitions: list[str] | None = None,
     remove_ids=None,
     remove_id_col: str | None = None,
+    min_batch_id: int | None = None,
 ) -> DataFrame:
     """Rewrite a ``batch_id=N``-per-micro-batch store as one baseline
     partition ``batch_id=<baseline_batch_id>`` at ``out_path``.
@@ -92,6 +93,17 @@ def compact_batch_store(
     incremental search / candidate pairs against the compacted store
     are exactly what a rebuild on the reduced corpus would produce
     (``tests/test_compaction.py``, suite ``q_dedup_minhash_del_md5``).
+    ``min_batch_id`` (r10 — sliding-window retention): drop every row
+    from a micro-batch older than the cutoff (``batch_id <
+    min_batch_id``) during the rewrite — the TTL policy for a
+    bounded-history corpus (keep the last N days of batches, age the
+    rest out) at the cost of a partition-pruned filter on a compaction
+    the store was due for anyway. The baseline partition
+    (``batch_id = baseline_batch_id``, i.e. previously-compacted
+    history) is always RETAINED: age-out applies to real micro-batch
+    ids only — fold history you still want BEFORE it passes the
+    cutoff, or tombstone it by id via ``remove_ids``.
+
     Returns the compacted store read back from ``out_path``.
     """
     if not isinstance(baseline_batch_id, int) or baseline_batch_id >= 0:
@@ -129,6 +141,19 @@ def compact_batch_store(
         raise ValueError(
             f"{store_path} is not a batch_id-partitioned store "
             f"(columns: {df.columns})"
+        )
+    if min_batch_id is not None:
+        if not isinstance(min_batch_id, int) or isinstance(min_batch_id, bool) \
+                or min_batch_id < 0:
+            raise ValueError(
+                f"min_batch_id must be a non-negative int (a real "
+                f"micro-batch id cutoff), got {min_batch_id!r}"
+            )
+        # partition-pruned at the scan (batch_id is the directory key);
+        # the baseline partition is negative by contract and survives
+        df = df.where(
+            (F.col("batch_id") >= F.lit(min_batch_id))
+            | (F.col("batch_id") < 0)
         )
     if (remove_ids is None) != (remove_id_col is None):
         raise ValueError(

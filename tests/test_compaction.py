@@ -466,3 +466,46 @@ def test_compacted_ivfpq_store_search_and_cell_pruning(spark, tmp_path, sf_dir):
     plan = pruned._jdf.queryExecution().executedPlan().toString()
     m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
     assert m and "cell" in m.group(1)
+
+
+def test_compaction_min_batch_id_retention(spark, tmp_path, sf_dir):
+    """Sliding-window retention: min_batch_id ages out rows from
+    micro-batches older than the cutoff during the rewrite, the
+    (negative) baseline partition always survives, and validation
+    rejects negative / boolean cutoffs."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    store, _, process = _band_store(spark, tmp_path, docs)
+    process(docs.where(F.col("doc_id") % 3 == 2), 2)
+
+    full = spark.read.parquet(store)
+    want_kept = sorted(
+        map(tuple, full.where(F.col("batch_id") >= 1).drop("batch_id").collect())
+    )
+    aged = compact_batch_store(
+        spark, store, str(tmp_path / "aged"), min_batch_id=1
+    )
+    assert sorted(map(tuple, aged.drop("batch_id").collect())) == want_kept
+    assert aged.select("batch_id").distinct().collect()[0][0] == -1
+
+    # baseline retention: store2 = aged baseline + one new batch, then
+    # age with a cutoff above every live batch — only the (negative)
+    # baseline survives, proving batch_id=-1 is never aged out
+    import shutil
+
+    store2 = str(tmp_path / "store2")
+    shutil.copytree(str(tmp_path / "aged"), store2)
+    from pyspark_pipeline_framework_spark.streaming.stateful import (
+        incremental_neardup_batch,
+    )
+
+    process2 = incremental_neardup_batch(store2, str(tmp_path / "pairs2"))
+    process2(docs.where(F.col("doc_id") % 7 == 0), 0)
+    aged2 = compact_batch_store(
+        spark, store2, str(tmp_path / "aged2"), min_batch_id=5
+    )
+    assert sorted(map(tuple, aged2.drop("batch_id").collect())) == want_kept
+
+    with pytest.raises(ValueError, match="min_batch_id"):
+        compact_batch_store(spark, store, str(tmp_path / "bad1"), min_batch_id=-1)
+    with pytest.raises(ValueError, match="min_batch_id"):
+        compact_batch_store(spark, store, str(tmp_path / "bad2"), min_batch_id=True)
