@@ -99,3 +99,57 @@ def cohort_retention(
         .agg(F.count_distinct(user_col).alias("n_active"))
         .orderBy("cohort_start", "bucket_offset")
     )
+
+
+def robust_outliers(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str] | None = None,
+    k: float = 3.0,
+    keep_all: bool = False,
+) -> DataFrame:
+    """Median/MAD robust outlier detection — the standard
+    data-quality screen for metric streams (robust to the outliers it
+    hunts, unlike mean/stddev z-scores): a row is an outlier when
+    ``|x - median| > k * MAD`` within its group, where MAD is the
+    median absolute deviation and BOTH medians are discrete
+    (``percentile_disc(0.5)`` — an actual element of the data, exact
+    integer-position semantics identical in any engine, no
+    interpolation arithmetic to drift).
+
+    Returns the input columns plus ``med``, ``mad``, ``is_outlier``;
+    ``keep_all=False`` (default) returns only the flagged rows. NULL
+    values are never flagged (no deviation evidence). A zero MAD
+    (over half the group identical) flags ANY deviation from the
+    median — the conventional degenerate-case reading.
+
+    Scale: two grouped disc-quantile aggregations shuffling only the
+    (small) group-key cardinality, each joined back broadcast; the
+    corpus itself shuffles on nothing."""
+    if k < 0:
+        raise ValueError(f"k must be non-negative, got {k}")
+    group_cols = list(group_cols or [])
+    v = F.col(value_col).cast("double")
+    med_agg = F.expr(
+        f"percentile_disc(0.5) WITHIN GROUP (ORDER BY CAST({value_col} AS DOUBLE))"
+    ).alias("med")
+    if group_cols:
+        meds = df.groupBy(*group_cols).agg(med_agg)
+        with_med = df.join(F.broadcast(meds), group_cols)
+    else:
+        with_med = df.crossJoin(F.broadcast(df.agg(med_agg)))
+    dev = F.abs(v - F.col("med"))
+    mad_agg = F.expr(
+        "percentile_disc(0.5) WITHIN GROUP (ORDER BY __dev)"
+    ).alias("mad")
+    devd = with_med.withColumn("__dev", dev)
+    if group_cols:
+        mads = devd.groupBy(*group_cols).agg(mad_agg)
+        scored = devd.join(F.broadcast(mads), group_cols)
+    else:
+        scored = devd.crossJoin(F.broadcast(devd.agg(mad_agg)))
+    out = scored.withColumn(
+        "is_outlier",
+        F.coalesce(F.col("__dev") > F.lit(float(k)) * F.col("mad"), F.lit(False)),
+    ).drop("__dev")
+    return out if keep_all else out.filter(F.col("is_outlier"))

@@ -694,6 +694,17 @@ def op_tfidf_terms(
     return catalog.put(output, tfidf_topk_terms(catalog.get(input), **params))
 
 
+@default_registry.register("robust_outliers")
+def op_robust_outliers(
+    spark: SparkSession, catalog: Catalog, *, output: str, input: str, **params
+) -> DataFrame:
+    """Median/MAD robust outlier screen (|x - med| > k*MAD, discrete
+    quantiles) -- operators.events.robust_outliers."""
+    from pyspark_pipeline_framework_spark.operators.events import robust_outliers
+
+    return catalog.put(output, robust_outliers(catalog.get(input), **params))
+
+
 @default_registry.register("funnel")
 def op_funnel(
     spark: SparkSession, catalog: Catalog, *, output: str, input: str, **params

@@ -2286,3 +2286,41 @@ def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return weighted_sample(
         d, weight_col="n_chars", target_fraction=0.4, id_col="doc_id"
     ).select("doc_id", "lang")
+
+
+@case(
+    "q_events_anomaly",
+    # disc quantiles are actual data elements with integer-position
+    # semantics — identical in any engine, no interpolation to drift
+    oracle="""
+    WITH meds AS (
+      SELECT event_type, quantile_disc(CAST(value AS DOUBLE), 0.5) AS med
+      FROM events GROUP BY event_type
+    ), devs AS (
+      SELECT e.event_id, e.event_type, CAST(e.value AS DOUBLE) AS value, m.med,
+             ABS(CAST(e.value AS DOUBLE) - m.med) AS dev
+      FROM events e JOIN meds m ON m.event_type = e.event_type
+    ), mads AS (
+      SELECT event_type, quantile_disc(dev, 0.5) AS mad FROM devs GROUP BY event_type
+    )
+    SELECT d.event_id, d.event_type, d.value, d.med, md.mad
+    FROM devs d JOIN mads md ON md.event_type = d.event_type
+    WHERE COALESCE(d.dev > 3.0 * md.mad, FALSE)
+    """,
+    category="llm",
+)
+def q_events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median/MAD robust outlier screen over the events value stream,
+    grouped by event type (|x - med| > 3·MAD, both medians discrete
+    elements): the metric-stream data-quality primitive, oracle-exact
+    because disc quantiles carry no interpolation arithmetic."""
+    from pyspark_pipeline_framework_spark.operators.events import robust_outliers
+
+    e = table(spark, sf_dir, "events")
+    return robust_outliers(e, "value", ["event_type"], k=3.0).select(
+        "event_id",
+        "event_type",
+        F.col("value").cast("double").alias("value"),
+        "med",
+        "mad",
+    )

@@ -1219,3 +1219,30 @@ def test_dedup_clusters_keep_policy(spark):
     legacy = dedup_clusters(docs, pairs)
     assert "canonical_id" not in legacy.columns
     assert {r["doc_id"]: r["is_duplicate"] for r in legacy.collect()}[2] is True
+
+
+def test_robust_outliers_known_values(spark):
+    """Hand-checked median/MAD: values {1..5, 100} in one group have
+    med=3 (disc), MAD=1 (disc over devs {2,1,0,1,2,97}) -> only 100 is
+    flagged at k=3; NULLs are never flagged; zero MAD flags any
+    deviation; keep_all returns every row with the flag; k<0 raises."""
+    import pytest as _pytest
+
+    from pyspark_pipeline_framework_spark.operators.events import robust_outliers
+
+    rows = [("a", float(x)) for x in (1, 2, 3, 4, 5, 100)] + [("a", None)]
+    df = spark.createDataFrame(rows, "g: string, v: double")
+    out = robust_outliers(df, "v", ["g"], k=3.0).collect()
+    assert [(r["v"], r["med"], r["mad"]) for r in out] == [(100.0, 3.0, 1.0)]
+    allrows = robust_outliers(df, "v", ["g"], k=3.0, keep_all=True)
+    assert allrows.count() == 7
+    assert allrows.where("v IS NULL AND is_outlier").count() == 0
+    # zero MAD: {5,5,5,9} -> med 5, MAD 0, any deviation flagged
+    dz = spark.createDataFrame(
+        [("b", 5.0), ("b", 5.0), ("b", 5.0), ("b", 9.0)], "g: string, v: double"
+    )
+    assert [r["v"] for r in robust_outliers(dz, "v", ["g"]).collect()] == [9.0]
+    # global (ungrouped) mode
+    assert robust_outliers(df, "v", None, k=3.0).count() == 1
+    with _pytest.raises(ValueError, match="k must"):
+        robust_outliers(df, "v", ["g"], k=-1)
