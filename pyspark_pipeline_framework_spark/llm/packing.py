@@ -221,11 +221,18 @@ def weighted_sample(
     salt: str = "wsample",
 ) -> DataFrame:
     """Per-ROW importance sampling: keep probability proportional to
-    ``weight_col`` (e.g. a quality score or token count), scaled so
-    the EXPECTED kept fraction is ``target_fraction`` and capped at 1
-    — the row-level sibling of :func:`domain_mix_sample`'s per-domain
-    reweighting, the standard quality-/length-weighted data-mixing
-    step.
+    ``weight_col`` (e.g. a quality score or token count), scaled to
+    ``target_fraction`` and capped at 1 — the row-level sibling of
+    :func:`domain_mix_sample`'s per-domain reweighting, the standard
+    quality-/length-weighted data-mixing step.
+
+    The EXPECTED kept fraction equals ``target_fraction`` exactly when
+    no raw rate exceeds the cap (i.e. ``tf·N·max(w) <= S``); with
+    heavily skewed weights the clipped probability mass is NOT
+    redistributed, so the realized expectation sits strictly below the
+    target (single-pass determinism — and hence bit-exact oracle
+    replay — is deliberately chosen over an iterative renormalization
+    whose fixpoint would be engine-order-sensitive).
 
     rate_r = LEAST(1, ((tf·N)·w_r) / S) with S the DECIMAL-summed
     weight total and N the row count (both one tiny aggregate,

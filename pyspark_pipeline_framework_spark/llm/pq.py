@@ -527,9 +527,24 @@ def ivfpq_search(
         F.col(query_id_col), F.explode(probe(F.col(vec_col))).alias("cell")
     )
     if prune_cells:
-        # bounded by nlist (a model hyperparameter), never by queries
+        # The collect returns ≤ nlist values (a model hyperparameter)
+        # no matter how many queries there are. It executes the query
+        # subtree + probe UDF once here and the candidate join executes
+        # it once more — two passes over the side this operator already
+        # assumes is the small (broadcast) one. Deliberately NOT pinned
+        # (same decision as ivf_search, similarity.py): a persist /
+        # localCheckpoint would hold storage blocks for the life of the
+        # app across repeated search-in-a-loop calls with nothing to
+        # unpersist them (regression-gated by
+        # test_ivf_search_prune_cells_repeated_calls_no_accumulation).
         probed = sorted(r.cell for r in qcells.select("cell").distinct().collect())
-        store = store.where(F.col("cell").isin(probed))
+        if not probed:
+            # every query dropped by the corrupt/zero-norm screen:
+            # short-circuit the store scan instead of the fragile
+            # isin([]) edge — same empty result, no store read
+            store = store.where(F.lit(False))
+        else:
+            store = store.where(F.col("cell").isin(probed))
     dtab = pq_distance_tables(
         q, codebooks, dim, query_id_col=query_id_col, vec_col=vec_col
     )

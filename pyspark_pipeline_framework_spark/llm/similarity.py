@@ -726,7 +726,13 @@ def ivf_search(
         # is unsafe (it truncates lineage, so the join could no
         # longer recompute it).
         probed = sorted(r.cell for r in qb.select("cell").distinct().collect())
-        assigned = assigned.where(F.col("cell").isin(probed))
+        if not probed:
+            # every query dropped by the corrupt/zero-norm screen:
+            # short-circuit the store scan instead of the fragile
+            # isin([]) edge — same empty result, no store read
+            assigned = assigned.where(F.lit(False))
+        else:
+            assigned = assigned.where(F.col("cell").isin(probed))
     scored = (
         assigned.join(F.broadcast(qb), "cell")
         .filter(F.col(query_id_col) != F.col(id_col))

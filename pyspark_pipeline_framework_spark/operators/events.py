@@ -107,6 +107,7 @@ def robust_outliers(
     group_cols: list[str] | None = None,
     k: float = 3.0,
     keep_all: bool = False,
+    broadcast_medians: bool | None = None,
 ) -> DataFrame:
     """Median/MAD robust outlier detection — the standard
     data-quality screen for metric streams (robust to the outliers it
@@ -124,32 +125,48 @@ def robust_outliers(
     median — the conventional degenerate-case reading.
 
     Scale: two grouped disc-quantile aggregations shuffling only the
-    (small) group-key cardinality, each joined back broadcast; the
-    corpus itself shuffles on nothing."""
+    group-key cardinality, each joined back; the corpus itself
+    shuffles on nothing. ``broadcast_medians`` controls the join-back
+    strategy for the grouped case: ``True`` forces a broadcast hint
+    (right when you know the group count is small), ``False`` never
+    hints, and ``None`` (default) leaves the choice to Catalyst/AQE —
+    the aggregate is tiny when groups are few and AQE broadcasts it at
+    runtime, but a high-cardinality group key degrades gracefully to a
+    shuffle join instead of an oversized forced broadcast. The global
+    (no-group) aggregate is provably one row and always broadcast."""
     if k < 0:
         raise ValueError(f"k must be non-negative, got {k}")
     group_cols = list(group_cols or [])
-    v = F.col(value_col).cast("double")
+
+    def _hint(t: DataFrame) -> DataFrame:
+        return F.broadcast(t) if broadcast_medians else t
+
+    # Pre-project the value into a fixed-name column so arbitrary
+    # identifiers (spaces, hyphens, dots) never reach SQL text; the
+    # backtick quoting keeps "." a literal name char instead of a
+    # struct-field access.
+    quoted = "`" + value_col.replace("`", "``") + "`"
+    base = df.withColumn("__val", F.col(quoted).cast("double"))
     med_agg = F.expr(
-        f"percentile_disc(0.5) WITHIN GROUP (ORDER BY CAST({value_col} AS DOUBLE))"
+        "percentile_disc(0.5) WITHIN GROUP (ORDER BY __val)"
     ).alias("med")
     if group_cols:
-        meds = df.groupBy(*group_cols).agg(med_agg)
-        with_med = df.join(F.broadcast(meds), group_cols)
+        meds = base.groupBy(*group_cols).agg(med_agg)
+        with_med = base.join(_hint(meds), group_cols)
     else:
-        with_med = df.crossJoin(F.broadcast(df.agg(med_agg)))
-    dev = F.abs(v - F.col("med"))
+        with_med = base.crossJoin(F.broadcast(base.agg(med_agg)))
+    dev = F.abs(F.col("__val") - F.col("med"))
     mad_agg = F.expr(
         "percentile_disc(0.5) WITHIN GROUP (ORDER BY __dev)"
     ).alias("mad")
     devd = with_med.withColumn("__dev", dev)
     if group_cols:
         mads = devd.groupBy(*group_cols).agg(mad_agg)
-        scored = devd.join(F.broadcast(mads), group_cols)
+        scored = devd.join(_hint(mads), group_cols)
     else:
         scored = devd.crossJoin(F.broadcast(devd.agg(mad_agg)))
     out = scored.withColumn(
         "is_outlier",
         F.coalesce(F.col("__dev") > F.lit(float(k)) * F.col("mad"), F.lit(False)),
-    ).drop("__dev")
+    ).drop("__dev", "__val")
     return out if keep_all else out.filter(F.col("is_outlier"))

@@ -34,21 +34,7 @@ def o_davg(expr: str, count_expr: str | None = None) -> str:
 import threading
 
 _SHARED_DF: dict[tuple, "object"] = {}
-#: per-memo java RDD handles pinned by the localCheckpoint — recorded
-#: at creation so clear_shared releases EXACTLY what the memo pinned,
-#: never persistent RDDs owned by other code in the same context
-_SHARED_RDDS: dict[tuple, list] = {}
 _SHARED_LOCK = threading.Lock()
-
-
-def _persistent_rdds(spark) -> list:
-    """(id, javaRDD) pairs currently pinned in the context."""
-    out = []
-    it = spark.sparkContext._jsc.sc().getPersistentRDDs().toList().iterator()
-    while it.hasNext():
-        t = it.next()
-        out.append((t._1(), t._2()))
-    return out
 
 
 def shared_df(spark, key: tuple, build):
@@ -56,62 +42,49 @@ def shared_df(spark, key: tuple, build):
     suite cases recompute identically (the MinHash signature/candidate
     DAG, the cluster edge list, the exact kNN baseline the recall gates
     compare against). The first case to touch a key pays the full
-    materialization (``localCheckpoint(eager=True)`` — counted in that
-    case's bench timing); later cases reuse the pinned result, exactly
-    as a real pipeline would reuse a computed artifact instead of
-    re-deriving it per consumer. Keys are scoped by Spark application
-    id so a restarted session never sees another session's plans.
-    Results are bit-identical to recomputation — the memo only skips
-    repeated work, never changes it."""
+    materialization (``persist()`` + eager ``count()`` — counted in
+    that case's bench timing); later cases reuse the pinned result,
+    exactly as a real pipeline would reuse a computed artifact instead
+    of re-deriving it per consumer. Keys are scoped by Spark
+    application id so a restarted session never sees another session's
+    plans. Results are bit-identical to recomputation — the memo only
+    skips repeated work, never changes it (every memoized plan is
+    engine-deterministic, so an evicted block recomputing is safe).
+
+    Entirely public API (``persist``/``unpersist`` — r10 VERDICT
+    item 7 retired the previous ``sparkContext._jsc`` persistent-RDD
+    enumeration): works unchanged on classic and Connect sessions,
+    and ``clear_shared`` releases exactly the handles the memo
+    pinned, never caches owned by other code."""
     try:
-        app_id = spark.sparkContext.applicationId
-    except Exception:  # Spark Connect: no SparkContext — scope by app conf
-        try:
-            app_id = spark.conf.get("spark.app.id", "connect")
-        except Exception:
-            app_id = "connect"
+        app_id = spark.conf.get("spark.app.id", "unknown-app")
+    except Exception:
+        app_id = "unknown-app"
     full_key = (app_id,) + key
     with _SHARED_LOCK:
         df = _SHARED_DF.get(full_key)
         if df is None:
-            try:
-                before = {i for i, _ in _persistent_rdds(spark)}
-            except Exception:
-                before = None
-            df = build().localCheckpoint(eager=True)
+            df = build().persist()
+            df.count()  # eager materialization
             _SHARED_DF[full_key] = df
-            if before is not None:
-                try:
-                    _SHARED_RDDS[full_key] = [
-                        r for i, r in _persistent_rdds(spark) if i not in before
-                    ]
-                except Exception:
-                    pass
         return df
 
 
 def clear_shared() -> int:
-    """Drop every memoized fixture and unpersist its pinned
-    localCheckpoint blocks. Call between bench sections (sf0.1 →
-    ×10) so one section's pinned RDD blocks don't occupy executor
-    storage memory while the next section runs at 10× the data.
-    Returns the number of entries released.
-
-    Release targets EXACTLY the java RDD handles recorded when each
-    memo was pinned (``df.rdd.unpersist()`` would be a no-op — ``.rdd``
-    derives a NEW, unpersisted javaToPython RDD, not the
-    checkpoint-pinned internal one; verified on Spark 4.1.2) — never
-    persistent RDDs owned by other code in the same context, and each
-    handle is released against its own (possibly stopped) session
-    independently."""
+    """Drop every memoized fixture and unpersist its pinned cache
+    blocks. Call between bench sections (sf0.1 → ×10) so one
+    section's pinned blocks don't occupy executor storage memory while
+    the next section runs at 10× the data. Returns the number of
+    entries released. Each handle is released against its own
+    (possibly stopped) session independently."""
     with _SHARED_LOCK:
-        n = len(_SHARED_DF)
-        handles = [r for rs in _SHARED_RDDS.values() for r in rs]
+        handles = list(_SHARED_DF.values())
         _SHARED_DF.clear()
-        _SHARED_RDDS.clear()
-    for r in handles:
+    n = 0
+    for df in handles:
+        n += 1
         try:
-            r.unpersist(False)
+            df.unpersist(False)
         except Exception:
             pass  # stopped session / already released: only costs memory
     return n

@@ -1917,8 +1917,23 @@ def _pq_model_ctes(
         f"""pssub AS (
       SELECT vec_id, rn, g.s, nv[g.s * {dsub} + 1 : (g.s + 1) * {dsub}] AS x
       FROM pnsamp CROSS JOIN generate_series(0, {m_sub - 1}) g(s))""",
+        f"""pkeff AS (
+      SELECT LEAST(COUNT(*), {ksub}) AS k_eff FROM psample)""",
+        # init = first k_eff subvectors; when the sample is smaller than
+        # ksub the engine pads deterministic unit-basis codewords
+        # (pq.py pq_train_codebooks_exact: pad row p -> 1.0 at p % dsub)
+        # — replayed here so the sub-ksub corpus region is hash-gated too
         f"""pc0 AS (
-      SELECT s, rn - 1 AS j, x AS c FROM pssub WHERE rn <= {ksub})""",
+      SELECT s, rn - 1 AS j, x AS c FROM pssub WHERE rn <= {ksub}
+      UNION ALL
+      SELECT g.s, j.j,
+             list_transform(generate_series(1, {dsub}),
+                            d -> CASE WHEN (d - 1) = (j.j - pkeff.k_eff) % {dsub}
+                                 THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END) AS c
+      FROM generate_series(0, {m_sub - 1}) g(s)
+      CROSS JOIN generate_series(0, {ksub - 1}) j(j)
+      CROSS JOIN pkeff
+      WHERE j.j >= pkeff.k_eff)""",
     ]
     for i in range(1, train_iters + 1):
         prev = f"pc{i - 1}"
@@ -2017,9 +2032,9 @@ def _knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 @case("q_sim_knn_pq", oracle=_pq_adc_oracle(m_sub=32, ksub=32), category="llm")
 def q_sim_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ADC ANN (FAISS IndexPQ semantics,
-    llm/pq.py): 64-dim vectors → 8 codes of 16 codewords (32×
-    compression), searched by summing broadcast distance-table
-    lookups. The oracle replays TRAINING (md5 sample, normalization,
+    llm/pq.py): 64-dim vectors → 32 codes of 32 codewords (8×
+    compression at one byte per code), searched by summing broadcast
+    distance-table lookups. The oracle replays TRAINING (md5 sample, normalization,
     per-subspace integer Lloyd), ENCODING and the ADC SEARCH in SQL —
     the whole model is hash-gated, like the exact-mode IVF case."""
     return _knn_pq(spark, sf_dir).select("query_id", "vec_id", "adc_dot", "rank")
@@ -2039,6 +2054,31 @@ def q_sim_knn_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = _knn_exact(spark, sf_dir).select("query_id", "vec_id")
     approx = _knn_pq(spark, sf_dir).select("query_id", "vec_id")
     return _recall_gate(approx, exact, "pq_recall_at_5", 0.4)
+
+
+@case(
+    "q_sim_knn_pq_pad",
+    oracle=_pq_adc_oracle(m_sub=8, ksub=16, n_train=8),
+    category="llm",
+)
+def q_sim_knn_pq_pad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-ksub training-corpus edge (r10 ADVICE): train_sample=8 <
+    ksub=16, so half the initial codewords are the engine's
+    deterministic unit-basis PAD (pq.py pq_train_codebooks_exact) —
+    the oracle replays the same pad in SQL, closing the previously
+    untested region where encode/search could silently diverge."""
+    from pyspark_pipeline_framework_spark.llm.pq import cosine_topk_pq
+
+    emb = table(spark, sf_dir, "embeddings")
+    out = shared_df(
+        spark,
+        ("knn_pq_pad", sf_dir, 64, 8, 16, 8),
+        lambda: cosine_topk_pq(
+            emb, _knn_queries(emb), dim=64, k=5, m_sub=8, ksub=16,
+            train_iters=2, train_sample=8,
+        ),
+    )
+    return out.select("query_id", "vec_id", "adc_dot", "rank")
 
 
 def _ivfpq_oracle(

@@ -180,6 +180,29 @@ def test_ivfpq_prune_cells_matches_default(spark, sf_dir):
     assert a == b
 
 
+def test_prune_cells_empty_probe_short_circuits(spark, sf_dir):
+    """prune_cells with zero surviving queries (all zero-norm, dropped
+    by the corrupt-vector screen) must return an empty result with the
+    normal schema — not hit the fragile isin([]) edge (r10 ADVICE) —
+    for BOTH ivfpq_search and ivf_search."""
+    from pyspark_pipeline_framework_spark.llm.pq import ivfpq_index, ivfpq_search
+    from pyspark_pipeline_framework_spark.llm.similarity import ivf_index, ivf_search
+
+    emb = _emb(spark, sf_dir)
+    dead = spark.createDataFrame(
+        [(0, [0.0] * DIM)], "query_id: bigint, embedding: array<double>"
+    )
+    cent, cb, store = ivfpq_index(
+        emb, DIM, nlist=8, m_sub=M_SUB, ksub=KSUB, train_sample=128
+    )
+    out = ivfpq_search(store, cent, cb, dead, DIM, k=5, prune_cells=True)
+    assert out.count() == 0
+    assert out.columns == ["query_id", "vec_id", "adc_dot", "rank"]
+    cdf, assigned = ivf_index(emb, dim=DIM, nlist=8, mode="exact", train_sample=128)
+    out2 = ivf_search(assigned, cdf, dead, dim=DIM, k=5, mode="exact", prune_cells=True)
+    assert out2.count() == 0
+
+
 def test_ivfpq_candidates_bounded_by_probe(spark, sf_dir):
     """Every returned neighbor must live in a cell the query probed —
     the pruning contract that makes the search sub-linear."""
