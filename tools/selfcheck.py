@@ -9,6 +9,13 @@ Usage: python tools/selfcheck.py [sf_dir] [case ...]
 Layout sweeps (r9): set SELFCHECK_SHUFFLE_PARTITIONS / SELFCHECK_AQE /
 SELFCHECK_ANSI to replay the whole gate under an alternate physical
 layout or ANSI mode — results must be identical (see FUZZCHECK.md).
+
+Connect simulation (r11): SELFCHECK_CONNECT_SIM=1 installs the same
+classic-only-surface gate as tests/test_connect_clean.py (every
+``sparkContext`` / ``DataFrame.rdd`` touch from NON-pyspark code
+raises, exactly as on a Spark Connect client) and then runs the whole
+oracle gate under it — proving the entire suite surface, not just the
+smoke subset, never needs the classic API.
 """
 
 from __future__ import annotations
@@ -49,6 +56,40 @@ def _norm_df(pdf: pd.DataFrame) -> list[tuple]:
     return sorted(rows)
 
 
+def _install_connect_sim_gate() -> None:
+    """Remove the classic-only surface for non-pyspark code, mirroring
+    the ``connectish`` fixture (tests/test_connect_clean.py): class-
+    level data descriptors win over instance state, so every
+    ``sparkContext`` / ``.rdd`` touch anywhere in the package, suite,
+    entry module or this tool raises AttributeError like a real
+    Connect client. pyspark-internal frames pass through — on a real
+    Connect client those are the Connect implementations, which never
+    need a SparkContext; on this classic backend they still do."""
+    import inspect
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql.classic.dataframe import DataFrame as ClassicDataFrame
+
+    orig_sc = SparkSession.sparkContext.fget
+    rdd_attr = ClassicDataFrame.rdd  # property or cached_property by version
+    orig_rdd = getattr(rdd_attr, "fget", None) or rdd_attr.func
+
+    def _gate(name, orig):
+        def impl(self):
+            caller = inspect.stack()[1].filename.replace("\\", "/")
+            if "/pyspark/" in caller:
+                return orig(self)
+            raise AttributeError(
+                f"[ATTRIBUTE_NOT_SUPPORTED] {name} is not supported on "
+                f"Spark Connect (simulated; caller: {caller})"
+            )
+
+        return impl
+
+    SparkSession.sparkContext = property(_gate("sparkContext", orig_sc))
+    ClassicDataFrame.rdd = property(_gate("rdd", orig_rdd))
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
@@ -66,6 +107,9 @@ def main() -> int:
     ansi = os.environ.get("SELFCHECK_ANSI")
     if ansi is not None:
         spark.conf.set("spark.sql.ansi.enabled", ansi)
+    if os.environ.get("SELFCHECK_CONNECT_SIM") == "1":
+        _install_connect_sim_gate()
+        print("# connect-sim: classic-only surface gated for non-pyspark code")
 
     con = duckdb.connect()
     for t in STAR_TABLES:

@@ -2,7 +2,9 @@
 
 Runs (each independently fatal):
   1. entry-contract smoke from a foreign cwd (driver protocol)
-  2. tools/selfcheck.py — all suite cases vs DuckDB at sf0.01
+  2. tools/selfcheck.py — all suite cases vs DuckDB at sf0.01, then
+     (full mode) the same gate again under SELFCHECK_CONNECT_SIM=1 —
+     the simulated Spark Connect surface, suite-wide
   3. tools/fuzzcheck.py — N random pipelines per seed (default 3 seeds),
      plus (full mode) an ANSI-off differential chunk (--ansi) and a
      randomized twin-agreement chunk for the no-oracle rows (--twins)
@@ -48,10 +50,13 @@ print(f'entry ok: {{rows}} rows, {{q}} queries, {{o}} oracles')
 """
 
 
-def run(name: str, cmd: list[str], cwd: str | None = None) -> bool:
+def run(name: str, cmd: list[str], cwd: str | None = None,
+        env: dict[str, str] | None = None) -> bool:
     t0 = time.monotonic()
-    print(f"==> {name}: {' '.join(cmd)}", flush=True)
-    r = subprocess.run(cmd, cwd=cwd or REPO)
+    print(f"==> {name}: {' '.join(cmd)}"
+          + (f"  [env {env}]" if env else ""), flush=True)
+    r = subprocess.run(cmd, cwd=cwd or REPO,
+                       env={**os.environ, **env} if env else None)
     ok = r.returncode == 0
     print(f"<== {name}: {'PASS' if ok else 'FAIL'} ({time.monotonic() - t0:.0f}s)",
           flush=True)
@@ -75,6 +80,14 @@ def main() -> int:
          "/tmp"),
         ("selfcheck", [sys.executable, os.path.join(TOOLS, "selfcheck.py"), sf], None),
     ]
+    if not a.fast:
+        # the whole oracle gate under the simulated Spark Connect
+        # surface (sparkContext/.rdd raise for non-pyspark frames) —
+        # Connect-cleanliness proven suite-wide, not just on the
+        # 4-path smoke subset (r10 VERDICT item 1)
+        stages.append(("selfcheck-connect-sim",
+                       [sys.executable, os.path.join(TOOLS, "selfcheck.py"), sf],
+                       None, {"SELFCHECK_CONNECT_SIM": "1"}))
     for s in seeds:
         stages.append((f"fuzzcheck-seed{s}",
                        [sys.executable, os.path.join(TOOLS, "fuzzcheck.py"),
@@ -129,7 +142,7 @@ def main() -> int:
     if not (a.fast or a.skip_pytest):
         stages.append(("pytest", [sys.executable, "-m", "pytest", "tests/", "-q"], None))
 
-    failed = [name for name, cmd, cwd in stages if not run(name, cmd, cwd)]
+    failed = [st[0] for st in stages if not run(*st)]
     print(f"\n{'ALL PASS' if not failed else 'FAILED: ' + ', '.join(failed)}")
     return 1 if failed else 0
 
