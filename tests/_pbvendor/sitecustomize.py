@@ -27,8 +27,23 @@ try:  # no-op when a real, new-enough protobuf is installed
         try:
             _validate(gen_domain, gen_major, gen_minor, gen_patch, gen_suffix, location)
         except _rv.VersionError:
-            # runtime one minor behind gencode: accept (see module doc)
-            if (gen_major, gen_minor) > (_rv.MAJOR, _rv.MINOR + 1):
+            # Blast radius pinned (r10 VERDICT item 8): accept ONLY the
+            # one-minor-behind case AND only for pyspark's StateMessage
+            # gencode — the single module this shim exists for. Any
+            # other generated module tripping the gate re-raises loudly
+            # (with a stderr marker) instead of being silently waved
+            # through with a stale runtime.
+            if (gen_major, gen_minor) > (_rv.MAJOR, _rv.MINOR + 1) or (
+                "StateMessage" not in str(location)
+            ):
+                import sys as _sys
+
+                print(
+                    f"[_pbvendor] version gate NOT relaxed for {location!r} "
+                    f"(gencode {gen_major}.{gen_minor}, runtime "
+                    f"{_rv.MAJOR}.{_rv.MINOR})",
+                    file=_sys.stderr,
+                )
                 raise
 
     _rv.ValidateProtobufRuntimeVersion = _lenient

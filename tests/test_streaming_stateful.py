@@ -175,6 +175,33 @@ def test_running_counts_transform_with_state(spark, tmp_path):
     assert final["u2"] == (1, 8.0)
 
 
+def test_pbvendor_shim_blast_radius_is_statemessage_only():
+    """The vendored-protobuf version-gate relaxation
+    (tests/_pbvendor/sitecustomize.py) must fire ONLY for pyspark's
+    StateMessage gencode: any OTHER generated module one minor ahead of
+    the runtime must still raise VersionError (r10 VERDICT item 8 —
+    the shim is global process state, so its acceptance is pinned to
+    the single module it exists for)."""
+    import pytest as _pytest
+
+    try:
+        from google.protobuf import runtime_version as rv
+    except ImportError:
+        _pytest.skip("protobuf not importable at all")
+    if getattr(rv.ValidateProtobufRuntimeVersion, "__name__", "") != "_lenient":
+        _pytest.skip("shim inactive (real protobuf installed)")
+    ahead = (rv.DOMAIN, rv.MAJOR, rv.MINOR + 1, 0, "")
+    # one-minor-ahead gencode: accepted for StateMessage...
+    rv.ValidateProtobufRuntimeVersion(*ahead, "pyspark/sql/streaming/proto/StateMessage_pb2.py")
+    # ...rejected for anything else
+    with _pytest.raises(rv.VersionError):
+        rv.ValidateProtobufRuntimeVersion(*ahead, "someother/module_pb2.py")
+    # and a two-minor gap is rejected even for StateMessage
+    far = (rv.DOMAIN, rv.MAJOR, rv.MINOR + 2, 0, "")
+    with _pytest.raises(rv.VersionError):
+        rv.ValidateProtobufRuntimeVersion(*far, "pyspark/sql/streaming/proto/StateMessage_pb2.py")
+
+
 def test_incremental_neardup_stream_matches_batch(spark, tmp_path, sf_dir):
     """Streaming near-dup via the parquet band store: three
     single-file micro-batches through incremental_neardup_batch must
