@@ -498,12 +498,37 @@ def _ivf_family(spark, tmp: str, seed: int, n_ivf: int, sf_dir: str) -> int:
     return failures
 
 
+def ivfpq_tick_recall_floor(m_sub: int, ksub: int) -> float:
+    """recall@5 floor asserted at EVERY growth tick of family 7 (r10
+    VERDICT item 5). The tick searches with nprobe=nlist (FULL probe)
+    so the measurement isolates PQ code quality: a drifting/degenerate
+    codebook sends full-probe recall toward the random baseline
+    (k/n ≈ 0.02 at these corpus sizes), while a healthy model on
+    worst-case uniform random vectors stays well above the floor.
+    The floor is geometry-aware: 64-dim codes with m_sub=8 subspaces
+    are intrinsically coarse (healthy observed 0.16-0.24 over the
+    pinning sweeps) where m_sub>=16 sits at 0.40-0.56.
+
+    Cell-pruning quality is separately covered by the
+    store==batch-twin equality (model application) and the suite's
+    q_sim_knn_ivfpq_recall gate (pruned recall at the pinned
+    geometry) — at the fuzzed worst case (nprobe 2 of 8 cells) pruned
+    recall of a HEALTHY model is ~0.08, indistinguishable from drift
+    at this sample size, which is why the tick probes fully."""
+    return 0.2 if m_sub >= 16 else 0.1
+
+
 def _ivfpq_family(spark, tmp: str, seed: int, n_ivfpq: int, sf_dir: str) -> int:
     """Family 7: randomized streaming IVFPQ-index growth (the
     compressed sibling of family 6). Random nlist/m_sub/ksub/
     batch-count/subset/split-salt per spec; one batch replayed
     mid-stream; the streamed (id, cell, codes) store compared to the
-    batch ivfpq_add twin, ADC search compared on a sampled third."""
+    batch ivfpq_add twin, ADC search compared on a sampled third, and
+    recall@5 vs the exact brute-force baseline over the
+    vectors-indexed-so-far asserted at EVERY growth tick (>= the
+    geometry-aware :func:`ivfpq_tick_recall_floor` — structure checks
+    alone would pass a drifting model whose store is self-consistent
+    but whose neighbors are garbage; r10 VERDICT item 5)."""
     import random as _random
 
     from pyspark.sql import functions as F
@@ -512,6 +537,9 @@ def _ivfpq_family(spark, tmp: str, seed: int, n_ivfpq: int, sf_dir: str) -> int:
         ivfpq_add,
         ivfpq_index,
         ivfpq_search,
+    )
+    from pyspark_pipeline_framework_spark.llm.similarity import (
+        cosine_topk_bruteforce,
     )
     from pyspark_pipeline_framework_spark.streaming.stateful import (
         streaming_ivfpq_add_batch,
@@ -536,16 +564,47 @@ def _ivfpq_family(spark, tmp: str, seed: int, n_ivfpq: int, sf_dir: str) -> int:
         store = os.path.join(tmp, f"ivfpq7_{i}")
         proc = streaming_ivfpq_add_batch(store, cdf, cbdf, 64)
         replay_at = rng.randrange(nb)
+        rq = sub.limit(5).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        floor = ivfpq_tick_recall_floor(m_sub, ksub)
+        min_recall, bad_tick = 1.0, None
         for j in range(nb):
             b = sub.where((F.col("vec_id") + salt) % nb == j)
             proc(b, j)
             if j == replay_at:
                 proc(b, j)  # at-least-once replay of the same batch id
+            # recall tick: the grown store vs exact cosine over exactly
+            # the vectors indexed so far
+            prefix = sub.where((F.col("vec_id") + salt) % nb <= j)
+            approx = {
+                (r.query_id, r.vec_id)
+                for r in ivfpq_search(
+                    spark.read.parquet(store).drop("batch_id"), cdf, cbdf,
+                    rq, dim=64, k=5, nprobe=nlist,
+                ).collect()
+            }
+            exact = {
+                (r.query_id, r.vec_id)
+                for r in cosine_topk_bruteforce(prefix, rq, k=5).collect()
+            }
+            rec = len(approx & exact) / len(exact) if exact else 1.0
+            if rec < min_recall:
+                min_recall, bad_tick = rec, j
+            if rec < floor:
+                break
+        if min_recall < floor:
+            failures += 1
+            print(f"FAIL  ivfpq7 #{i} nlist={nlist} m_sub={m_sub} "
+                  f"ksub={ksub}: recall@5 {min_recall:.2f} < {floor} "
+                  f"at growth tick {bad_tick}")
+            continue
         streamed = spark.read.parquet(store)
         got = sorted((r.vec_id, r.cell, tuple(r.codes)) for r in streamed.collect())
         want = sorted((r.vec_id, r.cell, tuple(r.codes)) for r in want_df.collect())
         ok = got == want and got
-        label = f"ivfpq7 #{i} nlist={nlist} m_sub={m_sub} ksub={ksub} nb={nb} m={m}"
+        label = (f"ivfpq7 #{i} nlist={nlist} m_sub={m_sub} ksub={ksub} "
+                 f"nb={nb} m={m} min_recall={min_recall:.2f}")
         if not ok:
             failures += 1
             print(f"FAIL  {label}: streamed store != batch store "
