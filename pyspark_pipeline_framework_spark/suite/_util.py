@@ -70,6 +70,33 @@ def shared_df(spark, key: tuple, build):
         return df
 
 
+_SHARED_OBJ: dict[tuple, object] = {}
+
+
+def shared_obj(spark, key: tuple, build):
+    """:func:`shared_df` for a TUPLE of DataFrames produced together —
+    the trained-model-plus-store artifact shape (e.g. ``ivfpq_index``
+    returns centroids, codebooks and the assigned store from ONE
+    training pass; memoizing each separately would retrain per
+    artifact). Every DataFrame in the built tuple is persisted and
+    eagerly materialized; ``clear_shared`` releases them all."""
+    try:
+        app_id = spark.conf.get("spark.app.id", "unknown-app")
+    except Exception:
+        app_id = "unknown-app"
+    full_key = (app_id,) + key
+    with _SHARED_LOCK:
+        obj = _SHARED_OBJ.get(full_key)
+        if obj is None:
+            obj = tuple(build())
+            for i, df in enumerate(obj):
+                df.persist()
+                df.count()  # eager materialization
+                _SHARED_DF[full_key + (i,)] = df
+            _SHARED_OBJ[full_key] = obj
+        return obj
+
+
 def clear_shared() -> int:
     """Drop every memoized fixture and unpersist its pinned cache
     blocks. Call between bench sections (sf0.1 → ×10) so one
@@ -80,6 +107,7 @@ def clear_shared() -> int:
     with _SHARED_LOCK:
         handles = list(_SHARED_DF.values())
         _SHARED_DF.clear()
+        _SHARED_OBJ.clear()
     n = 0
     for df in handles:
         n += 1

@@ -46,7 +46,7 @@ from pyspark_pipeline_framework_spark.llm.text import (
     token_count_ws,
 )
 from pyspark_pipeline_framework_spark.suite import case
-from pyspark_pipeline_framework_spark.suite._util import shared_df
+from pyspark_pipeline_framework_spark.suite._util import shared_df, shared_obj
 
 
 @case(
@@ -819,11 +819,17 @@ def _ivf_exact_oracle(
     n_train: int = 256,
     k: int = 5,
     n_query: int = 5,
+    del_pred: str | None = None,
 ) -> str:
     """IVF ANN oracle: trained model + cell assignment from
     :func:`_ivf_model_ctes`, then query probing, candidate join,
-    scoring, ranking replayed in SQL."""
+    scoring, ranking replayed in SQL. ``del_pred`` (a SQL predicate
+    over ``cc.vec_id``) replays a tombstone delete as a rebuilt store:
+    the quantizer stays trained on the FULL corpus (exactly what the
+    engine's frozen-model compaction preserves) and only the candidate
+    rows are reduced — search-after-remove_ids must equal this."""
     ctes, final = _ivf_model_ctes(dim, nlist, train_iters, n_train)
+    not_deleted = f" AND NOT ({del_pred})" if del_pred else ""
     ctes += [
         f"""probe AS (
       SELECT query_id, cell FROM (
@@ -833,9 +839,10 @@ def _ivf_exact_oracle(
         FROM embeddings e CROSS JOIN {final} c
         WHERE e.vec_id < {n_query}
           AND {_o_doti("e.embedding", "e.embedding")} > 0) WHERE r <= {nprobe})""",
-        """cand AS (
+        f"""cand AS (
       SELECT p.query_id, cc.vec_id
-      FROM probe p JOIN corpuscell cc ON cc.cell = p.cell AND cc.vec_id <> p.query_id)""",
+      FROM probe p JOIN corpuscell cc
+        ON cc.cell = p.cell AND cc.vec_id <> p.query_id{not_deleted})""",
         f"""scored AS (
       SELECT c.query_id, c.vec_id, {_o_cos("qe.embedding", "ce.embedding")} AS cos_sim
       FROM cand c
@@ -908,6 +915,64 @@ def q_sim_knn_ivf_incr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return ivf_search(
         store, cdf, queries, dim=64, k=5, nprobe=3, mode="exact"
+    ).select("query_id", "vec_id", "cos_sim", "rank")
+
+
+@case(
+    "q_sim_knn_ivf_del",
+    oracle=_ivf_exact_oracle(del_pred="cc.vec_id % 7 = 2"),
+    category="llm",
+)
+def q_sim_knn_ivf_del(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tombstone deletes for the IVF vector store (r10 VERDICT item 3,
+    extending the q_dedup_minhash_del_md5 gate to ANN stores): the
+    assigned store loses vec_id % 7 == 2 via
+    compact_batch_store(remove_ids=...) — ONE anti-join folded into
+    the compaction rewrite, no re-assignment — and the search runs
+    against the compacted cell-partitioned baseline with static
+    pruning. The oracle replays the FULL-corpus-trained quantizer
+    (frozen, exactly what compaction preserves) and a store rebuilt on
+    the reduced corpus: a stale row surviving the tombstone, or an
+    over-deleted survivor, breaks the hash."""
+    import shutil
+
+    from pyspark_pipeline_framework_spark.io.compaction import compact_batch_store
+    from pyspark_pipeline_framework_spark.llm.similarity import (
+        ivf_add,
+        ivf_index,
+        ivf_search,
+    )
+    from pyspark_pipeline_framework_spark.suite.io_cases import _scratch
+
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cdf = shared_df(
+        spark,
+        ("ivf_centroids", sf_dir, 64, 8, "exact", 256),
+        lambda: ivf_index(emb, dim=64, nlist=8, mode="exact", train_sample=256)[0],
+    )
+    # assigned store: pinned fixture under the frozen quantizer (the
+    # persisted artifact of train-once/add-forever); the TIMED work is
+    # the store write + tombstone compaction + pruned search
+    assigned = shared_df(
+        spark,
+        ("ivf_store_full", sf_dir, 64, 8, "exact", 256),
+        lambda: ivf_add(emb, cdf, dim=64, mode="exact"),
+    )
+    store = _scratch(sf_dir, "ivf_store_del")
+    assigned.write.mode("overwrite").parquet(f"{store}/batch_id=0")
+    out = _scratch(sf_dir, "ivf_store_del_c")
+    shutil.rmtree(out, ignore_errors=True)  # compaction refuses overwrite
+    tomb = emb.where(F.col("vec_id") % 7 == 2).select("vec_id")
+    baseline = compact_batch_store(
+        spark, store, out, remove_ids=tomb, remove_id_col="vec_id",
+        partition_by=["cell"],
+    )
+    return ivf_search(
+        baseline.drop("batch_id"), cdf, queries, dim=64, k=5, nprobe=3,
+        mode="exact", prune_cells=True,
     ).select("query_id", "vec_id", "cos_sim", "rank")
 
 
@@ -2091,15 +2156,19 @@ def _ivfpq_oracle(
     n_train: int = 256,
     k: int = 5,
     n_query: int = 5,
+    del_pred: str | None = None,
 ) -> str:
     """IVFPQ ANN oracle — the two model replays COMPOSED: IVF training
     + cell assignment from :func:`_ivf_model_ctes`, PQ training +
     corpus codes from :func:`_pq_model_ctes` (disjoint CTE
     namespaces), then cell probing, the candidate join, and ADC
-    scoring of only the candidates, all in SQL."""
+    scoring of only the candidates, all in SQL. ``del_pred`` replays a
+    tombstone delete (see :func:`_ivf_exact_oracle`): both models stay
+    trained on the FULL corpus, only candidates are reduced."""
     ivf_ctes, ivf_final = _ivf_model_ctes(dim, nlist, train_iters, n_train)
     pq_ctes = _pq_model_ctes(dim, m_sub, ksub, train_iters, n_train)
     pq_final = f"pc{train_iters}"
+    not_deleted = f" AND NOT ({del_pred})" if del_pred else ""
     ctes = ivf_ctes + pq_ctes + [
         f"""iprobe AS (
       SELECT query_id, cell FROM (
@@ -2109,9 +2178,10 @@ def _ivfpq_oracle(
         FROM embeddings e CROSS JOIN {ivf_final} c
         WHERE e.vec_id < {n_query}
           AND {_o_doti("e.embedding", "e.embedding")} > 0) WHERE r <= {nprobe})""",
-        """icand AS (
+        f"""icand AS (
       SELECT p.query_id, cc.vec_id
-      FROM iprobe p JOIN corpuscell cc ON cc.cell = p.cell AND cc.vec_id <> p.query_id)""",
+      FROM iprobe p JOIN corpuscell cc
+        ON cc.cell = p.cell AND cc.vec_id <> p.query_id{not_deleted})""",
         f"""idtab AS (
       SELECT q.vec_id AS query_id, c.s, c.j, {_o_doti("q.x", "c.c")} AS dt
       FROM csub q JOIN {pq_final} c ON c.s = q.s
@@ -2135,16 +2205,35 @@ def _ivfpq_oracle(
     """
 
 
-def _knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark_pipeline_framework_spark.llm.pq import cosine_topk_ivfpq
+def _ivfpq_artifacts(spark: SparkSession, sf_dir: str):
+    """The persisted IVFPQ model pair + assigned code store (FAISS's
+    train-once/add-forever contract: in production these are parquet
+    artifacts built once) — shared by the search, recall and
+    tombstone-deletion cases, so repeat runs time the user-repeated
+    operations (search / compaction), not retraining."""
+    from pyspark_pipeline_framework_spark.llm.pq import ivfpq_index
 
     emb = table(spark, sf_dir, "embeddings")
+    return shared_obj(
+        spark,
+        ("ivfpq_artifacts", sf_dir, 64, 8, 32, 32, 256),
+        lambda: ivfpq_index(
+            emb, dim=64, nlist=8, m_sub=32, ksub=32, train_iters=2,
+            train_sample=256,
+        ),
+    )
+
+
+def _knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark_pipeline_framework_spark.llm.pq import ivfpq_search
+
+    emb = table(spark, sf_dir, "embeddings")
+    cent, cb, store = _ivfpq_artifacts(spark, sf_dir)
     return shared_df(
         spark,
         ("knn_ivfpq", sf_dir, 64, 8, 3, 32, 32, 256),
-        lambda: cosine_topk_ivfpq(
-            emb, _knn_queries(emb), dim=64, k=5, nlist=8, nprobe=3,
-            m_sub=32, ksub=32, train_iters=2, train_sample=256,
+        lambda: ivfpq_search(
+            store, cent, cb, _knn_queries(emb), dim=64, k=5, nprobe=3,
         ),
     )
 
@@ -2173,6 +2262,48 @@ def q_sim_knn_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = _knn_exact(spark, sf_dir).select("query_id", "vec_id")
     approx = _knn_ivfpq(spark, sf_dir).select("query_id", "vec_id")
     return _recall_gate(approx, exact, "ivfpq_recall_at_5", 0.25)
+
+
+@case(
+    "q_sim_knn_ivfpq_del",
+    oracle=_ivfpq_oracle(del_pred="cc.vec_id % 7 = 2"),
+    category="llm",
+)
+def q_sim_knn_ivfpq_del(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tombstone deletes for the IVFPQ code store (r10 VERDICT item 3,
+    completing the deletion-parity family: band store → IVF store →
+    IVFPQ store): the (vec_id, cell, codes) store loses
+    vec_id % 7 == 2 via compact_batch_store(remove_ids=...) — the
+    surviving rows' cells AND codes are reused verbatim — and the ADC
+    search runs against the compacted cell-partitioned baseline with
+    static pruning. The oracle replays BOTH full-corpus-trained models
+    (frozen under compaction) over a store rebuilt on the reduced
+    corpus."""
+    import shutil
+
+    from pyspark_pipeline_framework_spark.io.compaction import compact_batch_store
+    from pyspark_pipeline_framework_spark.llm.pq import ivfpq_search
+    from pyspark_pipeline_framework_spark.suite.io_cases import _scratch
+
+    emb = table(spark, sf_dir, "embeddings")
+    # models + code store: pinned fixture (train-once contract, same
+    # precedent as q_dedup_minhash_del_md5's band store). The TIMED
+    # work each run: the store write, the tombstone compaction and the
+    # pruned ADC search over the compacted baseline.
+    cent, cb, full_store = _ivfpq_artifacts(spark, sf_dir)
+    store = _scratch(sf_dir, "ivfpq_store_del")
+    full_store.write.mode("overwrite").parquet(f"{store}/batch_id=0")
+    out = _scratch(sf_dir, "ivfpq_store_del_c")
+    shutil.rmtree(out, ignore_errors=True)  # compaction refuses overwrite
+    tomb = emb.where(F.col("vec_id") % 7 == 2).select("vec_id")
+    baseline = compact_batch_store(
+        spark, store, out, remove_ids=tomb, remove_id_col="vec_id",
+        partition_by=["cell"],
+    )
+    return ivfpq_search(
+        baseline.drop("batch_id"), cent, cb, _knn_queries(emb), dim=64,
+        k=5, nprobe=3, prune_cells=True,
+    ).select("query_id", "vec_id", "adc_dot", "rank")
 
 
 def _int8_knn_oracle(k: int = 5, n_query: int = 5, levels: int = 127) -> str:
