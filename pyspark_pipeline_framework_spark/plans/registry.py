@@ -630,13 +630,26 @@ def op_media_probe(
 @default_registry.register("compact_store")
 def op_compact_store(
     spark: SparkSession, catalog: Catalog, *, store: str, out: str,
-    output: str | None = None, **params,
+    output: str | None = None, remove_ids_input: str | None = None, **params,
 ) -> DataFrame | None:
     """Fold a batch_id-per-micro-batch incremental store (MinHash band
     store, IVF vector store) into one baseline partition at a NEW path
-    — the small-files fix; see io.compaction.compact_batch_store."""
+    — the small-files fix; see io.compaction.compact_batch_store.
+    Tombstones (``remove_ids``/``remove_id_col``) and retention
+    (``min_batch_id``) pass through; ``remove_ids_input`` instead
+    resolves the tombstone set from the pipeline CATALOG (an id frame
+    computed by an earlier stage — the declarative
+    right-to-be-forgotten shape), mutually exclusive with
+    ``remove_ids``."""
     from pyspark_pipeline_framework_spark.io.compaction import compact_batch_store
 
+    if remove_ids_input is not None:
+        if "remove_ids" in params:
+            raise ValueError(
+                "compact_store: pass remove_ids (a path/list) OR "
+                "remove_ids_input (a catalog name), not both"
+            )
+        params["remove_ids"] = catalog.get(remove_ids_input)
     df = compact_batch_store(spark, store, out, **params)
     return catalog.put(output, df) if output else None
 

@@ -408,6 +408,76 @@ def q_dedup_minhash_del_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     return incremental_candidate_pairs(new, baseline.drop("batch_id"))
 
 
+@case(
+    "q_dedup_minhash_ttl_md5",
+    # Sliding-window retention (r10 feature, oracle-gated here for the
+    # first time): the corpus band store holds two micro-batches split
+    # by doc_id % 3 (batch 0 = the aged-out third, batch 1 = the rest);
+    # compact_batch_store(min_batch_id=1) drops batch 0 during the
+    # rewrite, and the next incremental tick joins the compacted
+    # baseline. The oracle replays the whole MinHash pipeline from raw
+    # text over EXACTLY the retained corpus — an aged-out band
+    # surviving the cutoff (or an over-dropped retained row) breaks the
+    # hash. Same 32/8 md5 recipe as the deletion case.
+    oracle=r"""
+    WITH words AS (
+      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS w
+      FROM documents
+      WHERE doc_id % 5 = 1 OR doc_id % 3 != 0
+    ), sh AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+               range(1, greatest(len(w) - 2, 1) + 1),
+               i -> array_to_string(list_slice(w, i, i + 2), ' ')))) AS shingle
+      FROM words
+    ), base AS (
+      SELECT doc_id, md5(shingle) AS bh FROM sh
+    ), sig AS (
+      SELECT doc_id, seed,
+             MIN(substr(md5(concat(CAST(seed // 4 AS VARCHAR), ':', bh)),
+                        8 * CAST(seed % 4 AS INT) + 1, 8)) AS mh
+      FROM base, range(32) t(seed)
+      GROUP BY doc_id, seed
+    ), bands AS (
+      SELECT doc_id, CAST(seed // 4 AS INT) AS band_idx,
+             md5(string_agg(mh, ',' ORDER BY seed)) AS bhash
+      FROM sig GROUP BY doc_id, seed // 4
+    )
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM bands a JOIN bands b
+      ON a.band_idx = b.band_idx AND a.bhash = b.bhash AND a.doc_id < b.doc_id
+    WHERE a.doc_id % 5 = 1 OR b.doc_id % 5 = 1
+    """,
+)
+def q_dedup_minhash_ttl_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from pyspark_pipeline_framework_spark.io.compaction import compact_batch_store
+    from pyspark_pipeline_framework_spark.suite.io_cases import _scratch
+
+    d = table(spark, sf_dir, "documents")
+    kw = dict(num_hashes=32, bands=8, shingle_k=3, hash_fn="md5")
+    # same pinned band fixture as the deletion case (store built once);
+    # the TIMED work: two batch writes, the retention compaction, the
+    # incremental bucket join against the compacted baseline
+    corpus = shared_df(
+        spark,
+        ("minhash_band_store", sf_dir, 32, 8, 3, "md5", "mod5"),
+        lambda: minhash_bands(d.where(F.col("doc_id") % 5 != 1), **kw),
+    )
+    store = _scratch(sf_dir, "band_store_ttl")
+    corpus.where(F.col("id") % 3 == 0).write.mode("overwrite").parquet(
+        f"{store}/batch_id=0"
+    )
+    corpus.where(F.col("id") % 3 != 0).write.mode("overwrite").parquet(
+        f"{store}/batch_id=1"
+    )
+    out = _scratch(sf_dir, "band_store_ttl_c")
+    shutil.rmtree(out, ignore_errors=True)  # compaction refuses overwrite
+    baseline = compact_batch_store(spark, store, out, min_batch_id=1)
+    new = minhash_bands(d.where(F.col("doc_id") % 5 == 1), **kw)
+    return incremental_candidate_pairs(new, baseline.drop("batch_id"))
+
+
 def _simhash_block_pairs(sigs: DataFrame) -> DataFrame:
     """Positional 16-bit-block LSH over simhash signatures (shared by
     the xxhash64 and md5-portable cases)."""

@@ -311,6 +311,85 @@ def test_compaction_tombstones_ivf_store(spark, tmp_path, sf_dir):
     assert got == want and want
 
 
+def test_resume_stream_after_tombstone_compaction(spark, tmp_path, sf_dir):
+    """r10 VERDICT item 3 (streaming half): a tombstone-compacted ANN
+    store stays a valid LIVE store — resuming the add stream with a
+    mirrored layout and then searching must equal a from-scratch
+    assignment of (reduced ∪ new) under the frozen models. Proven for
+    BOTH the IVF vector store and the IVFPQ code store."""
+    from pyspark_pipeline_framework_spark.llm.pq import (
+        ivfpq_add,
+        ivfpq_index,
+        ivfpq_search,
+    )
+    from pyspark_pipeline_framework_spark.llm.similarity import (
+        ivf_add,
+        ivf_index,
+        ivf_search,
+    )
+    from pyspark_pipeline_framework_spark.streaming.stateful import (
+        streaming_ivf_add_batch,
+        streaming_ivfpq_add_batch,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    old = emb.where(F.col("vec_id") % 2 == 0)   # indexed before the delete
+    new = emb.where(F.col("vec_id") % 2 == 1)   # streamed in after resume
+    dead = F.col("vec_id") % 5 == 0             # tombstoned ids
+    tomb = emb.where(dead).select("vec_id")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    # rebuilt corpus = (old minus tombstoned) ∪ new — a new vector
+    # re-entering a tombstoned id is legal (tombstones delete STORE
+    # ROWS at compaction time, not future ids)
+
+    # --- IVF vector store
+    cdf, _ = ivf_index(emb, dim=64, nlist=8, mode="exact", train_sample=256)
+    store = str(tmp_path / "ivf")
+    streaming_ivf_add_batch(store, cdf, dim=64, mode="exact")(old, 0)
+    compacted = str(tmp_path / "ivf_del")
+    compact_batch_store(
+        spark, store, compacted, remove_ids=tomb, remove_id_col="vec_id",
+        partition_by=["cell"],
+    )
+    streaming_ivf_add_batch(
+        compacted, cdf, dim=64, mode="exact", partition_by=["cell"]
+    )(new, 0)  # fresh checkpoint: batch ids restart at 0 — safe vs baseline -1
+    kw = dict(dim=64, k=5, nprobe=2, mode="exact")
+    got = sorted(map(tuple, ivf_search(
+        spark.read.parquet(compacted).drop("batch_id"), cdf, queries, **kw
+    ).collect()))
+    rebuilt = ivf_add(
+        old.where(~dead).unionByName(new), cdf, dim=64, mode="exact"
+    )
+    want = sorted(map(tuple, ivf_search(rebuilt, cdf, queries, **kw).collect()))
+    assert got == want and want
+
+    # --- IVFPQ code store
+    pc, pb, _ = ivfpq_index(emb, dim=64, nlist=8, m_sub=16, ksub=16,
+                            train_sample=256)
+    pstore = str(tmp_path / "ivfpq")
+    streaming_ivfpq_add_batch(pstore, pc, pb, dim=64)(old, 0)
+    pcompacted = str(tmp_path / "ivfpq_del")
+    compact_batch_store(
+        spark, pstore, pcompacted, remove_ids=tomb, remove_id_col="vec_id",
+        partition_by=["cell"],
+    )
+    streaming_ivfpq_add_batch(
+        pcompacted, pc, pb, dim=64, partition_by=["cell"]
+    )(new, 0)
+    pgot = sorted(map(tuple, ivfpq_search(
+        spark.read.parquet(pcompacted).drop("batch_id"), pc, pb, queries,
+        dim=64, k=5, nprobe=2, prune_cells=True,
+    ).collect()))
+    prebuilt = ivfpq_add(old.where(~dead).unionByName(new), pc, pb, dim=64)
+    pwant = sorted(map(tuple, ivfpq_search(
+        prebuilt, pc, pb, queries, dim=64, k=5, nprobe=2,
+    ).collect()))
+    assert pgot == pwant and pwant
+
+
 def test_compaction_of_emptied_store(spark, tmp_path, sf_dir):
     """A zero-row baseline is a legitimate store state (empty history,
     or every row tombstoned): the read-back must return an empty frame
@@ -401,6 +480,50 @@ def test_compact_store_config_op(spark, tmp_path, sf_dir):
     runner = PipelineRunner(cfg, spark, resilience=NO_RETRY)
     assert runner.run().status == PipelineStatus.SUCCESS
     assert runner.catalog.get("baseline").count() == spark.read.parquet(store).count()
+
+
+def test_compact_store_config_op_catalog_tombstones(spark, tmp_path, sf_dir):
+    """Declarative right-to-be-forgotten: an earlier pipeline stage
+    computes the tombstone id frame, compact_store resolves it via
+    remove_ids_input from the catalog; passing both tombstone forms is
+    a typed config error."""
+    import pytest as _pytest
+
+    from pyspark_pipeline_framework_spark.plans.config import PipelineConfig
+    from pyspark_pipeline_framework_spark.plans.result import PipelineStatus
+    from pyspark_pipeline_framework_spark.plans.runner import PipelineRunner
+    from pyspark_pipeline_framework_spark.resilience.presets import NO_RETRY
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    store, _, _ = _band_store(spark, tmp_path, docs)
+    out = str(tmp_path / "store_rtbf")
+    cfg = PipelineConfig.from_dict({
+        "name": "rtbf-demo",
+        "components": [
+            {"name": "tombstones", "op": "sql", "output": "dead_ids",
+             "params": {"sql": f"SELECT DISTINCT id FROM parquet.`{store}` "
+                               "WHERE id % 4 = 0"}},
+            {"name": "compact", "op": "compact_store", "output": "baseline",
+             "params": {"store": store, "out": out,
+                        "remove_ids_input": "dead_ids",
+                        "remove_id_col": "id"}},
+        ],
+    })
+    runner = PipelineRunner(cfg, spark, resilience=NO_RETRY)
+    assert runner.run().status == PipelineStatus.SUCCESS
+    base = runner.catalog.get("baseline")
+    assert base.where(F.col("id") % 4 == 0).count() == 0
+    want = spark.read.parquet(store).where(F.col("id") % 4 != 0).count()
+    assert base.count() == want and want > 0
+
+    from pyspark_pipeline_framework_spark.plans.registry import default_registry
+
+    with _pytest.raises(ValueError, match="not both"):
+        default_registry.get("compact_store")(
+            spark, runner.catalog,
+            store=store, out=str(tmp_path / "x"),
+            remove_ids_input="dead_ids", remove_ids=[1], remove_id_col="id",
+        )
 
 
 def test_compaction_sorted_within_partitions(spark, tmp_path, sf_dir):
