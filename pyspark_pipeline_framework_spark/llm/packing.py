@@ -219,6 +219,7 @@ def weighted_sample(
     target_fraction: float,
     id_col: str = "doc_id",
     salt: str = "wsample",
+    renormalize_iters: int = 0,
 ) -> DataFrame:
     """Per-ROW importance sampling: keep probability proportional to
     ``weight_col`` (e.g. a quality score or token count), scaled to
@@ -228,11 +229,19 @@ def weighted_sample(
 
     The EXPECTED kept fraction equals ``target_fraction`` exactly when
     no raw rate exceeds the cap (i.e. ``tf·N·max(w) <= S``); with
-    heavily skewed weights the clipped probability mass is NOT
-    redistributed, so the realized expectation sits strictly below the
-    target (single-pass determinism — and hence bit-exact oracle
-    replay — is deliberately chosen over an iterative renormalization
-    whose fixpoint would be engine-order-sensitive).
+    heavily skewed weights the default single pass does NOT
+    redistribute the clipped probability mass, so the realized
+    expectation sits strictly below the target.
+    ``renormalize_iters=k`` redistributes it with k FIXED iterations
+    (never a data-dependent fixpoint — determinism and bit-exact
+    oracle replay are preserved): each iteration assigns probability 1
+    to the currently-capped rows and rescales the remaining budget
+    ``tf·N − n_capped`` over the uncapped weight mass. The capped set
+    only grows (the scale is monotone increasing), so k iterations of
+    the classic weighted-sampling rate normalization converge in ≤ k
+    distinct weight tiers — 2-3 suffice for real corpora. Cost: k
+    extra scalar aggregates over the corpus, still zero shuffles of
+    the corpus itself.
 
     rate_r = LEAST(1, ((tf·N)·w_r) / S) with S the DECIMAL-summed
     weight total and N the row count (both one tiny aggregate,
@@ -262,15 +271,52 @@ def weighted_sample(
         16,
         10,
     ).cast("bigint")
-    rate = F.least(
-        F.lit(1.0),
-        (F.lit(float(target_fraction)) * F.col("__ntot") * F.col(weight_col).cast("double"))
-        / F.col("__wsum"),
+    if not renormalize_iters:
+        rate = F.least(
+            F.lit(1.0),
+            (F.lit(float(target_fraction)) * F.col("__ntot") * F.col(weight_col).cast("double"))
+            / F.col("__wsum"),
+        )
+        return (
+            df.crossJoin(F.broadcast(totals))
+            .filter(h.cast("double") < rate * F.lit(4294967296.0))
+            .drop("__wsum", "__ntot")
+        )
+    # iterative redistribution: state is ONE row (__budget expected
+    # rows for the uncapped mass, __wsum that mass, __ntot); each
+    # iteration is a scalar aggregate chained lazily via broadcast
+    # crossJoins — no driver collect, k is a hyperparameter
+    state = totals.select(
+        (F.lit(float(target_fraction)) * F.col("__ntot")).alias("__budget"),
+        "__wsum",
+        "__ntot",
     )
+    for _ in range(int(renormalize_iters)):
+        j = df.crossJoin(F.broadcast(state))
+        capped = (F.col("__budget") * wd / F.col("__wsum")) >= F.lit(1.0)
+        agg = j.agg(
+            F.first("__ntot").alias("__ntot"),
+            F.sum(F.when(capped, F.lit(1)).otherwise(F.lit(0)))
+            .cast("double")
+            .alias("__ncap"),
+            F.sum(F.when(~capped, F.col(weight_col).cast("decimal(38,9)")))
+            .cast("double")
+            .alias("__wsum"),
+        )
+        state = agg.select(
+            (F.lit(float(target_fraction)) * F.col("__ntot") - F.col("__ncap"))
+            .alias("__budget"),
+            "__wsum",
+            "__ntot",
+        )
+    # NULL __wsum means every row capped under the final scale: keep all
+    rate = F.when(
+        F.col("__wsum").isNull(), F.lit(1.0)
+    ).otherwise(F.least(F.lit(1.0), F.col("__budget") * wd / F.col("__wsum")))
     return (
-        df.crossJoin(F.broadcast(totals))
+        df.crossJoin(F.broadcast(state))
         .filter(h.cast("double") < rate * F.lit(4294967296.0))
-        .drop("__wsum", "__ntot")
+        .drop("__budget", "__wsum", "__ntot")
     )
 
 

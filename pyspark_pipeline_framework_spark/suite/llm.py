@@ -2530,6 +2530,68 @@ def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @case(
+    "q_sample_weighted_renorm",
+    # CUBED lengths make the cap bind (max raw rate 1.55 at tf=0.4);
+    # two fixed renormalization iterations redistribute the clipped
+    # mass (sum of rates: 0.373·N → 0.4000·N exactly). Every
+    # iteration's scalar aggregate and every IEEE expression
+    # (parenthesization included) is mirrored in the oracle.
+    oracle="""
+    WITH pos AS (
+      SELECT doc_id, lang, (CAST(n_chars AS DOUBLE) * n_chars) * n_chars AS wv
+      FROM documents
+      WHERE (CAST(n_chars AS DOUBLE) * n_chars) * n_chars > 0
+        AND NOT isnan((CAST(n_chars AS DOUBLE) * n_chars) * n_chars)
+    ), s0 AS (
+      SELECT 0.4 * CAST(COUNT(*) AS DOUBLE) AS budget,
+             CAST(SUM(CAST(wv AS DECIMAL(38,9))) AS DOUBLE) AS wsum,
+             CAST(COUNT(*) AS DOUBLE) AS ntot
+      FROM pos
+    ), s1 AS (
+      SELECT 0.4 * MAX(s.ntot)
+               - CAST(SUM(CASE WHEN (s.budget * p.wv) / s.wsum >= 1.0
+                                THEN 1 ELSE 0 END) AS DOUBLE) AS budget,
+             CAST(SUM(CASE WHEN (s.budget * p.wv) / s.wsum < 1.0
+                            THEN CAST(p.wv AS DECIMAL(38,9)) END) AS DOUBLE) AS wsum,
+             MAX(s.ntot) AS ntot
+      FROM pos p CROSS JOIN s0 s
+    ), s2 AS (
+      SELECT 0.4 * MAX(s.ntot)
+               - CAST(SUM(CASE WHEN (s.budget * p.wv) / s.wsum >= 1.0
+                                THEN 1 ELSE 0 END) AS DOUBLE) AS budget,
+             CAST(SUM(CASE WHEN (s.budget * p.wv) / s.wsum < 1.0
+                            THEN CAST(p.wv AS DECIMAL(38,9)) END) AS DOUBLE) AS wsum,
+             MAX(s.ntot) AS ntot
+      FROM pos p CROSS JOIN s1 s
+    )
+    SELECT doc_id, lang FROM pos p CROSS JOIN s2 s
+    WHERE CAST(('0x' || substr(md5(p.doc_id::VARCHAR || ':wsample'), 1, 8))::BIGINT AS DOUBLE)
+        < (CASE WHEN s.wsum IS NULL THEN 1.0
+                ELSE LEAST(1.0, (s.budget * p.wv) / s.wsum) END) * 4294967296.0
+    """,
+    category="llm",
+)
+def q_sample_weighted_renorm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling with the clipped-mass redistribution ON
+    (renormalize_iters=2): under heavily skewed weights (cubed
+    lengths) the single-pass rates undershoot the 40% target by ~7%
+    relative; two fixed iterations of the classic rate normalization
+    close that gap to <0.1% (exactly 0 at full fixpoint convergence) —
+    still one deterministic md5 keep-set, zero corpus shuffles, and
+    the whole iteration chain replayed bit-exactly in SQL."""
+    from pyspark_pipeline_framework_spark.llm.packing import weighted_sample
+
+    d = table(spark, sf_dir, "documents").withColumn(
+        "w3",
+        (F.col("n_chars").cast("double") * F.col("n_chars")) * F.col("n_chars"),
+    )
+    return weighted_sample(
+        d, weight_col="w3", target_fraction=0.4, id_col="doc_id",
+        renormalize_iters=2,
+    ).select("doc_id", "lang")
+
+
+@case(
     "q_events_anomaly",
     # disc quantiles are actual data elements with integer-position
     # semantics — identical in any engine, no interpolation to drift

@@ -390,6 +390,58 @@ def test_resume_stream_after_tombstone_compaction(spark, tmp_path, sf_dir):
     assert pgot == pwant and pwant
 
 
+def test_two_generation_store_maintenance_cycle(spark, tmp_path, sf_dir):
+    """The real long-run lifecycle: stream batches → compact gen-1
+    (tombstones) → resume stream → compact gen-2 (retention over the
+    RESUMED batches + more tombstones, baseline retained) → the final
+    baseline equals a from-scratch band build over exactly the
+    surviving corpus. Proves compaction composes with itself — gen-2
+    reads a store whose history already lives at batch_id=-1."""
+    from pyspark_pipeline_framework_spark.llm.dedup import minhash_bands
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    kw = dict(num_hashes=32, bands=8, shingle_k=3, hash_fn="md5")
+    store = str(tmp_path / "bands")
+    b0 = docs.where(F.col("doc_id") % 3 == 0)
+    b1 = docs.where(F.col("doc_id") % 3 == 1)
+    b2 = docs.where(F.col("doc_id") % 3 == 2)
+    minhash_bands(b0, **kw).write.parquet(f"{store}/batch_id=0")
+    minhash_bands(b1, **kw).write.parquet(f"{store}/batch_id=1")
+
+    # gen-1: tombstone doc_id % 7 == 0 out of the first two batches
+    gen1 = str(tmp_path / "gen1")
+    compact_batch_store(
+        spark, store, gen1,
+        remove_ids=docs.where(F.col("doc_id") % 7 == 0)
+        .select(F.col("doc_id").alias("id")),
+        remove_id_col="id",
+    )
+    # resume: a new micro-batch lands next to the baseline (fresh
+    # checkpoint restarts ids at 0 — safe, history lives at -1)
+    minhash_bands(b2, **kw).write.parquet(f"{gen1}/batch_id=0")
+
+    # gen-2: keep the resumed batch (min_batch_id=0 is a no-op cutoff
+    # that still exercises the retention filter alongside a baseline)
+    # and tombstone doc_id % 11 == 1 across baseline AND new rows
+    gen2 = str(tmp_path / "gen2")
+    final = compact_batch_store(
+        spark, gen1, gen2,
+        min_batch_id=0,
+        remove_ids=docs.where(F.col("doc_id") % 11 == 1)
+        .select(F.col("doc_id").alias("id")),
+        remove_id_col="id",
+    )
+    surviving = docs.where(
+        ((F.col("doc_id") % 3 == 2) | (F.col("doc_id") % 7 != 0))
+        & (F.col("doc_id") % 11 != 1)
+    )
+    want = sorted(map(tuple, minhash_bands(surviving, **kw).collect()))
+    got = sorted(map(tuple, final.drop("batch_id").collect()))
+    assert got == want and want
+    # the whole gen-2 store is ONE baseline partition
+    assert final.select("batch_id").distinct().collect()[0][0] == -1
+
+
 def test_compaction_of_emptied_store(spark, tmp_path, sf_dir):
     """A zero-row baseline is a legitimate store state (empty history,
     or every row tombstoned): the read-back must return an empty frame

@@ -219,3 +219,48 @@ def test_weighted_sample_fraction_and_weight_contract(spark, sf_dir):
     assert weighted_sample(bad, "w", 0.5).count() == 0
     with _pytest.raises(ValueError, match="target_fraction"):
         weighted_sample(d, "n_chars", 0.0)
+
+
+def test_weighted_sample_renormalization(spark, sf_dir):
+    """renormalize_iters redistributes the clipped probability mass:
+    (a) k=0 is bit-identical to the default single pass; (b) under
+    cap-binding skew the per-row RATES sum to exactly tf·N after
+    convergence (computed driver-side with the same float ops);
+    (c) the kept set grows monotonically with k (scale only rises);
+    (d) when no rate caps, renormalization is a no-op."""
+    from pyspark.sql import functions as F
+
+    from pyspark_pipeline_framework_spark.llm.packing import weighted_sample
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").withColumn(
+        "w3",
+        (F.col("n_chars").cast("double") * F.col("n_chars")) * F.col("n_chars"),
+    )
+    ids = lambda df: sorted(r.doc_id for r in df.select("doc_id").collect())  # noqa: E731
+    base = ids(weighted_sample(d, "w3", 0.4))
+    assert ids(weighted_sample(d, "w3", 0.4, renormalize_iters=0)) == base
+    k1 = ids(weighted_sample(d, "w3", 0.4, renormalize_iters=1))
+    k2 = ids(weighted_sample(d, "w3", 0.4, renormalize_iters=2))
+    assert set(base) <= set(k1) <= set(k2)
+    assert len(k2) > len(base)  # skew really binds the cap here
+
+    # driver-side replay of the rates: two iterations must close the
+    # clipped-mass gap by orders of magnitude (exact equality needs
+    # full fixpoint convergence; a borderline row may remain)
+    w = [r.w3 for r in d.select("w3").collect() if r.w3 and r.w3 > 0]
+    n, tf = len(w), 0.4
+    s0 = sum(w)
+    gap0 = abs(sum(min(1.0, tf * n * x / s0) for x in w) - tf * n)
+    budget, s = tf * n, s0
+    for _ in range(2):
+        capped = [x for x in w if budget * x / s >= 1.0]
+        budget, s = tf * n - len(capped), sum(x for x in w if budget * x / s < 1.0)
+    rates = [1.0 if budget * x / s >= 1.0 else budget * x / s for x in w]
+    gap2 = abs(sum(rates) - tf * n)
+    assert gap0 > 0.02 * tf * n  # the skew genuinely clips ≥2% of the mass
+    assert gap2 < 0.05 * gap0 and gap2 < 1e-3 * tf * n
+
+    # no-op when the cap never binds (linear weights, tf small)
+    lin = ids(weighted_sample(d, "n_chars", 0.1))
+    lin_k = ids(weighted_sample(d, "n_chars", 0.1, renormalize_iters=3))
+    assert lin == lin_k
