@@ -1080,15 +1080,26 @@ def test_clear_shared_releases_pinned_blocks(spark):
         shared_df,
     )
 
+    from pyspark_pipeline_framework_spark.suite._util import shared_obj
+
     pre = {i for i, _ in _persistent_rdds(spark)}
     foreign = spark.range(50).persist()  # not memo-owned
     foreign.count()
     foreign_ids = {i for i, _ in _persistent_rdds(spark)} - pre
     memo = shared_df(spark, ("t_clear", "x"), lambda: spark.range(100))
     assert memo.storageLevel.useMemory, "memo must be persisted"
+    # tuple memo: one build call, every element persisted, memo reused
+    calls = []
+    def build_pair():
+        calls.append(1)
+        return (spark.range(10), spark.range(20))
+    a, b = shared_obj(spark, ("t_clear", "pair"), build_pair)
+    a2, b2 = shared_obj(spark, ("t_clear", "pair"), build_pair)
+    assert len(calls) == 1 and a is a2 and b is b2
+    assert a.storageLevel.useMemory and b.storageLevel.useMemory
     pinned = {i for i, _ in _persistent_rdds(spark)} - pre - foreign_ids
     assert pinned, "memo must pin at least one cache block"
-    assert clear_shared() >= 1
+    assert clear_shared() >= 3  # the df memo + both tuple elements
     after = {i for i, _ in _persistent_rdds(spark)}
     assert not (pinned & after), "memo-owned pins must be released"
     assert foreign_ids <= after, "foreign pins must survive"

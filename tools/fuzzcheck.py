@@ -903,12 +903,21 @@ class Gen:
         (budget boundary off-by-one, stride arithmetic, cumulative
         fraction edges), exactly what a single pinned point misses."""
         r = self.r
-        sub = r.choice(["pack", "chunk", "split", "shuffle", "budget"])
+        sub = r.choice(["pack", "chunk", "split", "shuffle", "budget", "wsample"])
         pred = (self.predicate("documents",
                                list(TABLES["documents"]["cols"].items()))
                 if r.random() < 0.5 else None)
         spec = {"kind": "packing", "base": "documents", "stages": [],
                 "sub": sub, "pred": pred, "terminal": {"op": "packing"}}
+        if sub == "wsample":
+            # weighted sampling incl. the r11 renormalization chain:
+            # random target fraction × weight skew (n_chars^p — p=3
+            # makes the cap bind) × iteration count × salt
+            spec["tf"] = r.choice([0.2, 0.3, 0.4, 0.6])
+            spec["wpow"] = r.choice([1, 2, 3])
+            spec["iters"] = r.choice([0, 1, 2, 3])
+            spec["salt"] = r.choice(["wsample", "wz1"])
+            return spec
         if sub == "pack":
             spec["max_tokens"] = r.choice([96, 128, 256, 512])
             spec["num_shards"] = r.choice([4, 8])
@@ -1498,6 +1507,50 @@ def to_sql(spec: dict) -> str:
     if spec.get("kind") == "packing":
         src = "SELECT * FROM documents" + (
             f" WHERE {spec['pred']}" if spec["pred"] else "")
+        if spec["sub"] == "wsample":
+            tf, salt, iters = spec["tf"], spec["salt"], spec["iters"]
+            wv = {1: "CAST(n_chars AS DOUBLE)",
+                  2: "CAST(n_chars AS DOUBLE) * n_chars",
+                  3: "(CAST(n_chars AS DOUBLE) * n_chars) * n_chars",
+                  }[spec["wpow"]]
+            ctes = [
+                f"""src AS ({src})""",
+                f"""pos AS (
+              SELECT doc_id, lang, {wv} AS wv FROM src
+              WHERE {wv} > 0 AND NOT isnan({wv}))""",
+            ]
+            if not iters:
+                # the single-pass expression shape, parenthesization
+                # mirrored from the engine: LEAST(1, ((tf*N)*w)/S)
+                ctes.append(f"""t AS (
+              SELECT CAST(SUM(CAST(wv AS DECIMAL(38,9))) AS DOUBLE) AS wsum,
+                     CAST(COUNT(*) AS DOUBLE) AS ntot FROM pos)""")
+                rate = f"LEAST(1.0, (({tf} * s.ntot) * p.wv) / s.wsum)"
+                final = "t"
+            else:
+                ctes.append(f"""s0 AS (
+              SELECT {tf} * CAST(COUNT(*) AS DOUBLE) AS budget,
+                     CAST(SUM(CAST(wv AS DECIMAL(38,9))) AS DOUBLE) AS wsum,
+                     CAST(COUNT(*) AS DOUBLE) AS ntot FROM pos)""")
+                for i in range(1, iters + 1):
+                    ctes.append(f"""s{i} AS (
+              SELECT {tf} * MAX(s.ntot)
+                       - CAST(SUM(CASE WHEN (s.budget * p.wv) / s.wsum >= 1.0
+                                        THEN 1 ELSE 0 END) AS DOUBLE) AS budget,
+                     CAST(SUM(CASE WHEN (s.budget * p.wv) / s.wsum < 1.0
+                                    THEN CAST(p.wv AS DECIMAL(38,9)) END) AS DOUBLE) AS wsum,
+                     MAX(s.ntot) AS ntot
+              FROM pos p CROSS JOIN s{i - 1} s)""")
+                rate = ("CASE WHEN s.wsum IS NULL THEN 1.0 "
+                        "ELSE LEAST(1.0, (s.budget * p.wv) / s.wsum) END")
+                final = f"s{iters}"
+            joined = ",\n    ".join(ctes)
+            return f"""
+            WITH {joined}
+            SELECT doc_id, lang FROM pos p CROSS JOIN {final} s
+            WHERE CAST(('0x' || substr(md5(p.doc_id::VARCHAR || ':{salt}'), 1, 8))::BIGINT AS DOUBLE)
+                < ({rate}) * 4294967296.0
+            """
         if spec["sub"] == "pack":
             m, s = spec["max_tokens"], spec["num_shards"]
             bucket = (
@@ -2266,6 +2319,17 @@ def to_spark(spec: dict, spark, sf_dir: str, base_df=None):
         d = table(spark, sf_dir, "documents")
         if spec["pred"]:
             d = d.filter(F.expr(spec["pred"]))
+        if spec["sub"] == "wsample":
+            from pyspark_pipeline_framework_spark.llm.packing import weighted_sample
+
+            nc = F.col("n_chars")
+            wexpr = {1: nc.cast("double"),
+                     2: nc.cast("double") * nc,
+                     3: (nc.cast("double") * nc) * nc}[spec["wpow"]]
+            return weighted_sample(
+                d.withColumn("wv", wexpr), "wv", spec["tf"],
+                salt=spec["salt"], renormalize_iters=spec["iters"],
+            ).select("doc_id", "lang")
         if spec["sub"] == "pack":
             return pack_sequences(
                 d.select("doc_id", token_count_ws("text").alias("n_tokens")),
