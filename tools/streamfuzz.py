@@ -430,7 +430,11 @@ def _ivf_family(spark, tmp: str, seed: int, n_ivf: int, sf_dir: str) -> int:
     failure count. Random nlist/mode/batch-count/subset/split-salt per
     spec; one batch replayed mid-stream (foreachBatch's at-least-once
     contract); store compared pairwise to the batch twin, search
-    compared on a sampled third."""
+    compared on a sampled third, and on another sampled third the
+    FULL-PROBE invariant: IVF-Flat stores exact vectors, so probing
+    every cell must return exactly the brute-force top-k (identical
+    cosine arithmetic and tiebreak) — a drifting or mis-assigned cell
+    model cannot hide behind pruning (r11)."""
     import random as _random
 
     from pyspark.sql import functions as F
@@ -494,6 +498,33 @@ def _ivf_family(spark, tmp: str, seed: int, n_ivf: int, sf_dir: str) -> int:
                 print(f"FAIL  {label}: streamed search != batch search")
                 continue
             label += " +search"
+        elif i % 3 == 1:
+            # full-probe invariant (r11, sharper than a recall floor):
+            # IVF-Flat stores EXACT vectors, so probing every cell must
+            # return exactly the brute-force top-k — same cosine
+            # arithmetic, same (cos desc, id asc) tiebreak. A drifting
+            # or mis-assigned cell model cannot hide behind pruning.
+            from pyspark_pipeline_framework_spark.llm.similarity import (
+                cosine_topk_bruteforce,
+            )
+
+            qids = [r.vec_id for r in sub.limit(3).collect()]
+            queries = sub.where(F.col("vec_id").isin(qids)).select(
+                F.col("vec_id").alias("query_id"), "embedding"
+            )
+            cols = ["query_id", "vec_id", "cos_sim", "rank"]
+            full = sorted(map(tuple, ivf_search(
+                streamed.drop("batch_id"), cdf, queries,
+                dim=64, k=3, nprobe=nlist, mode=mode,
+            ).select(*cols).collect()))
+            brute = sorted(map(tuple, cosine_topk_bruteforce(
+                sub, queries, k=3, dim=64,
+            ).select(*cols).collect()))
+            if full != brute:
+                failures += 1
+                print(f"FAIL  {label}: full-probe search != brute force")
+                continue
+            label += " +fullprobe"
         print(f"OK    {label} ({len(got)} rows, {time.time() - t0:.1f}s)")
     return failures
 
