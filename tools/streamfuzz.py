@@ -657,6 +657,31 @@ def _ivfpq_family(spark, tmp: str, seed: int, n_ivfpq: int, sf_dir: str) -> int:
                 print(f"FAIL  {label}: streamed search != batch search")
                 continue
             label += " +search"
+        elif i % 3 == 2:
+            # full-probe invariant (r11): with every cell probed, IVFPQ
+            # degenerates to flat PQ-ADC over the SAME codes — the two
+            # code paths (cell-pruned candidate join vs flat code scan)
+            # must return identical top-k, integer ADC sums included
+            from pyspark_pipeline_framework_spark.llm.pq import pq_search_adc
+
+            qids = [r.vec_id for r in sub.limit(3).collect()]
+            queries = sub.where(F.col("vec_id").isin(qids)).select(
+                F.col("vec_id").alias("query_id"), "embedding"
+            )
+            cols = ["query_id", "vec_id", "adc_dot", "rank"]
+            full = sorted(map(tuple, ivfpq_search(
+                streamed.drop("batch_id"), cdf, cbdf, queries,
+                dim=64, k=3, nprobe=nlist,
+            ).select(*cols).collect()))
+            flat = sorted(map(tuple, pq_search_adc(
+                streamed.select("vec_id", "codes"), cbdf, queries,
+                dim=64, k=3,
+            ).select(*cols).collect()))
+            if full != flat:
+                failures += 1
+                print(f"FAIL  {label}: full-probe IVFPQ != flat PQ-ADC")
+                continue
+            label += " +fullprobe"
         print(f"OK    {label} ({len(got)} rows, {time.time() - t0:.1f}s)")
     return failures
 
