@@ -493,6 +493,49 @@ def run_battery(spark: SparkSession, docs_path: str, emb_path: str, meter: Stage
             m_sub=16, ksub=16, train_sample=256,
         ).count(),
     )
+    # r11: weighted sampling with the renormalization chain — k scalar
+    # aggregates over the corpus + one map-side filter, must stay linear
+    from pyspark_pipeline_framework_spark.llm.packing import weighted_sample
+
+    docs_w = docs.withColumn(
+        "__w3",
+        (F.col("n_chars").cast("double") * F.col("n_chars")) * F.col("n_chars"),
+    )
+    timed(
+        "weighted_sample_renorm",
+        lambda: weighted_sample(
+            docs_w, "__w3", 0.4, renormalize_iters=2
+        ).count(),
+    )
+    # r11: tombstone compaction of a band store — one store scan + one
+    # anti-join against a (growing linearly) tombstone set + rewrite;
+    # wall and shuffle must track the store size
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from pyspark_pipeline_framework_spark.io.compaction import compact_batch_store
+    from pyspark_pipeline_framework_spark.llm.dedup import minhash_bands
+
+    cdir = _tempfile.mkdtemp(prefix="scale_compact_")
+
+    def _compact_once() -> int:
+        store = os.path.join(cdir, "store")
+        out_p = os.path.join(cdir, "out")
+        _shutil.rmtree(store, ignore_errors=True)
+        _shutil.rmtree(out_p, ignore_errors=True)
+        minhash_bands(docs, num_hashes=32, bands=8).write.parquet(
+            f"{store}/batch_id=0"
+        )
+        tomb = docs.where(F.col("doc_id") % 7 == 0).select(
+            F.col("doc_id").alias("id")
+        )
+        got = compact_batch_store(
+            spark, store, out_p, remove_ids=tomb, remove_id_col="id"
+        ).count()
+        return got
+
+    timed("compact_tombstone", _compact_once)
+    _shutil.rmtree(cdir, ignore_errors=True)
     out["_n_candidate_pairs"] = n_pairs
     return out
 
