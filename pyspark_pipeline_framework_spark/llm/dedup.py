@@ -1121,6 +1121,108 @@ def passage_dedup(
     return ex.withColumn("is_duplicate", F.row_number().over(w) > 1)
 
 
+def duplicated_spans(
+    df: DataFrame,
+    min_tokens: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Exact-substring (span-level) dedup — the ExactSubstr shape from
+    the training-data dedup literature: find every MAXIMAL token span
+    whose every ``min_tokens``-gram occurs at least twice in the
+    corpus (another document, or another position in the same one —
+    self-repetition is duplication too). Document-level dedup throws
+    away whole documents; this returns the (id, start_tok, end_tok)
+    spans a pipeline can CUT, keeping the unique remainder — the
+    standard treatment for boilerplate headers, license blocks and
+    quoted passages.
+
+    Algorithm (all relational, no suffix array needed for the
+    fixed-minimum-length contract): every overlapping
+    ``min_tokens``-gram is hashed; grams whose corpus-wide hash count
+    is ≥ 2 mark their start position as duplicated; per document,
+    maximal runs of consecutive duplicated positions become spans
+    (gaps-and-islands: position minus its per-doc rank is constant
+    within a run). A span of ``S`` consecutive duplicated grams covers
+    ``S + min_tokens - 1`` tokens, every window of which is duplicated
+    — exactly the region ExactSubstr would cut at this granularity.
+
+    Returns (id, start_tok, end_tok, span_tokens), token positions
+    1-based inclusive over the ``\\s+``-split lowercased text (the
+    family's tokenization). ``hash_fn="md5"`` is engine-portable (the
+    suite oracle replays grams, counts and islands in SQL);
+    ``"xxhash64"`` is the cheaper in-Spark default. Hash collisions
+    conflate distinct grams with negligible probability (64-bit/128-bit
+    keyspace) — acceptable for a dedup screen, as with the rest of the
+    hash family.
+
+    Scale: the gram stream is one map-side explode (~one row per
+    corpus token: a hash + doc id + int position, never the text); the
+    only shuffles are the gram-hash count aggregate, the hash
+    equi-join back, and the per-doc islands window — all keyed, all
+    linear. A hot gram (the classic boilerplate line) is one heavy
+    count cell but its join-back fans out only to its own occurrences.
+
+    Reference point: passage_dedup (above) flags fixed windows at a
+    stride; this finds exact maximal duplicated REGIONS at token
+    granularity."""
+    if min_tokens < 2:
+        raise ValueError(f"min_tokens must be >= 2, got {min_tokens}")
+    if hash_fn not in ("md5", "xxhash64"):
+        raise ValueError(f"hash_fn must be 'md5' or 'xxhash64', got {hash_fn!r}")
+    L = int(min_tokens)
+    words = F.col("__words")
+    n = F.size(words)
+    # no partial grams: a doc shorter than L tokens emits nothing
+    # (sequence(1, 0) would DESCEND [1, 0], so the guard is load-bearing)
+    starts = F.when(n >= L, F.sequence(F.lit(1), n - (L - 1))).otherwise(
+        F.array().cast("array<int>")
+    )
+    text_of = lambda i: F.concat_ws(" ", F.slice(words, i, L))  # noqa: E731
+    if hash_fn == "md5":
+        hash_of = lambda i: F.md5(text_of(i))  # noqa: E731
+    else:
+        hash_of = lambda i: F.xxhash64(text_of(i)).cast("string")  # noqa: E731
+    grams = (
+        ensure_parallelism(df)
+        .withColumn("__words", _word_array(text_col))
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.transform(
+                    starts,
+                    lambda i: F.struct(
+                        i.cast("long").alias("p"), hash_of(i).alias("gh")
+                    ),
+                )
+            ).alias("__g"),
+        )
+        .select(F.col(id_col), F.col("__g.p").alias("p"), F.col("__g.gh").alias("gh"))
+    )
+    dup_hashes = grams.groupBy("gh").count().where(F.col("count") >= 2).select("gh")
+    # merge hint (same rationale as minhash_candidate_pairs): the dup
+    # set GROWS with the corpus, so an AQE broadcast is a runtime
+    # gamble that re-executes the gram subtree for the build side and
+    # ships an unbounded table (observed 380 MiB at a ×10 probe); the
+    # sort-merge join shuffles both sides on the 32-byte hash key and
+    # keeps AQE's skew-splitting available for hot boilerplate grams
+    dup_pos = grams.join(dup_hashes.hint("merge"), "gh").select(id_col, "p")
+    w = Window.partitionBy(id_col).orderBy("p")
+    islands = dup_pos.withColumn("__grp", F.col("p") - F.row_number().over(w))
+    return (
+        islands.groupBy(id_col, "__grp")
+        .agg(
+            F.min("p").alias("start_tok"),
+            (F.max("p") + F.lit(L - 1)).alias("end_tok"),
+        )
+        .withColumn(
+            "span_tokens", (F.col("end_tok") - F.col("start_tok") + 1).cast("long")
+        )
+        .drop("__grp")
+    )
+
+
 def _bloom_pos(shingle: Column, j: int, m_bits: int) -> Column:
     """Bloom bit position j of a shingle: the top 15 hex chars of
     md5(j ':' shingle) as a 60-bit non-negative int, mod ``m_bits`` —

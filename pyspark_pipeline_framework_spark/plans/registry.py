@@ -288,6 +288,18 @@ def op_dedup_clusters(
     )
 
 
+@default_registry.register("duplicated_spans")
+def op_duplicated_spans(
+    spark: SparkSession, catalog: Catalog, *, output: str, input: str, **params,
+) -> DataFrame:
+    """Exact-substring span dedup (maximal token spans whose every
+    min_tokens-gram occurs >= 2x corpus-wide) --
+    llm.dedup.duplicated_spans; cut the spans, keep the remainder."""
+    from pyspark_pipeline_framework_spark.llm.dedup import duplicated_spans
+
+    return catalog.put(output, duplicated_spans(catalog.get(input), **params))
+
+
 @default_registry.register("decontaminate")
 def op_decontaminate(
     spark: SparkSession,

@@ -1592,6 +1592,50 @@ def q_dedup_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @case(
+    "q_dedup_substring",
+    # ExactSubstr span dedup (r11): grams, corpus-wide counts and the
+    # gaps-and-islands span merge all replayed in SQL — a span boundary
+    # off by one token breaks the hash
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS w
+      FROM documents
+    ), gx AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, greatest(len(w) - 7, 0) + 1),
+               i -> {'p': CAST(i AS BIGINT),
+                     'gh': md5(array_to_string(list_slice(w, i, i + 7), ' '))})) AS u
+      FROM toks
+    ), g AS (
+      SELECT doc_id, u.p AS p, u.gh AS gh FROM gx
+    ), d AS (
+      SELECT gh FROM g GROUP BY gh HAVING COUNT(*) >= 2
+    ), dp AS (
+      SELECT g.doc_id, g.p,
+             ROW_NUMBER() OVER (PARTITION BY g.doc_id ORDER BY g.p) AS rn
+      FROM g JOIN d USING (gh)
+    )
+    SELECT doc_id, MIN(p) AS start_tok, MAX(p) + 7 AS end_tok,
+           MAX(p) + 7 - MIN(p) + 1 AS span_tokens
+    FROM dp GROUP BY doc_id, p - rn
+    """,
+    category="llm",
+)
+def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring span dedup (the ExactSubstr shape,
+    llm/dedup.py duplicated_spans): maximal token spans whose every
+    8-gram occurs at least twice corpus-wide — the regions a pipeline
+    CUTS while keeping the unique remainder, finer-grained than
+    document- or passage-level dedup. One gram explode, one hash-count
+    shuffle, one equi-join back, one per-doc islands window — never
+    all-pairs."""
+    from pyspark_pipeline_framework_spark.llm.dedup import duplicated_spans
+
+    d = table(spark, sf_dir, "documents")
+    return duplicated_spans(d, min_tokens=8, hash_fn="md5")
+
+
+@case(
     "q_emb_centroids",
     oracle="""
     SELECT label,

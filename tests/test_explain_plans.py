@@ -267,6 +267,18 @@ def _raw_plan(df):
     )
 
 
+def test_duplicated_spans_plan(spark, sf_dir):
+    """Exact-substring dedup: the gram↔dup-hash join must be the
+    merge-hinted sort-merge join (the dup set grows with the corpus —
+    an AQE broadcast would ship an unbounded table and re-execute the
+    gram subtree; observed 380 MiB at a ×10 probe before the hint),
+    and nothing in the plan may be a cartesian product."""
+    p = plan(spark, sf_dir, "q_dedup_substring")
+    assert "SortMergeJoin" in p
+    assert "BroadcastHashJoin" not in p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
 def test_pq_adc_search_plan(spark, sf_dir):
     """PQ-ADC search: distance tables broadcast (never shuffled against
     the code store), no cartesian product, lookup-sum as a real

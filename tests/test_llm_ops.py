@@ -1247,6 +1247,53 @@ def test_dedup_clusters_keep_policy(spark):
     assert {r["doc_id"]: r["is_duplicate"] for r in legacy.collect()}[2] is True
 
 
+def test_duplicated_spans_planted(spark):
+    """Exact-substring span dedup on crafted docs: a 10-token sentence
+    shared by two docs is returned as ONE maximal span per doc with
+    exact 1-based inclusive boundaries; an 8-gram repeated WITHIN one
+    doc yields two spans (self-repetition is duplication); unique text
+    and sub-L docs yield nothing; md5 and xxhash64 agree; validation
+    errors are typed."""
+    import pytest as _pytest
+
+    from pyspark_pipeline_framework_spark.llm.dedup import duplicated_spans
+
+    S = " ".join(f"shared{i}" for i in range(10))      # 10-token payload
+    R = " ".join(f"rep{i}" for i in range(8))          # 8-token repeat
+    docs = spark.createDataFrame(
+        [
+            (1, "u1 u2 u3 u4 u5 " + S + " v1 v2 v3"),   # span tokens 6..15
+            (2, S + " w1 w2 w3 w4"),                     # span tokens 1..10
+            (3, "x1 x2 " + R + " y1 y2 " + R + " z1"),  # spans 3..10, 13..20
+            (4, "a lonely unique document with no duplicated grams at all ok"),
+            (5, "too short"),
+        ],
+        "doc_id: bigint, text: string",
+    )
+    out = {
+        r.doc_id: (r.start_tok, r.end_tok, r.span_tokens)
+        for r in duplicated_spans(docs, min_tokens=8, hash_fn="md5").collect()
+        if r.doc_id in (1, 2)
+    }
+    assert out == {1: (6, 15, 10), 2: (1, 10, 10)}
+    spans3 = sorted(
+        (r.start_tok, r.end_tok)
+        for r in duplicated_spans(docs, min_tokens=8, hash_fn="md5")
+        .where("doc_id = 3").collect()
+    )
+    assert spans3 == [(3, 10), (13, 20)]
+    all_ids = {r.doc_id for r in duplicated_spans(docs, min_tokens=8).collect()}
+    assert 4 not in all_ids and 5 not in all_ids
+    # hash_fn invariance: the span SET is a function of the grams only
+    a = sorted(map(tuple, duplicated_spans(docs, min_tokens=8, hash_fn="md5").collect()))
+    b = sorted(map(tuple, duplicated_spans(docs, min_tokens=8, hash_fn="xxhash64").collect()))
+    assert a == b
+    with _pytest.raises(ValueError, match="min_tokens"):
+        duplicated_spans(docs, min_tokens=1)
+    with _pytest.raises(ValueError, match="hash_fn"):
+        duplicated_spans(docs, hash_fn="sha1")
+
+
 def test_robust_outliers_known_values(spark):
     """Hand-checked median/MAD: values {1..5, 100} in one group have
     med=3 (disc), MAD=1 (disc over devs {2,1,0,1,2,97}) -> only 100 is

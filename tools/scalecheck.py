@@ -357,6 +357,11 @@ def run_battery(spark: SparkSession, docs_path: str, emb_path: str, meter: Stage
         lambda: ngram_jaccard_pairs(docs, threshold=0.8, max_doc_freq=50).count(),
     )
     timed("passage_dedup", lambda: passage_dedup(docs).count())
+    # r11: exact-substring span dedup — gram explode + hash count +
+    # join-back + per-doc islands window, all keyed, must stay linear
+    from pyspark_pipeline_framework_spark.llm.dedup import duplicated_spans
+
+    timed("duplicated_spans", lambda: duplicated_spans(docs, min_tokens=8).count())
     # fixed eval set (base replica only) — broadcast side must not grow
     eval_docs = docs.filter(F.col("doc_id") < ID_STRIDE).limit(50)
     timed("decontaminate", lambda: decontaminate(docs, eval_docs).count())
