@@ -1223,6 +1223,64 @@ def duplicated_spans(
     )
 
 
+def cut_spans(
+    df: DataFrame,
+    spans: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    start_col: str = "start_tok",
+    end_col: str = "end_tok",
+) -> DataFrame:
+    """Apply :func:`duplicated_spans` (or any 1-based-inclusive token
+    span table): drop every token covered by one of the document's
+    spans and rebuild the text from the survivors — the CUT half of
+    exact-substring dedup, keeping each document's unique remainder
+    instead of discarding whole documents.
+
+    Returns the input columns plus ``clean_text`` (space-joined
+    surviving tokens of the ``\\s+``-split lowercased text — the
+    family's tokenization; original whitespace is not preserved) and
+    ``removed_tokens``. Documents with no spans pass through with
+    ``removed_tokens = 0``.
+
+    Scale: spans aggregate per doc (tiny rows), one join back on the
+    id, then a purely map-side indexed filter over the token array —
+    per-token work is O(spans-in-this-doc), and span counts per doc
+    are small by construction (maximal spans cannot overlap)."""
+    agg = spans.groupBy(id_col).agg(
+        F.collect_list(
+            F.struct(F.col(start_col).alias("s"), F.col(end_col).alias("e"))
+        ).alias("__spans")
+    )
+    # exists() is order-insensitive, so collect_list's nondeterministic
+    # order cannot change the result
+    covered = lambda i: F.exists(  # noqa: E731 — Spark's transform index is 0-based
+        F.col("__spans"), lambda sp: (i + 1 >= sp["s"]) & (i + 1 <= sp["e"])
+    )
+    out = (
+        df.join(agg, id_col, "left")
+        .withColumn(
+            "__spans",
+            F.coalesce(
+                F.col("__spans"),
+                F.array().cast("array<struct<s:bigint,e:bigint>>"),
+            ),
+        )
+        .withColumn("__words", F.coalesce(_word_array(text_col), F.array()))
+        .withColumn(
+            "__kept", F.filter(F.col("__words"), lambda w, i: ~covered(i))
+        )
+    )
+    return (
+        out.withColumn("clean_text", F.array_join(F.col("__kept"), " "))
+        .withColumn(
+            "removed_tokens",
+            (F.size("__words") - F.size("__kept")).cast("long"),
+        )
+        .drop("__spans", "__words", "__kept")
+    )
+
+
 def _bloom_pos(shingle: Column, j: int, m_bits: int) -> Column:
     """Bloom bit position j of a shingle: the top 15 hex chars of
     md5(j ':' shingle) as a 60-bit non-negative int, mod ``m_bits`` —

@@ -300,6 +300,20 @@ def op_duplicated_spans(
     return catalog.put(output, duplicated_spans(catalog.get(input), **params))
 
 
+@default_registry.register("cut_spans")
+def op_cut_spans(
+    spark: SparkSession, catalog: Catalog, *, output: str, input: str,
+    spans: str, **params,
+) -> DataFrame:
+    """Apply a duplicated-span table: drop covered tokens, rebuild
+    clean_text from the unique remainder -- llm.dedup.cut_spans."""
+    from pyspark_pipeline_framework_spark.llm.dedup import cut_spans
+
+    return catalog.put(
+        output, cut_spans(catalog.get(input), catalog.get(spans), **params)
+    )
+
+
 @default_registry.register("decontaminate")
 def op_decontaminate(
     spark: SparkSession,

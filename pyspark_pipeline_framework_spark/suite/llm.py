@@ -1636,6 +1636,65 @@ def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @case(
+    "q_dedup_substring_cut",
+    # detect + CUT composed: the oracle recomputes the spans (same CTEs
+    # as q_dedup_substring) and applies them with the same 1-based
+    # indexed token filter — clean_text is value-hashed verbatim, so a
+    # single surviving/dropped token breaks the gate
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS w
+      FROM documents
+    ), gx AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, greatest(len(w) - 7, 0) + 1),
+               i -> {'p': CAST(i AS BIGINT),
+                     'gh': md5(array_to_string(list_slice(w, i, i + 7), ' '))})) AS u
+      FROM toks
+    ), g AS (
+      SELECT doc_id, u.p AS p, u.gh AS gh FROM gx
+    ), d AS (
+      SELECT gh FROM g GROUP BY gh HAVING COUNT(*) >= 2
+    ), dp AS (
+      SELECT g.doc_id, g.p,
+             ROW_NUMBER() OVER (PARTITION BY g.doc_id ORDER BY g.p) AS rn
+      FROM g JOIN d USING (gh)
+    ), sp AS (
+      SELECT doc_id, MIN(p) AS s, MAX(p) + 7 AS e
+      FROM dp GROUP BY doc_id, p - rn
+    ), agg AS (
+      SELECT doc_id, list({'s': s, 'e': e}) AS spans FROM sp GROUP BY doc_id
+    ), cut AS (
+      SELECT t.doc_id,
+             list_filter(COALESCE(t.w, []),
+               (x, i) -> len(list_filter(COALESCE(a.spans, []),
+                              spn -> i >= spn.s AND i <= spn.e)) = 0) AS kept,
+             len(COALESCE(t.w, [])) AS n_all
+      FROM toks t LEFT JOIN agg a ON a.doc_id = t.doc_id
+    )
+    SELECT doc_id,
+           COALESCE(array_to_string(kept, ' '), '') AS clean_text,
+           CAST(n_all - len(kept) AS BIGINT) AS removed_tokens
+    FROM cut
+    """,
+    category="llm",
+)
+def q_dedup_substring_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """detect → cut composed: duplicated_spans finds the maximal
+    duplicated regions, cut_spans drops exactly those tokens and keeps
+    each document's unique remainder — the full exact-substring dedup
+    treatment as one lazy plan."""
+    from pyspark_pipeline_framework_spark.llm.dedup import (
+        cut_spans,
+        duplicated_spans,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    spans = duplicated_spans(d, min_tokens=8, hash_fn="md5")
+    return cut_spans(d, spans).select("doc_id", "clean_text", "removed_tokens")
+
+
+@case(
     "q_emb_centroids",
     oracle="""
     SELECT label,

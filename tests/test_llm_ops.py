@@ -1293,6 +1293,50 @@ def test_duplicated_spans_planted(spark):
     with _pytest.raises(ValueError, match="hash_fn"):
         duplicated_spans(docs, hash_fn="sha1")
 
+    # CUT half: exactly the covered tokens vanish, everything else
+    # (order included) survives; span-less docs pass through untouched
+    from pyspark_pipeline_framework_spark.llm.dedup import cut_spans
+
+    spans = duplicated_spans(docs, min_tokens=8, hash_fn="md5")
+    cut = {
+        r.doc_id: (r.clean_text, r.removed_tokens)
+        for r in cut_spans(docs, spans).collect()
+    }
+    assert cut[1] == ("u1 u2 u3 u4 u5 v1 v2 v3", 10)
+    assert cut[2] == ("w1 w2 w3 w4", 10)
+    assert cut[3] == ("x1 x2 y1 y2 z1", 16)
+    assert cut[4][1] == 0 and cut[4][0].startswith("a lonely unique")
+    assert cut[5] == ("too short", 0)
+
+
+def test_duplicated_spans_declarative_pipeline(spark, sf_dir):
+    """op: duplicated_spans -> op: cut_spans as a config pipeline —
+    the declarative exact-substring dedup shape."""
+    from pyspark_pipeline_framework_spark.plans.config import PipelineConfig
+    from pyspark_pipeline_framework_spark.plans.result import PipelineStatus
+    from pyspark_pipeline_framework_spark.plans.runner import PipelineRunner
+    from pyspark_pipeline_framework_spark.resilience.presets import NO_RETRY
+
+    cfg = PipelineConfig.from_dict({
+        "name": "substring-dedup",
+        "components": [
+            {"name": "read", "op": "read", "output": "docs",
+             "params": {"format": "parquet",
+                        "path": f"{sf_dir}/documents.parquet"}},
+            {"name": "spans", "op": "duplicated_spans", "output": "spans",
+             "params": {"input": "docs", "min_tokens": 8}},
+            {"name": "cut", "op": "cut_spans", "output": "clean",
+             "params": {"input": "docs", "spans": "spans"}},
+        ],
+    })
+    runner = PipelineRunner(cfg, spark, resilience=NO_RETRY)
+    assert runner.run().status == PipelineStatus.SUCCESS
+    clean = runner.catalog.get("clean")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    assert clean.count() == docs.count()
+    assert clean.where("removed_tokens > 0").count() > 0
+    assert {"clean_text", "removed_tokens"} <= set(clean.columns)
+
 
 def test_robust_outliers_known_values(spark):
     """Hand-checked median/MAD: values {1..5, 100} in one group have
