@@ -296,6 +296,8 @@ class Gen:
             return self.minhash_pipeline()
         if r.random() < 0.02:
             return self.ngram_pipeline()
+        if r.random() < 0.02:
+            return self.spans_pipeline()
         if r.random() < 0.015:
             return self.ivf_pipeline()
         if r.random() < 0.015:
@@ -892,6 +894,20 @@ class Gen:
                 "pred": self.predicate("documents", list(TABLES["documents"]["cols"].items()))
                         if r.random() < 0.5 else None,
                 "terminal": {"op": "ngram"}}
+
+    def spans_pipeline(self) -> dict:
+        """Parameterized exact-substring span dedup differential
+        (r11): random (min_tokens, cut?, input filter) through
+        duplicated_spans / cut_spans vs the gram+islands SQL oracle —
+        the suite pins one point (L=8, full corpus); this covers the
+        L space and the detect-vs-cut composition."""
+        r = self.r
+        return {"kind": "spans", "base": "documents", "stages": [],
+                "L": r.choice([3, 5, 8, 12]),
+                "cut": r.random() < 0.4,
+                "pred": self.predicate("documents", list(TABLES["documents"]["cols"].items()))
+                        if r.random() < 0.5 else None,
+                "terminal": {"op": "spans"}}
 
     def packing_pipeline(self) -> dict:
         """Parameterized packing/chunking/split differential (VERDICT
@@ -1663,6 +1679,53 @@ def to_sql(spec: dict) -> str:
         )
         SELECT split, lang, CAST(COUNT(*) AS BIGINT) AS n FROM s GROUP BY split, lang
         """
+    if spec.get("kind") == "spans":
+        src = "SELECT * FROM documents" + (
+            f" WHERE {spec['pred']}" if spec["pred"] else "")
+        L = spec["L"]
+        base = rf"""
+        WITH src AS ({src}), toks AS (
+          SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS w
+          FROM src
+        ), gx AS (
+          SELECT doc_id,
+                 unnest(list_transform(range(1, greatest(len(w) - {L - 1}, 0) + 1),
+                   i -> {{'p': CAST(i AS BIGINT),
+                         'gh': md5(array_to_string(list_slice(w, i, i + {L - 1}), ' '))}})) AS u
+          FROM toks
+        ), g AS (
+          SELECT doc_id, u.p AS p, u.gh AS gh FROM gx
+        ), d AS (
+          SELECT gh FROM g GROUP BY gh HAVING COUNT(*) >= 2
+        ), dp AS (
+          SELECT g.doc_id, g.p,
+                 ROW_NUMBER() OVER (PARTITION BY g.doc_id ORDER BY g.p) AS rn
+          FROM g JOIN d USING (gh)
+        ), sp AS (
+          SELECT doc_id, MIN(p) AS s, MAX(p) + {L - 1} AS e
+          FROM dp GROUP BY doc_id, p - rn
+        )"""
+        if not spec["cut"]:
+            return base + """
+            SELECT doc_id, s AS start_tok, e AS end_tok,
+                   e - s + 1 AS span_tokens FROM sp
+            """
+        return base + """
+        , agg AS (
+          SELECT doc_id, list({'s': s, 'e': e}) AS spans FROM sp GROUP BY doc_id
+        ), cut AS (
+          SELECT t.doc_id,
+                 list_filter(COALESCE(t.w, []),
+                   (x, i) -> len(list_filter(COALESCE(a.spans, []),
+                                  spn -> i >= spn.s AND i <= spn.e)) = 0) AS kept,
+                 len(COALESCE(t.w, [])) AS n_all
+          FROM toks t LEFT JOIN agg a ON a.doc_id = t.doc_id
+        )
+        SELECT doc_id,
+               COALESCE(array_to_string(kept, ' '), '') AS clean_text,
+               CAST(n_all - len(kept) AS BIGINT) AS removed_tokens
+        FROM cut
+        """
     if spec.get("kind") in ("minhash", "ngram"):
         src = "SELECT * FROM documents" + (
             f" WHERE {spec['pred']}" if spec["pred"] else "")
@@ -2365,6 +2428,21 @@ def to_spark(spec: dict, spark, sf_dir: str, base_df=None):
             .groupBy("split", "lang")
             .agg(F.count(F.lit(1)).alias("n"))
         )
+    if spec.get("kind") == "spans":
+        from pyspark_pipeline_framework_spark.llm.dedup import (
+            cut_spans,
+            duplicated_spans,
+        )
+
+        d = table(spark, sf_dir, "documents")
+        if spec["pred"]:
+            d = d.filter(F.expr(spec["pred"]))
+        spans = duplicated_spans(d, min_tokens=spec["L"], hash_fn="md5")
+        if not spec["cut"]:
+            return spans
+        return cut_spans(d, spans).select(
+            "doc_id", "clean_text", "removed_tokens"
+        )
     if spec.get("kind") in ("minhash", "ngram"):
         from pyspark_pipeline_framework_spark.llm.dedup import (
             minhash_candidate_pairs,
@@ -2534,8 +2612,8 @@ def is_portable_sql(spec: dict) -> bool:
     ASOF JOIN, unnest(string_split(...)), the WINDOW-clause session
     oracle, and json_extract_string (derive_json)."""
     if spec.get("kind") in ("asof", "explode", "session", "minhash", "ngram",
-                            "ivf", "pq", "ivfpq", "textops", "dq", "funnel",
-                            "retrieval", "bloom", "semdedup"):
+                            "spans", "ivf", "pq", "ivfpq", "textops", "dq",
+                            "funnel", "retrieval", "bloom", "semdedup"):
         return False
     return not any(st["op"] == "derive_json" for st in spec["stages"])
 
