@@ -220,3 +220,67 @@ def compact_batch_store(
     # baseline is a legitimate store state, not an error. Partition
     # columns in the schema are matched by name against the dir layout.
     return spark.read.schema(body.schema).parquet(out_path)
+
+
+def compact_span_store(
+    spark: SparkSession,
+    spans_path: str,
+    out_path: str,
+    *,
+    id_col: str = "doc_id",
+    baseline_batch_id: int = -1,
+    target_files: int | None = None,
+) -> DataFrame:
+    """Compact a per-batch span UPDATE store (the ``spans_path`` side
+    of ``streaming.stateful.incremental_spans_batch``) into one
+    baseline partition.
+
+    This is NOT :func:`compact_batch_store`'s row union: span updates
+    REPLACE a document's whole span set, so a union-compaction would
+    park a doc's stale rows and its fresh rows in the same baseline
+    partition where latest-wins can no longer tell them apart. The
+    fold here is ``llm.dedup.current_span_table`` (latest update per
+    document) written as ``batch_id=<baseline_batch_id>`` — after the
+    swap, later updates at real batch ids ``>= 0`` override the
+    baseline per doc exactly as before, and a fresh-checkpoint stream
+    restart (batch ids back at 0) can never overwrite folded history.
+    Same safety contract as :func:`compact_batch_store`: writes a NEW
+    directory, refuses in-place/nested rewrites."""
+    if not isinstance(baseline_batch_id, int) or baseline_batch_id >= 0:
+        raise ValueError(
+            "baseline_batch_id must be a negative int — real micro-batch "
+            f"ids start at 0 and must stay overwritable, got {baseline_batch_id!r}"
+        )
+
+    def _canon(p: str) -> str:
+        p = p.rstrip("/")
+        return p if "://" in p else os.path.abspath(p)
+
+    out_c, store_c = _canon(out_path), _canon(spans_path)
+    if out_c == store_c:
+        raise ValueError(
+            "compaction must write a NEW store directory (out_path == "
+            "spans_path): an interrupted in-place rewrite would corrupt "
+            "the only copy"
+        )
+    if out_c.startswith(store_c + "/") or store_c.startswith(out_c + "/"):
+        raise ValueError(
+            f"out_path and spans_path must not be nested (got out_path="
+            f"{out_path!r} inside/containing spans_path={spans_path!r})"
+        )
+    from pyspark_pipeline_framework_spark.connect_compat import session_parallelism
+    from pyspark_pipeline_framework_spark.llm.dedup import current_span_table
+
+    df = spark.read.parquet(spans_path)
+    if "batch_id" not in df.columns:
+        raise ValueError(
+            f"{spans_path} is not a batch_id-partitioned store "
+            f"(columns: {df.columns})"
+        )
+    body = (
+        current_span_table(df, id_col)
+        .withColumn("batch_id", F.lit(baseline_batch_id).cast("int"))
+        .repartition(target_files or session_parallelism(spark))
+    )
+    body.write.mode("errorifexists").partitionBy("batch_id").parquet(out_path)
+    return spark.read.schema(body.schema).parquet(out_path)

@@ -1150,7 +1150,12 @@ def duplicated_spans(
 
     Returns (id, start_tok, end_tok, span_tokens), token positions
     1-based inclusive over the ``\\s+``-split lowercased text (the
-    family's tokenization). ``hash_fn="md5"`` is engine-portable (the
+    family's tokenization). Spans from DIFFERENT islands may overlap
+    in token range (islands are disjoint in gram-START positions, but
+    each expands by ``min_tokens - 1`` tokens to the right, so starts
+    separated by a gap of <= min_tokens-2 intersect) — consumers
+    summing ``span_tokens`` per doc would double-count; ``cut_spans``
+    uses an exists() coverage test and is overlap-safe. ``hash_fn="md5"`` is engine-portable (the
     suite oracle replays grams, counts and islands in SQL);
     ``"xxhash64"`` is the cheaper in-Spark default. Hash collisions
     conflate distinct grams with negligible probability (64-bit/128-bit
@@ -1167,6 +1172,35 @@ def duplicated_spans(
     Reference point: passage_dedup (above) flags fixed windows at a
     stride; this finds exact maximal duplicated REGIONS at token
     granularity."""
+    grams = substring_gram_stream(df, min_tokens, id_col, text_col, hash_fn)
+    dup_hashes = grams.groupBy("gh").count().where(F.col("count") >= 2).select("gh")
+    # merge hint (same rationale as minhash_candidate_pairs): the dup
+    # set GROWS with the corpus, so an AQE broadcast is a runtime
+    # gamble that re-executes the gram subtree for the build side and
+    # ships an unbounded table (observed 380 MiB at a ×10 probe); the
+    # sort-merge join shuffles both sides on the 32-byte hash key and
+    # keeps AQE's skew-splitting available for hot boilerplate grams
+    dup_pos = grams.join(dup_hashes.hint("merge"), "gh").select(id_col, "p")
+    return _spans_from_dup_positions(dup_pos, min_tokens, id_col)
+
+
+def substring_gram_stream(
+    df: DataFrame,
+    min_tokens: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """The persistable **gram-position store** behind exact-substring
+    dedup: ``(id, p, gh)`` — one row per overlapping ``min_tokens``-gram
+    of the ``\\s+``-split lowercased text, ``p`` the 1-based start
+    position, ``gh`` the gram hash. This is the artifact an incremental
+    span-dedup pipeline keeps BETWEEN runs (the analogue of
+    :func:`minhash_bands`' band store): write it partitioned by
+    ``batch_id`` (and ideally bucketed by ``gh``) and each day's batch
+    joins against the store without re-hashing the historical corpus —
+    see :func:`incremental_duplicated_spans`. Map-side only (one
+    explode, no shuffle)."""
     if min_tokens < 2:
         raise ValueError(f"min_tokens must be >= 2, got {min_tokens}")
     if hash_fn not in ("md5", "xxhash64"):
@@ -1184,7 +1218,7 @@ def duplicated_spans(
         hash_of = lambda i: F.md5(text_of(i))  # noqa: E731
     else:
         hash_of = lambda i: F.xxhash64(text_of(i)).cast("string")  # noqa: E731
-    grams = (
+    return (
         ensure_parallelism(df)
         .withColumn("__words", _word_array(text_col))
         .select(
@@ -1200,14 +1234,26 @@ def duplicated_spans(
         )
         .select(F.col(id_col), F.col("__g.p").alias("p"), F.col("__g.gh").alias("gh"))
     )
-    dup_hashes = grams.groupBy("gh").count().where(F.col("count") >= 2).select("gh")
-    # merge hint (same rationale as minhash_candidate_pairs): the dup
-    # set GROWS with the corpus, so an AQE broadcast is a runtime
-    # gamble that re-executes the gram subtree for the build side and
-    # ships an unbounded table (observed 380 MiB at a ×10 probe); the
-    # sort-merge join shuffles both sides on the 32-byte hash key and
-    # keeps AQE's skew-splitting available for hot boilerplate grams
-    dup_pos = grams.join(dup_hashes.hint("merge"), "gh").select(id_col, "p")
+
+
+def substring_count_partials(grams: DataFrame) -> DataFrame:
+    """Per-batch **partial gram counts** ``(gh, cnt)`` for the count
+    store beside the gram-position store. Partials are MERGEABLE: the
+    corpus-wide count of a gram is the SUM of its partial rows across
+    batch partitions, so appending a batch's partials keeps the store
+    correct without touching history, compaction may either union rows
+    (already correct) or fold them with a groupBy-sum, and a tombstone
+    delete is expressible as appending NEGATIVE partials for the
+    removed documents' grams."""
+    return grams.groupBy("gh").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+
+
+def _spans_from_dup_positions(
+    dup_pos: DataFrame, min_tokens: int, id_col: str
+) -> DataFrame:
+    """Gaps-and-islands merge: duplicated gram-START positions →
+    maximal (start_tok, end_tok, span_tokens) spans per document."""
+    L = int(min_tokens)
     w = Window.partitionBy(id_col).orderBy("p")
     islands = dup_pos.withColumn("__grp", F.col("p") - F.row_number().over(w))
     return (
@@ -1221,6 +1267,136 @@ def duplicated_spans(
         )
         .drop("__grp")
     )
+
+
+def incremental_duplicated_spans(
+    new_grams: DataFrame,
+    corpus_grams: DataFrame,
+    corpus_counts: DataFrame | None = None,
+    *,
+    min_tokens: int = 8,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Incremental exact-substring dedup: spans for the documents a
+    new batch TOUCHES — the new documents themselves PLUS the old
+    documents whose duplication status the batch changed — computed
+    against the persisted gram stores, never by re-hashing the corpus
+    (the span analogue of :func:`incremental_candidate_pairs`).
+
+    Inputs: ``new_grams`` is :func:`substring_gram_stream` over the
+    arriving batch; ``corpus_grams`` is the historical position store
+    ``(id, p, gh)``; ``corpus_counts`` the mergeable partial-count
+    store ``(gh, cnt)`` (derived from ``corpus_grams`` when None — the
+    no-count-store fallback, correct but O(corpus) per tick; keep the
+    count store to make ticks batch-proportional).
+
+    Key property (what the oracle gates): duplication is MONOTONE — a
+    batch only ever ADDS occurrences, so an old document's spans
+    change iff it contains a gram whose corpus count crossed 1 → >=2
+    because of this batch (``hist == 1``; its single historical
+    occurrence pinpoints exactly one affected document). Spans are
+    recomputed for new ∪ affected documents only; every other old
+    document's spans are provably unchanged, so
+
+        merge_span_tables(prior_spans, incremental_output)
+
+    equals a from-scratch :func:`duplicated_spans` over the grown
+    corpus. Every affected old document appears in the output (it
+    gained at least one duplicated position).
+
+    Scale shape: the newly-duplicated gram set is bounded by the NEW
+    batch's vocabulary (broadcastable); history lookups are equi-joins
+    on ``gh`` whose shuffle is bounded by matching rows (bucket the
+    stores by ``gh`` and the store side never shuffles); the affected
+    re-read is a semi-join on ``id``; the final dup-position join is
+    merge-hinted exactly like the batch path. Nothing is ever
+    corpus×corpus, and no text is re-tokenized.
+
+    Both stores MUST be built with identical ``(min_tokens, hash_fn)``
+    — the schema cannot carry that, and a mismatch joins incompatible
+    hash spaces. Document ids must be unique across batches (re-ingest
+    of an existing id would double its positions; delete it from the
+    stores first — see :func:`substring_count_partials` on negative
+    partials)."""
+    if corpus_counts is None:
+        corpus_counts = substring_count_partials(corpus_grams)
+    new_counts = substring_count_partials(new_grams).withColumnRenamed("cnt", "__n")
+    # history counts for the NEW batch's vocabulary only (never the
+    # whole store vocabulary): the count store is filtered by the join
+    # before aggregating, so the shuffle carries matching grams only
+    hist_new = (
+        corpus_counts.join(new_counts.select("gh"), "gh")
+        .groupBy("gh")
+        .agg(F.sum("cnt").cast("long").alias("__h"))
+    )
+    tot_new = new_counts.join(hist_new, "gh", "left").select(
+        "gh",
+        F.coalesce(F.col("__h"), F.lit(0)).alias("__h"),
+        F.col("__n"),
+    )
+    # grams this batch flipped to duplicated: exactly one historical
+    # occurrence (hist==1; with n>=1 the total is now >=2). hist==0 is
+    # new-only (no old doc affected); hist>=2 was already duplicated
+    # (its docs' spans already include it).
+    newly_dup = tot_new.where(F.col("__h") == 1).select("gh")
+    # dup grams among the new batch's grams (for the new docs' spans)
+    dup_new = tot_new.where(F.col("__h") + F.col("__n") >= 2).select("gh")
+    # affected old docs: each newly-dup gram has exactly ONE historical
+    # position — the broadcast is bounded by the new batch's vocabulary
+    affected = (
+        corpus_grams.join(F.broadcast(newly_dup), "gh")
+        .select(id_col)
+        .distinct()
+    )
+    old_pos = corpus_grams.join(affected, id_col, "left_semi")
+    # dup grams appearing ONLY in affected docs' history: n==0 there,
+    # so duplicated iff hist >= 2 — a pure store property (grams the
+    # new batch also carries are covered by dup_new; union distinct)
+    dup_hist = (
+        corpus_counts.join(old_pos.select("gh").distinct(), "gh")
+        .groupBy("gh")
+        .agg(F.sum("cnt").cast("long").alias("__h"))
+        .where(F.col("__h") >= 2)
+        .select("gh")
+    )
+    dup_all = dup_new.union(dup_hist).distinct()
+    pos = new_grams.select(id_col, "p", "gh").unionByName(
+        old_pos.select(id_col, "p", "gh")
+    )
+    # merge hint: same unbounded-dup-set rationale as duplicated_spans
+    dup_pos = pos.join(dup_all.hint("merge"), "gh").select(id_col, "p")
+    return _spans_from_dup_positions(dup_pos, min_tokens, id_col)
+
+
+def merge_span_tables(
+    prior_spans: DataFrame,
+    updated_spans: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Fold an :func:`incremental_duplicated_spans` output into the
+    prior span table: every document present in ``updated_spans`` is
+    REPLACED wholesale (its prior rows dropped — span sets change as
+    units, never row-by-row), every other document's prior spans are
+    kept. The result equals a from-scratch :func:`duplicated_spans`
+    over the grown corpus. One anti-join on the id + a union — the
+    updated side is batch-proportional, so AQE broadcasts it."""
+    changed = updated_spans.select(id_col).distinct()
+    return prior_spans.join(changed, id_col, "left_anti").unionByName(updated_spans)
+
+
+def current_span_table(
+    spans_store: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """The corpus-current span table from a ``batch_id``-partitioned
+    per-batch UPDATE store (the ``spans_path`` side of
+    ``streaming.stateful.incremental_spans_batch``): each batch wrote
+    the full new span set for the documents it touched, so the current
+    spans of a document are the rows of its LATEST update — one
+    aggregate for the per-doc max batch and one equi-join back
+    (partition-pruned by the ``batch_id`` column Spark derives from
+    the directory layout)."""
+    latest = spans_store.groupBy(id_col).agg(F.max("batch_id").alias("batch_id"))
+    return spans_store.join(latest, [id_col, "batch_id"]).drop("batch_id")
 
 
 def cut_spans(
@@ -1245,8 +1421,13 @@ def cut_spans(
 
     Scale: spans aggregate per doc (tiny rows), one join back on the
     id, then a purely map-side indexed filter over the token array —
-    per-token work is O(spans-in-this-doc), and span counts per doc
-    are small by construction (maximal spans cannot overlap)."""
+    per-token work is O(spans-in-this-doc). Note spans MAY overlap:
+    only duplicated-gram-START islands are disjoint, so two islands
+    whose starts are separated by a gap of <= min_tokens-2 positions
+    expand to token ranges that intersect (e.g. min_tokens=8, starts
+    at p=1 and p=5 give spans 1-8 and 5-12). Coverage here is an
+    exists() test, so overlap is harmless — but span counts per doc
+    stay bounded by the island count, which IS small."""
     agg = spans.groupBy(id_col).agg(
         F.collect_list(
             F.struct(F.col(start_col).alias("s"), F.col(end_col).alias("e"))

@@ -314,6 +314,63 @@ def op_cut_spans(
     )
 
 
+@default_registry.register("substring_grams")
+def op_substring_grams(
+    spark: SparkSession, catalog: Catalog, *, output: str, input: str, **params,
+) -> DataFrame:
+    """The persistable gram-position store behind incremental
+    exact-substring dedup: (id, p, gh) per overlapping min_tokens-gram
+    -- llm.dedup.substring_gram_stream. Pass counts_output to also
+    emit the mergeable partial-count store (gh, cnt)."""
+    from pyspark_pipeline_framework_spark.llm.dedup import (
+        substring_count_partials,
+        substring_gram_stream,
+    )
+
+    counts_output = params.pop("counts_output", None)
+    grams = substring_gram_stream(catalog.get(input), **params)
+    if counts_output is not None:
+        catalog.put(counts_output, substring_count_partials(grams))
+    return catalog.put(output, grams)
+
+
+@default_registry.register("dedup_incremental_spans")
+def op_dedup_incremental_spans(
+    spark: SparkSession,
+    catalog: Catalog,
+    *,
+    output: str,
+    new_grams: str,
+    corpus_grams: str,
+    corpus_counts: str | None = None,
+    prior_spans: str | None = None,
+    **params,
+) -> DataFrame:
+    """Incremental ExactSubstr: spans for the documents the new batch
+    touches (new + affected old), computed against the persisted gram
+    stores — llm.dedup.incremental_duplicated_spans. With
+    ``prior_spans`` set, the updated docs are folded into the prior
+    span table (merge_span_tables), yielding the full corpus-current
+    span table."""
+    from pyspark_pipeline_framework_spark.llm.dedup import (
+        incremental_duplicated_spans,
+        merge_span_tables,
+    )
+
+    upd = incremental_duplicated_spans(
+        catalog.get(new_grams),
+        catalog.get(corpus_grams),
+        catalog.get(corpus_counts) if corpus_counts is not None else None,
+        **params,
+    )
+    if prior_spans is not None:
+        upd = merge_span_tables(
+            catalog.get(prior_spans), upd,
+            id_col=params.get("id_col", "doc_id"),
+        )
+    return catalog.put(output, upd)
+
+
 @default_registry.register("decontaminate")
 def op_decontaminate(
     spark: SparkSession,

@@ -302,6 +302,95 @@ def incremental_neardup_batch(
     return process
 
 
+def incremental_spans_batch(
+    store_path: str,
+    counts_path: str,
+    spans_path: str,
+    min_tokens: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_fn: str = "xxhash64",
+    partition_by: list[str] | None = None,
+):
+    """``foreachBatch`` factory: streaming exact-substring (span)
+    dedup — the ExactSubstr sibling of :func:`incremental_neardup_batch`.
+    Each document micro-batch is grammed
+    (:func:`~pyspark_pipeline_framework_spark.llm.dedup.substring_gram_stream`),
+    its gram positions and mergeable partial counts land as
+    ``batch_id=N`` partitions of the two stores, and
+    :func:`~pyspark_pipeline_framework_spark.llm.dedup.incremental_duplicated_spans`
+    recomputes spans for exactly the documents this batch touched (the
+    new docs plus old docs whose grams crossed 1 → >=2) against the
+    ``batch_id < N`` history — never a corpus re-hash. The per-batch
+    span UPDATES land at ``<spans_path>/batch_id=N``; the
+    corpus-current span table is the latest update per document
+    (:func:`~pyspark_pipeline_framework_spark.llm.dedup.current_span_table`),
+    and equals a from-scratch ``duplicated_spans`` over everything
+    ingested so far.
+
+    Same durability contract as the MinHash variant: state lives in
+    store parquet (zero executor state-store memory); a replayed
+    micro-batch overwrites its own ``batch_id`` partitions and filters
+    its history with ``batch_id < N``, so at-least-once replays are
+    idempotent; the first micro-batch probes the gram store's on-disk
+    layout and raises :class:`StoreLayoutError` before writing a
+    partition that would conflict with a ``partition_by``-compacted
+    store (compact with
+    :func:`~pyspark_pipeline_framework_spark.io.compaction.compact_batch_store`;
+    union-compaction keeps the partial-count store correct because
+    partials are summable — see ``substring_count_partials``).
+
+    Returns ``process(batch_df, batch_id)`` for
+    ``writeStream.foreachBatch`` (or ``ForeachBatchSink``)."""
+    from pyspark.sql import functions as F
+
+    from pyspark_pipeline_framework_spark.llm.dedup import (
+        incremental_duplicated_spans,
+        substring_count_partials,
+        substring_gram_stream,
+    )
+
+    layout_checked: list = []
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if not layout_checked:
+            _check_store_layout(spark, store_path, partition_by)
+            layout_checked.append(True)
+        grams = substring_gram_stream(
+            batch_df, min_tokens, id_col, text_col, hash_fn
+        )
+        # grams land FIRST, then counts and spans derive from the
+        # READ-BACK partition: the tokenize/explode pipeline runs once,
+        # nothing is pinned in executor storage between micro-batches,
+        # and a mid-batch retry overwrites the same partitions before
+        # recomputing anything downstream
+        w = grams.write.mode("overwrite")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(f"{store_path}/batch_id={batch_id}")
+        store = spark.read.parquet(store_path)
+        new = store.where(F.col("batch_id") == F.lit(batch_id)).drop("batch_id")
+        substring_count_partials(new).write.mode("overwrite").parquet(
+            f"{counts_path}/batch_id={batch_id}"
+        )
+        # batch_id < N (not != N): a replayed batch must not see its
+        # own prior attempt as history (same rationale as the MinHash
+        # store above)
+        corpus = store.where(F.col("batch_id") < F.lit(batch_id)).drop("batch_id")
+        hist_counts = (
+            spark.read.parquet(counts_path)
+            .where(F.col("batch_id") < F.lit(batch_id))
+            .drop("batch_id")
+        )
+        upd = incremental_duplicated_spans(
+            new, corpus, hist_counts, min_tokens=min_tokens, id_col=id_col
+        )
+        upd.write.mode("overwrite").parquet(f"{spans_path}/batch_id={batch_id}")
+
+    return process
+
+
 def streaming_ivf_add_batch(
     store_path: str,
     centroids,

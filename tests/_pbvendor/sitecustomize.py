@@ -33,8 +33,14 @@ try:  # no-op when a real, new-enough protobuf is installed
             # other generated module tripping the gate re-raises loudly
             # (with a stderr marker) instead of being silently waved
             # through with a stale runtime.
+            # match the full intended proto path, not the bare
+            # 'StateMessage' substring — a third-party gencode module
+            # whose path merely contains the word must not be waved
+            # through (pyspark's gencode passes the .proto source path)
+            loc = str(location).replace("\\", "/")
             if (gen_major, gen_minor) > (_rv.MAJOR, _rv.MINOR + 1) or (
-                "StateMessage" not in str(location)
+                "org/apache/spark/sql/execution/streaming/StateMessage.proto"
+                not in loc
             ):
                 import sys as _sys
 

@@ -307,14 +307,217 @@ def test_random_pipelines_never_plan_cartesian(spark, stats):
     assert bad == []
 
 
+# ---------------------------------------------------------------------------
+# Mutation canaries (grammar-shift-proof, r12)
+#
+# Each canary family is a (qualifier+mutator) pair: ``mutate(spec)``
+# returns a semantically-mutated copy when the spec can exercise the
+# family, else None.  The finder below scans seeds 777, 778, ... and
+# spec indices dynamically until it locates a qualifying spec whose
+# mutation the differential gate actually flags — so inserting a new
+# draw into ``Gen.pipeline`` (which shifts every seed's spec stream)
+# can never silently strand a family on a no-longer-qualifying anchor
+# the way the r11 spans draw stranded the seed-777 dq_thresh anchor.
+# ---------------------------------------------------------------------------
+
+def _mut_session(spec):
+    import copy
+    if spec.get("kind") != "session":
+        return None
+    m = copy.deepcopy(spec)
+    m["gap"] = spec["gap"] * 3
+    return m
+
+
+def _mut_asof(spec):
+    import copy
+    # min/max swaps rarely differ (per-(custkey,date) groups are mostly
+    # single-order) — flip the join mode instead: inner<->left changes
+    # the unmatched-left rows
+    if spec.get("kind") != "asof":
+        return None
+    m = copy.deepcopy(spec)
+    m["how"] = "left" if spec["how"] == "inner" else "inner"
+    return m
+
+
+def _mut_retention(spec):
+    import copy
+    if spec.get("kind") != "funnel" or spec["terminal"]["op"] != "retention":
+        return None
+    m = copy.deepcopy(spec)
+    m["granularity"] = "day" if spec["granularity"] == "week" else "week"
+    return m
+
+
+def _mut_dq(spec):
+    import copy
+    # a threshold flip must flip the evaluated `passed` flag (only
+    # detectable on specs whose original check passes)
+    if spec.get("kind") != "dq" or spec["check"] not in ("row_count", "null"):
+        return None
+    m = copy.deepcopy(spec)
+    if spec["check"] == "row_count":
+        m["min_rows"] = spec["min_rows"] + 10**9
+    else:
+        m["max_null_pct"] = -1.0
+    return m
+
+
+def _mut_packing(spec):
+    import copy
+    # a budget/stride/boundary shift must change the output: pack ids
+    # move when max_tokens halves, chunk boundaries move when the
+    # window halves, split membership moves when the train cut moves
+    if spec.get("kind") != "packing":
+        return None
+    m = copy.deepcopy(spec)
+    if spec["sub"] == "pack":
+        m["max_tokens"] = max(1, spec["max_tokens"] // 2)
+    elif spec["sub"] == "shuffle":
+        m["salt"] = spec["salt"] + "_mut"
+    elif spec["sub"] == "budget":
+        m["budget"] = max(1, spec["budget"] // 4)
+    elif spec["sub"] == "chunk":
+        m["chunk_tokens"] = spec["chunk_tokens"] // 2
+        m["overlap"] = min(spec["overlap"], m["chunk_tokens"] - 1)
+    elif spec["sub"] == "wsample":
+        # a materially larger target fraction moves the per-bucket
+        # acceptance thresholds and (with iters>0) the renorm chain
+        m["tf"] = min(0.95, spec["tf"] * 2)
+    else:
+        c1, c2 = spec["cuts"]
+        m["cuts"] = (max(10, c1 - 30), c2)
+    return m
+
+
+def _mut_textops(spec):
+    import copy
+    if spec.get("kind") != "textops" or spec["term"] != "quality":
+        return None
+    m = copy.deepcopy(spec)
+    m["min_chars"] = spec["min_chars"] + 200
+    return m
+
+
+def _mut_retrieval(spec):
+    import copy
+    if spec.get("kind") != "retrieval":
+        return None
+    m = copy.deepcopy(spec)
+    if spec["sub"] == "bm25":
+        m["top_k"] = max(1, spec["top_k"] // 2)
+    else:
+        m["top_n"] = spec["top_n"] + 2
+    return m
+
+
+def _mut_bloom(spec):
+    import copy
+    # shrinking the filter must raise false positives (specs whose
+    # filter is already saturated may not differ)
+    if spec.get("kind") != "bloom" or spec["m_bits"] < 4096:
+        return None
+    m = copy.deepcopy(spec)
+    m["m_bits"] = 64
+    return m
+
+
+def _mut_semdedup(spec):
+    import copy
+    if spec.get("kind") != "semdedup" or spec["threshold"] < 0.2:
+        return None
+    m = copy.deepcopy(spec)
+    m["threshold"] = -1.0
+    return m
+
+
+def _mut_join_flip(spec):
+    import copy
+    if spec.get("kind"):
+        return None
+    if not any(s["op"] == "join" and s["type"] == "left"
+               for s in spec["stages"]):
+        return None
+    m = copy.deepcopy(spec)
+    next(s for s in m["stages"]
+         if s["op"] == "join" and s["type"] == "left")["type"] = "inner"
+    return m
+
+
+def _mut_agg_swap(spec):
+    import copy
+    if spec.get("kind"):
+        return None
+    t = spec["terminal"]
+    if t["op"] != "agg" or not any(a["fn"] in ("min", "max") for a in t["aggs"]):
+        return None
+    m = copy.deepcopy(spec)
+    a0 = next(a for a in m["terminal"]["aggs"] if a["fn"] in ("min", "max"))
+    a0["fn"] = "max" if a0["fn"] == "min" else "min"
+    return m
+
+
+def _mut_filter_drop(spec):
+    import copy
+    if spec.get("kind"):
+        return None
+    if not any(s["op"] == "filter" for s in spec["stages"]):
+        return None
+    m = copy.deepcopy(spec)
+    m["stages"] = [s for s in m["stages"] if s["op"] != "filter"]
+    return m
+
+
+CANARY_FAMILIES = {
+    "session_gap": _mut_session,
+    "asof_how": _mut_asof,
+    "retention_gran": _mut_retention,
+    "dq_thresh": _mut_dq,
+    "packing_param": _mut_packing,
+    "textops_thresh": _mut_textops,
+    "retrieval_param": _mut_retrieval,
+    "bloom_param": _mut_bloom,
+    "semdedup_thresh": _mut_semdedup,
+    "join_flip": _mut_join_flip,
+    "agg_swap": _mut_agg_swap,
+    "filter_drop": _mut_filter_drop,
+}
+
+#: scan bounds: seeds 777..777+CANARY_SEEDS-1, CANARY_SPECS_PER_SEED
+#: spec indices per seed, at most CANARY_MAX_ATTEMPTS expensive
+#: differential runs per family before declaring the grammar unable to
+#: produce a sensitive spec.  Spec generation is pure-python (cheap);
+#: only qualifying specs reach Spark+DuckDB.
+CANARY_SEED0 = 777
+CANARY_SEEDS = 30
+CANARY_SPECS_PER_SEED = 120
+CANARY_MAX_ATTEMPTS = 15
+
+
+def iter_canary_candidates(stats, mutate, spec_fn=spec_for,
+                           max_attempts=CANARY_MAX_ATTEMPTS):
+    """Yield (spec, mutated) pairs for one canary family, scanning the
+    seed stream dynamically.  Bounded by the module caps above."""
+    yielded = 0
+    for seed in range(CANARY_SEED0, CANARY_SEED0 + CANARY_SEEDS):
+        for i in range(CANARY_SPECS_PER_SEED):
+            spec = spec_fn(seed, i, stats)
+            m = mutate(spec)
+            if m is None:
+                continue
+            yield spec, m
+            yielded += 1
+            if yielded >= max_attempts:
+                return
+
+
 def test_harness_detects_injected_bugs(spark, con, stats):
     """Mutation check: the differential gate must FAIL when the Spark
     side computes something else — otherwise '0 mismatches' proves
-    nothing. Inject semantic mutations (join type flip, aggregate fn
-    swap, dropped filter) into the Spark rendering only and assert the
-    compare flags each one for at least one seeded spec."""
-    import copy
-
+    nothing. For every canary family, scan the seed stream for a
+    qualifying spec, inject the family's semantic mutation into the
+    Spark rendering only, and assert the compare flags it."""
     from selfcheck import _norm_df
 
     def differs(spec, mutated) -> bool:
@@ -324,172 +527,46 @@ def test_harness_detects_injected_bugs(spark, con, stats):
         o.columns = [c.lower() for c in o.columns]
         return len(a) != len(o) or _norm_df(a) != _norm_df(o)
 
-    caught = {"join_flip": False, "agg_swap": False, "filter_drop": False,
-              "session_gap": False, "asof_how": False, "textops_thresh": False,
-              "dq_thresh": False, "retention_gran": False,
-              "packing_param": False, "retrieval_param": False,
-              "bloom_param": False, "semdedup_thresh": False}
-    for i in range(500):
-        if all(caught.values()):
-            break
-        spec = spec_for(777, i, stats)
-        # r6 shapes: the gate must also trip on mutations of the new
-        # grammar — session gap doubled, asof right-side aggregate swap
-        if spec.get("kind") == "session":
-            if not caught["session_gap"]:
-                m = copy.deepcopy(spec)
-                m["gap"] = spec["gap"] * 3
-                if differs(spec, m):
-                    caught["session_gap"] = True
-            continue
-        if spec.get("kind") == "asof":
-            if not caught["asof_how"]:
-                # min/max swaps rarely differ (per-(custkey,date) groups
-                # are mostly single-order) — flip the join mode instead:
-                # inner<->left changes the unmatched-left rows
-                m = copy.deepcopy(spec)
-                m["how"] = "left" if spec["how"] == "inner" else "inner"
-                if differs(spec, m):
-                    caught["asof_how"] = True
-            continue
-        if spec.get("kind") == "funnel":
-            # cohort-granularity flip must change the retention rows
-            if (not caught["retention_gran"]
-                    and spec["terminal"]["op"] == "retention"):
-                m = copy.deepcopy(spec)
-                m["granularity"] = ("day" if spec["granularity"] == "week"
-                                    else "week")
-                if differs(spec, m):
-                    caught["retention_gran"] = True
-            continue
-        if spec.get("kind") == "dq":
-            # a threshold flip must flip the evaluated `passed` flag
-            # (only detectable on specs whose original check passes)
-            if not caught["dq_thresh"] and spec["check"] in ("row_count", "null"):
-                m = copy.deepcopy(spec)
-                if spec["check"] == "row_count":
-                    m["min_rows"] = spec["min_rows"] + 10**9
-                else:
-                    m["max_null_pct"] = -1.0
-                if differs(spec, m):
-                    caught["dq_thresh"] = True
-            continue
-        if spec.get("kind") == "packing":
-            # a budget/stride/boundary shift must change the output:
-            # pack ids move when max_tokens halves, chunk boundaries
-            # move when the window halves, split membership moves when
-            # the train cut moves (empty-pred specs may not differ;
-            # any single catch suffices)
-            if not caught["packing_param"]:
-                m = copy.deepcopy(spec)
-                if spec["sub"] == "pack":
-                    m["max_tokens"] = max(1, spec["max_tokens"] // 2)
-                elif spec["sub"] == "shuffle":
-                    m["salt"] = spec["salt"] + "_mut"
-                elif spec["sub"] == "budget":
-                    m["budget"] = max(1, spec["budget"] // 4)
-                elif spec["sub"] == "chunk":
-                    m["chunk_tokens"] = spec["chunk_tokens"] // 2
-                    m["overlap"] = min(spec["overlap"],
-                                       m["chunk_tokens"] - 1)
-                else:
-                    c1, c2 = spec["cuts"]
-                    m["cuts"] = (max(10, c1 - 30), c2)
-                if differs(spec, m):
-                    caught["packing_param"] = True
-            continue
-        if spec.get("kind") == "textops":
-            # a quality-threshold shift must change the surviving set
-            # (quality specs with loose thresholds may not differ; any
-            # single catch suffices)
-            if not caught["textops_thresh"] and spec["term"] == "quality":
-                m = copy.deepcopy(spec)
-                m["min_chars"] = spec["min_chars"] + 200
-                if differs(spec, m):
-                    caught["textops_thresh"] = True
-            continue
-        if spec.get("kind") == "retrieval":
-            # k/n shift must change the emitted row set
-            if not caught["retrieval_param"]:
-                m = copy.deepcopy(spec)
-                if spec["sub"] == "bm25":
-                    m["top_k"] = max(1, spec["top_k"] // 2)
-                else:
-                    m["top_n"] = spec["top_n"] + 2
-                if differs(spec, m):
-                    caught["retrieval_param"] = True
-            continue
-        if spec.get("kind") == "bloom":
-            # shrinking the filter must raise false positives (specs
-            # whose filter is already saturated may not differ; any
-            # single catch suffices)
-            if not caught["bloom_param"] and spec["m_bits"] >= 4096:
-                m = copy.deepcopy(spec)
-                m["m_bits"] = 64
-                if differs(spec, m):
-                    caught["bloom_param"] = True
-            continue
-        if spec.get("kind") == "semdedup":
-            # threshold shift must change the surviving pair set
-            if not caught["semdedup_thresh"] and spec["threshold"] >= 0.2:
-                m = copy.deepcopy(spec)
-                m["threshold"] = -1.0
-                if differs(spec, m):
-                    caught["semdedup_thresh"] = True
-            continue
-        if spec.get("kind") in ("selfjoin", "range", "theta", "subq",
-                                "cte", "explode", "minhash", "ngram"):
-            continue
-        t = spec["terminal"]
-        joins = [s for s in spec["stages"] if s["op"] == "join"]
-        if not caught["join_flip"] and any(j["type"] == "left" for j in joins):
-            m = copy.deepcopy(spec)
-            next(s for s in m["stages"]
-                 if s["op"] == "join" and s["type"] == "left")["type"] = "inner"
+    uncaught = []
+    for name, mutate in CANARY_FAMILIES.items():
+        attempts = 0
+        for spec, m in iter_canary_candidates(stats, mutate):
+            attempts += 1
             if differs(spec, m):
-                caught["join_flip"] = True
-        if not caught["agg_swap"] and t["op"] == "agg":
-            swaps = [a for a in t["aggs"] if a["fn"] in ("min", "max")]
-            if swaps:
-                m = copy.deepcopy(spec)
-                a0 = next(a for a in m["terminal"]["aggs"] if a["fn"] in ("min", "max"))
-                a0["fn"] = "max" if a0["fn"] == "min" else "min"
-                if differs(spec, m):
-                    caught["agg_swap"] = True
-        if not caught["filter_drop"] and any(s["op"] == "filter" for s in spec["stages"]):
-            m = copy.deepcopy(spec)
-            m["stages"] = [s for s in m["stages"] if s["op"] != "filter"]
-            if differs(spec, m):
-                caught["filter_drop"] = True
-    if not caught["retention_gran"]:
-        # seed 777's only retention spec in range (i=249) happens to
-        # produce identical day/week buckets at sf0.001 after the r7
-        # grammar additions shifted the stream; seed 778 has a
-        # granularity-sensitive one at i=11 (verified to differ)
-        for i in range(60):
-            spec = spec_for(778, i, stats)
-            if (spec.get("kind") == "funnel"
-                    and spec["terminal"]["op"] == "retention"):
-                m = copy.deepcopy(spec)
-                m["granularity"] = ("day" if spec["granularity"] == "week"
-                                    else "week")
-                if differs(spec, m):
-                    caught["retention_gran"] = True
-                    break
-    if not caught["join_flip"]:
-        # seed 777's first 500 specs no longer contain a left join with
-        # unmatched rows at sf0.001 (the r7 packing shape shifted the
-        # stream); seed 779 has one within its first specs
-        for i in range(60):
-            spec = spec_for(779, i, stats)
-            if spec.get("kind"):
-                continue
-            joins = [s for s in spec["stages"] if s["op"] == "join"]
-            if any(j["type"] == "left" for j in joins):
-                m = copy.deepcopy(spec)
-                next(s for s in m["stages"]
-                     if s["op"] == "join" and s["type"] == "left")["type"] = "inner"
-                if differs(spec, m):
-                    caught["join_flip"] = True
-                    break
-    assert all(caught.values()), f"harness failed to catch: {caught}"
+                break
+        else:
+            uncaught.append((name, attempts))
+    assert not uncaught, (
+        "harness failed to catch mutation families "
+        f"{uncaught} (family, qualifying specs tried) — either the "
+        "differential gate lost sensitivity or the grammar no longer "
+        "produces qualifying specs within the scan bounds"
+    )
+
+
+def test_canaries_survive_grammar_shift(stats):
+    """A new draw inserted into ``Gen.pipeline`` shifts every seed's
+    spec stream (the r11 spans draw broke the old hardcoded seed-777
+    anchors this way).  Simulate exactly that — burn one extra random
+    draw before generating — and assert every canary family still
+    finds qualifying specs within the scan bounds.  Pure spec-gen
+    (no Spark/DuckDB), so this is cheap enough to run on every change
+    to the generator grammar."""
+    import random as _random
+
+    def shifted_spec_for(seed, i, stats_):
+        rng = _random.Random(seed * 1_000_003 + i)
+        rng.random()  # the simulated new grammar draw
+        return Gen(rng, stats_).pipeline()
+
+    starved = []
+    for name, mutate in CANARY_FAMILIES.items():
+        n = sum(1 for _ in iter_canary_candidates(
+            stats, mutate, spec_fn=shifted_spec_for, max_attempts=3))
+        if n < 3:
+            starved.append((name, n))
+    assert not starved, (
+        f"families with <3 qualifying specs under a shifted grammar: "
+        f"{starved} — widen CANARY_SEEDS/CANARY_SPECS_PER_SEED or the "
+        "family's qualifier"
+    )

@@ -1338,6 +1338,153 @@ def test_duplicated_spans_declarative_pipeline(spark, sf_dir):
     assert {"clean_text", "removed_tokens"} <= set(clean.columns)
 
 
+def test_incremental_spans_planted(spark):
+    """Incremental ExactSubstr on crafted docs pins every branch of
+    the hist-count logic: a new doc repeating an OLD doc's text flips
+    its grams 1 -> 2 (the old doc is affected and gains a span), an
+    old pair already duplicated is NOT recomputed (absent from the
+    incremental output — its prior spans survive the merge), two new
+    docs sharing text pair among themselves (hist==0), and the merged
+    table equals a from-scratch duplicated_spans over the grown
+    corpus. An empty new batch changes nothing."""
+    from pyspark_pipeline_framework_spark.llm.dedup import (
+        duplicated_spans,
+        incremental_duplicated_spans,
+        merge_span_tables,
+        substring_count_partials,
+        substring_gram_stream,
+    )
+
+    S = " ".join(f"s{i}" for i in range(10))   # will flip 1 -> 2
+    P = " ".join(f"p{i}" for i in range(9))    # already dup in history
+    N = " ".join(f"n{i}" for i in range(8))    # new-only duplication
+    old_docs = spark.createDataFrame(
+        [
+            (1, "u1 u2 " + S + " u3 u4"),          # affected by doc 10
+            (2, P + " w1"),                         # already dup with 3
+            (3, "v1 " + P),                         # already dup with 2
+            (4, "plain unique filler text with nothing repeated here ok"),
+        ],
+        "doc_id: bigint, text: string",
+    )
+    new_docs = spark.createDataFrame(
+        [
+            (10, "a1 a2 a3 " + S),                  # repeats doc 1's S
+            (11, N + " b1 b2"),                     # pairs with 12
+            (12, "c1 " + N),
+            (13, "another fully unique new document with fresh words only"),
+        ],
+        "doc_id: bigint, text: string",
+    )
+    kw = dict(min_tokens=8, hash_fn="md5")
+    og = substring_gram_stream(old_docs, 8, hash_fn="md5")
+    oc = substring_count_partials(og)
+    prior = duplicated_spans(old_docs, **kw)
+    ng = substring_gram_stream(new_docs, 8, hash_fn="md5")
+    upd = incremental_duplicated_spans(ng, og, oc, min_tokens=8)
+
+    by_doc = {}
+    for r in upd.collect():
+        by_doc.setdefault(r.doc_id, []).append((r.start_tok, r.end_tok))
+    # doc 1 is AFFECTED (S flipped 1->2): span over S at tokens 3..12
+    assert by_doc[1] == [(3, 12)]
+    # docs 2/3 were already duplicated pre-batch: NOT recomputed
+    assert 2 not in by_doc and 3 not in by_doc and 4 not in by_doc
+    # new docs: 10 spans S (4..13), 11/12 span N, 13 unique
+    assert by_doc[10] == [(4, 13)]
+    assert by_doc[11] == [(1, 8)] and by_doc[12] == [(2, 9)]
+    assert 13 not in by_doc
+
+    merged = merge_span_tables(prior, upd)
+    scratch = duplicated_spans(old_docs.union(new_docs), **kw)
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, scratch.collect())
+    )
+    # empty new batch: no updates, merge is identity
+    empty = spark.createDataFrame([], "doc_id: bigint, text: string")
+    eg = substring_gram_stream(empty, 8, hash_fn="md5")
+    upd0 = incremental_duplicated_spans(eg, og, oc, min_tokens=8)
+    assert upd0.count() == 0
+    assert sorted(map(tuple, merge_span_tables(prior, upd0).collect())) == sorted(
+        map(tuple, prior.collect())
+    )
+
+
+def test_incremental_spans_matches_batch_xxhash(spark, sf_dir):
+    """Incremental == from-scratch over the real documents table with
+    the production xxhash64 recipe (the suite case pins md5), both
+    with the count store and via the corpus-grams-only fallback."""
+    from pyspark.sql import functions as F_
+
+    from pyspark_pipeline_framework_spark.llm.dedup import (
+        duplicated_spans,
+        incremental_duplicated_spans,
+        merge_span_tables,
+        substring_count_partials,
+        substring_gram_stream,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    old = docs.where(F_.col("doc_id") % 4 != 0)
+    new = docs.where(F_.col("doc_id") % 4 == 0)
+    og = substring_gram_stream(old, 8)
+    ng = substring_gram_stream(new, 8)
+    prior = duplicated_spans(old, min_tokens=8)
+    scratch = sorted(map(tuple, duplicated_spans(docs, min_tokens=8).collect()))
+    with_store = merge_span_tables(
+        prior, incremental_duplicated_spans(
+            ng, og, substring_count_partials(og), min_tokens=8)
+    )
+    assert sorted(map(tuple, with_store.collect())) == scratch
+    fallback = merge_span_tables(
+        prior, incremental_duplicated_spans(ng, og, min_tokens=8)
+    )
+    assert sorted(map(tuple, fallback.collect())) == scratch
+
+
+def test_incremental_spans_declarative_pipeline(spark, sf_dir):
+    """op: substring_grams (corpus store + counts_output) ->
+    op: substring_grams (new batch) -> op: dedup_incremental_spans
+    (prior_spans folded in) as a config pipeline — the declarative
+    incremental exact-substring shape; result equals a from-scratch
+    duplicated_spans over the full table."""
+    from pyspark_pipeline_framework_spark.llm.dedup import duplicated_spans
+    from pyspark_pipeline_framework_spark.plans.config import PipelineConfig
+    from pyspark_pipeline_framework_spark.plans.result import PipelineStatus
+    from pyspark_pipeline_framework_spark.plans.runner import PipelineRunner
+    from pyspark_pipeline_framework_spark.resilience.presets import NO_RETRY
+
+    cfg = PipelineConfig.from_dict({
+        "name": "substring-dedup-incremental",
+        "components": [
+            {"name": "read", "op": "read", "output": "docs",
+             "params": {"format": "parquet",
+                        "path": f"{sf_dir}/documents.parquet"}},
+            {"name": "old", "op": "transform", "output": "old",
+             "params": {"input": "docs", "filter": "doc_id % 4 != 0"}},
+            {"name": "new", "op": "transform", "output": "new",
+             "params": {"input": "docs", "filter": "doc_id % 4 = 0"}},
+            {"name": "corpus_grams", "op": "substring_grams",
+             "output": "cg",
+             "params": {"input": "old", "counts_output": "cc"}},
+            {"name": "prior", "op": "duplicated_spans", "output": "prior",
+             "params": {"input": "old"}},
+            {"name": "new_grams", "op": "substring_grams", "output": "ng",
+             "params": {"input": "new"}},
+            {"name": "incr", "op": "dedup_incremental_spans",
+             "output": "spans",
+             "params": {"new_grams": "ng", "corpus_grams": "cg",
+                        "corpus_counts": "cc", "prior_spans": "prior"}},
+        ],
+    })
+    runner = PipelineRunner(cfg, spark, resilience=NO_RETRY)
+    assert runner.run().status == PipelineStatus.SUCCESS
+    got = sorted(map(tuple, runner.catalog.get("spans").collect()))
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    want = sorted(map(tuple, duplicated_spans(docs, min_tokens=8).collect()))
+    assert got == want
+
+
 def test_robust_outliers_known_values(spark):
     """Hand-checked median/MAD: values {1..5, 100} in one group have
     med=3 (disc), MAD=1 (disc over devs {2,1,0,1,2,97}) -> only 100 is

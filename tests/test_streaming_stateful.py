@@ -191,15 +191,22 @@ def test_pbvendor_shim_blast_radius_is_statemessage_only():
     if getattr(rv.ValidateProtobufRuntimeVersion, "__name__", "") != "_lenient":
         _pytest.skip("shim inactive (real protobuf installed)")
     ahead = (rv.DOMAIN, rv.MAJOR, rv.MINOR + 1, 0, "")
+    # the exact location string pyspark's StateMessage gencode passes
+    sm = "org/apache/spark/sql/execution/streaming/StateMessage.proto"
     # one-minor-ahead gencode: accepted for StateMessage...
-    rv.ValidateProtobufRuntimeVersion(*ahead, "pyspark/sql/streaming/proto/StateMessage_pb2.py")
+    rv.ValidateProtobufRuntimeVersion(*ahead, sm)
     # ...rejected for anything else
     with _pytest.raises(rv.VersionError):
         rv.ValidateProtobufRuntimeVersion(*ahead, "someother/module_pb2.py")
+    # ...including a third-party module whose path merely CONTAINS the
+    # word StateMessage (r11 ADVICE: the gate matches the full proto
+    # path, not the bare substring)
+    with _pytest.raises(rv.VersionError):
+        rv.ValidateProtobufRuntimeVersion(*ahead, "vendor/StateMessage_pb2.py")
     # and a two-minor gap is rejected even for StateMessage
     far = (rv.DOMAIN, rv.MAJOR, rv.MINOR + 2, 0, "")
     with _pytest.raises(rv.VersionError):
-        rv.ValidateProtobufRuntimeVersion(*far, "pyspark/sql/streaming/proto/StateMessage_pb2.py")
+        rv.ValidateProtobufRuntimeVersion(*far, sm)
 
 
 def test_incremental_neardup_stream_matches_batch(spark, tmp_path, sf_dir):
@@ -256,6 +263,138 @@ def test_incremental_neardup_stream_matches_batch(spark, tmp_path, sf_dir):
     # micro-batches (otherwise this test silently degrades to the
     # batch path and proves nothing about cross-batch state)
     assert store_df.select("batch_id").distinct().count() == 3
+
+
+def test_incremental_spans_stream_matches_batch(spark, tmp_path, sf_dir):
+    """Streaming ExactSubstr via the gram/count/span stores: three
+    single-file micro-batches through incremental_spans_batch must end
+    with a corpus-current span table (latest update per doc) exactly
+    equal to a from-scratch duplicated_spans over everything ingested,
+    with the gram store holding every doc's grams exactly once."""
+    from pyspark.sql import functions as F
+
+    from pyspark_pipeline_framework_spark.llm.dedup import (
+        current_span_table,
+        duplicated_spans,
+        substring_gram_stream,
+    )
+    from pyspark_pipeline_framework_spark.streaming.sinks import ForeachBatchSink
+    from pyspark_pipeline_framework_spark.streaming.sources import FileStreamingSource
+    from pyspark_pipeline_framework_spark.streaming.stateful import (
+        incremental_spans_batch,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    src = str(tmp_path / "in")
+    for i in range(3):  # one file per "day" → one micro-batch each
+        docs.where(F.col("doc_id") % 3 == i).coalesce(1).write.mode(
+            "append"
+        ).json(src)
+    store, counts, spans, ckpt = (
+        str(tmp_path / "grams"),
+        str(tmp_path / "counts"),
+        str(tmp_path / "spans"),
+        str(tmp_path / "ck"),
+    )
+    StreamingPipeline(
+        source=FileStreamingSource(
+            src,
+            file_format="json",
+            schema="doc_id BIGINT, text STRING",
+            options={"maxFilesPerTrigger": "1"},
+        ),
+        sink=ForeachBatchSink(incremental_spans_batch(store, counts, spans)),
+        trigger=Trigger(TriggerType.AVAILABLE_NOW),
+        checkpoint_location=ckpt,
+    ).set_spark_session(spark).run(timeout_s=120)
+
+    got = sorted(
+        map(tuple, current_span_table(spark.read.parquet(spans)).collect())
+    )
+    want = sorted(map(tuple, duplicated_spans(docs, min_tokens=8).collect()))
+    assert got == want and want  # duplicated spans exist even at sf0.001
+    store_df = spark.read.parquet(store)
+    assert store_df.drop("batch_id").count() == substring_gram_stream(
+        docs, 8
+    ).count()
+    assert store_df.select("batch_id").distinct().count() == 3
+    # partial counts must SUM to the true corpus counts
+    summed = (
+        spark.read.parquet(counts).groupBy("gh").agg(F.sum("cnt").alias("c"))
+    )
+    true = substring_gram_stream(docs, 8).groupBy("gh").count()
+    assert (
+        summed.join(true, "gh", "full_outer")
+        .where("c IS DISTINCT FROM count")
+        .count()
+        == 0
+    )
+
+
+def test_incremental_spans_batch_replay_and_compaction(spark, tmp_path, sf_dir):
+    """(a) foreachBatch replay idempotence: re-running a batch_id
+    overwrites its own gram/count/span partitions, never
+    double-appends; (b) maintenance cycle: gram/count stores compacted
+    with compact_batch_store (union keeps partial counts correct —
+    partials are summable), the span UPDATE store with
+    compact_span_store (latest-wins fold — a union would strand stale
+    rows beside fresh ones at the baseline), then the stream resumes
+    with a FRESH checkpoint (batch ids restart at 0 — the restart
+    hazard the batch_id=-1 baseline exists for) and still yields
+    exactly the from-scratch span table."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from pyspark_pipeline_framework_spark.io.compaction import (
+        compact_batch_store,
+        compact_span_store,
+    )
+    from pyspark_pipeline_framework_spark.llm.dedup import (
+        current_span_table,
+        duplicated_spans,
+    )
+    from pyspark_pipeline_framework_spark.streaming.stateful import (
+        incremental_spans_batch,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    store, counts, spans = (
+        str(tmp_path / "grams"),
+        str(tmp_path / "counts"),
+        str(tmp_path / "spans"),
+    )
+    process = incremental_spans_batch(store, counts, spans)
+    thirds = [docs.where(F.col("doc_id") % 3 == i) for i in range(3)]
+    process(thirds[0], 0)
+    process(thirds[1], 1)
+    once = sorted(
+        map(tuple, current_span_table(spark.read.parquet(spans)).collect())
+    )
+    n_grams = spark.read.parquet(store).count()
+    process(thirds[1], 1)  # replay
+    assert (
+        sorted(map(tuple, current_span_table(spark.read.parquet(spans)).collect()))
+        == once
+    )
+    assert spark.read.parquet(store).count() == n_grams
+
+    # compact all three stores → swap → resume with a FRESH checkpoint
+    # (batch ids restart at 0; the baselines live at -1, unreachable)
+    for p in (store, counts):
+        compact_batch_store(spark, p, p + ".c")
+        shutil.rmtree(p)
+        shutil.move(p + ".c", p)
+    compact_span_store(spark, spans, spans + ".c")
+    shutil.rmtree(spans)
+    shutil.move(spans + ".c", spans)
+    process2 = incremental_spans_batch(store, counts, spans)
+    process2(thirds[2], 0)
+    got = sorted(
+        map(tuple, current_span_table(spark.read.parquet(spans)).collect())
+    )
+    want = sorted(map(tuple, duplicated_spans(docs, min_tokens=8).collect()))
+    assert got == want
 
 
 def test_incremental_neardup_batch_replay_idempotent(spark, tmp_path, sf_dir):

@@ -264,6 +264,8 @@ def run_fuzz(spark: SparkSession, sf_dir: str, n: int, seed: int, tmp: str) -> i
         t0 = time.time()
 
         def run_layout(parts: str, aqe: str):
+            saved_parts = spark.conf.get("spark.sql.shuffle.partitions")
+            saved_aqe = spark.conf.get("spark.sql.adaptive.enabled")
             spark.conf.set("spark.sql.shuffle.partitions", parts)
             spark.conf.set("spark.sql.adaptive.enabled", aqe)
             try:
@@ -282,8 +284,11 @@ def run_fuzz(spark: SparkSession, sf_dir: str, n: int, seed: int, tmp: str) -> i
                 ).collect()))
                 return pairs, knn
             finally:
-                spark.conf.set("spark.sql.shuffle.partitions", "32")
-                spark.conf.set("spark.sql.adaptive.enabled", "true")
+                # restore whatever the session had BEFORE the layout
+                # override — not hardcoded defaults (a session built
+                # with different knobs must leave with them intact)
+                spark.conf.set("spark.sql.shuffle.partitions", saved_parts)
+                spark.conf.set("spark.sql.adaptive.enabled", saved_aqe)
 
         a = run_layout("1", "false")
         b = run_layout("32", "true")

@@ -20,8 +20,10 @@ Runs (each independently fatal):
   8. pytest tests/ (CI)
 
 Usage: python tools/verifyall.py [--fast] [--skip-pytest]
-  --fast: fuzz 1 seed x 60 at sf0.001 and skip pytest — a ~2 min
-          smoke for mid-iteration sanity.
+  --fast: fuzz 1 seed x 60 at sf0.001 and skip pytest — a ~3 min
+          smoke for mid-iteration sanity. Includes the meta-canaries
+          stage (the fuzzer's own mutation-sensitivity tests), so any
+          change under tools/ is gated before a snapshot.
 Exit 0 iff every stage passes.
 """
 
@@ -88,6 +90,19 @@ def main() -> int:
         stages.append(("selfcheck-connect-sim",
                        [sys.executable, os.path.join(TOOLS, "selfcheck.py"), sf],
                        None, {"SELFCHECK_CONNECT_SIM": "1"}))
+    if a.fast:
+        # --meta (r12): the fuzzer's own mutation canaries — any change
+        # under tools/ must prove the differential gate still trips on
+        # injected bugs BEFORE the snapshot; full mode covers these via
+        # the pytest stage. The r11 spans-grammar commit shipped without
+        # this and landed a red canary at HEAD.
+        stages.append(("meta-canaries",
+                       [sys.executable, "-m", "pytest", "-q",
+                        "tests/test_fuzzcheck.py::test_generator_is_deterministic",
+                        "tests/test_fuzzcheck.py::test_sql_renderer_parses_in_duckdb",
+                        "tests/test_fuzzcheck.py::test_canaries_survive_grammar_shift",
+                        "tests/test_fuzzcheck.py::test_harness_detects_injected_bugs"],
+                       None))
     for s in seeds:
         stages.append((f"fuzzcheck-seed{s}",
                        [sys.executable, os.path.join(TOOLS, "fuzzcheck.py"),
