@@ -22,9 +22,16 @@ count, input-relatively:
 (the output term matters: a hot band's quadratic PAIR OUTPUT is the
 answer, not overhead — the budget charges for rows produced, never for
 rows² scanned). The report also documents whether AQE's skew-join
-splitting engaged (executedPlan 'skewed=true' markers / AQEShuffleRead
-coalesced-skew reads) — informational, because at these bucket sizes
+splitting engaged (executed-plan 'skew=true' / 'AQEShuffleRead skewed'
+markers) — informational in the stress, because at these bucket sizes
 Spark may legitimately decide splitting is unnecessary.
+
+--aqe (r12, VERDICT r11 item 8) PROVES the mitigation path fires: the
+band self-join over a planted hot tier, run under engagement
+thresholds scaled to test-size compressed partitions, must carry skew
+markers in its EXECUTED plan, return the identical pair set, and stay
+within the stress wall budget (see AQE_ENGAGE_CONFS for the three
+findings that explain why defaults never engage at test scale).
 
 --fuzz N adds the randomized layout-invariance kind: N random
 tier/cluster plants at the small SF, each pipeline executed under
@@ -34,7 +41,8 @@ results, only plans).
 
 Usage:
     python tools/skewcheck.py [--base /root/testdata/sf0.1] [--rep 10]
-        [--report SCALECHECK.md] [--fuzz 0] [--sf-fuzz /root/testdata/sf0.01]
+        [--report SCALECHECK.md] [--aqe] [--fuzz 0]
+        [--sf-fuzz /root/testdata/sf0.01]
 """
 
 from __future__ import annotations
@@ -134,15 +142,24 @@ def plant_hot_vectors(spark: SparkSession, emb_path: str, out: str,
 
 # ----------------------------------------------------------------- checks
 
-def _skew_markers(df: DataFrame) -> bool:
+def _skew_markers(df: DataFrame, execute: bool = False) -> bool:
     """True when AQE's skew handling left a visible mark in the
-    executed plan (best-effort string probe; informational)."""
+    executed plan (string probe on the FINAL adaptive plan).
+
+    r12 fix: a DataFrame's own queryExecution is NOT executed by
+    ``df.count()`` — count builds a separate aggregate query, so the
+    probed plan stayed ``isFinalPlan=false`` with no AQE reads at all
+    (the r11 stress recorded 'none' partly for this reason). Pass
+    ``execute=True`` to run this exact plan first (``foreachPartition``
+    no-op: executes every stage, ships nothing to the driver)."""
     try:
+        if execute:
+            df.foreachPartition(lambda it: None)
         plan = df._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
     except Exception:
         return False
-    return ("skewed=true" in plan) or ("isSkew" in plan) or (
-        "skew=" in plan.lower()
+    return ("skew=true" in plan) or ("AQEShuffleRead skewed" in plan) or (
+        "skewed=true" in plan
     )
 
 
@@ -172,7 +189,8 @@ def run_stress(spark: SparkSession, base_dir: str, rep: int, tmp: str) -> dict:
     timed("minhash_pairs_uniform", lambda: minhash_candidate_pairs(du).count())
     skew_pairs_df = minhash_candidate_pairs(ds)
     timed("minhash_pairs_skew", lambda: skew_pairs_df.count())
-    out["minhash_pairs_skew"]["aqe_skew_engaged"] = _skew_markers(skew_pairs_df)
+    out["minhash_pairs_skew"]["aqe_skew_engaged"] = _skew_markers(
+        skew_pairs_df, execute=True)
 
     # --- hot IVF cell: uniform twin then planted (same frozen nlist)
     eu, es = spark.read.parquet(emb_u), spark.read.parquet(emb_s)
@@ -195,7 +213,8 @@ def run_stress(spark: SparkSession, base_dir: str, rep: int, tmp: str) -> dict:
     timed("ivf_search_uniform", lambda: ivf_search(store_u, cdf_u, qu, **kw).count())
     search_s = ivf_search(store_s, cdf_s, qs, **kw)
     timed("ivf_search_skew", lambda: search_s.count())
-    out["ivf_search_skew"]["aqe_skew_engaged"] = _skew_markers(search_s)
+    out["ivf_search_skew"]["aqe_skew_engaged"] = _skew_markers(
+        search_s, execute=True)
     # the planted cell must really be hot, or this test stresses
     # nothing. The quantizer trains ON the skewed corpus, so it may
     # split the planted cluster across a couple of cells — require the
@@ -236,6 +255,116 @@ def check(out: dict) -> list[str]:
                     f"{op}: peak shuffle-write {pk} > budget {shuf_budget:.0f}"
                 )
     return problems
+
+
+# ------------------------------------------------- AQE skew-split engagement
+
+#: thresholds that make OptimizeSkewedJoin fire at test scale. Three
+#: findings from the r12 engagement hunt, all load-bearing:
+#: 1. detection sizes are COMPRESSED map-output bytes — 2000 planted
+#:    identical band rows (~56 KiB raw) measure ~27 KiB, so thresholds
+#:    must be set against compressed sizes;
+#: 2. `coalescePartitions.minPartitionSize` (default 1m) clamps the
+#:    split target — a hot partition below it yields ONE chunk and is
+#:    silently dropped from the skew count even when it exceeds
+#:    threshold and factor x median; at production sizes (hot keys >>
+#:    1m) the defaults engage without any of this tuning;
+#: 3. only SMJ(Sort(shuffle), Sort(shuffle)) joins are eligible — a
+#:    join whose build side is an aggregate output (e.g. the
+#:    duplicated_spans dup-hash join) can never split, which is why the
+#:    band self-join is the demonstration vehicle.
+AQE_ENGAGE_CONFS = {
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "1k",
+    "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2.0",
+    "spark.sql.adaptive.advisoryPartitionSizeInBytes": "1k",
+    "spark.sql.adaptive.coalescePartitions.minPartitionSize": "1k",
+}
+AQE_ENGAGE_TIER = 2000          # one hot tier: C(2000,2) ≈ 2.0 M pairs
+AQE_ENGAGE_PARTITIONS = "64"    # small median, hot keys still 1-per-partition
+
+
+def run_aqe_engage(spark: SparkSession, base_dir: str, tmp: str) -> int:
+    """r11 VERDICT item 8: prove AQE's OptimizeSkewedJoin actually
+    FIRES on the planted hot band — the r11 stress recorded 'no skew
+    markers' and the mitigation path had never been observed engaging.
+
+    One hot tier of AQE_ENGAGE_TIER identical docs over the base
+    corpus; the band self-join runs twice on the same input: once
+    under the session defaults (baseline) and once under
+    AQE_ENGAGE_CONFS (engagement thresholds scaled to test-size
+    compressed partitions). Asserts:
+      * the engaged run's executed plan carries skew markers
+        (SortMergeJoin(skew=true) / AQEShuffleRead skewed);
+      * both runs return the identical pair set (count + order-
+        insensitive xxhash64 checksum) — skew splitting may only ever
+        change the PLAN;
+      * the engaged wall stays within the stress budget
+        (WALL_SLACK x baseline + PAIR_NS x pairs + CONST_S).
+    Returns the failure count (0 = engaged, equal, within budget)."""
+    from pyspark_pipeline_framework_spark.llm.dedup import minhash_candidate_pairs
+
+    saved = {k: spark.conf.get(k, None) for k in AQE_ENGAGE_CONFS}
+    saved["spark.sql.shuffle.partitions"] = spark.conf.get(
+        "spark.sql.shuffle.partitions")
+    docs_path = plant_hot_docs(
+        spark, os.path.join(base_dir, "documents.parquet"), tmp,
+        tiers=(AQE_ENGAGE_TIER,),
+    )
+    docs = spark.read.parquet(docs_path)
+
+    def run_once(label: str) -> tuple[int, int, float, bool]:
+        # ONE execution serves result and plan probe: the checksum
+        # aggregate's executed plan contains the band join subtree, so
+        # markers are read from the plan that actually ran
+        pairs = minhash_candidate_pairs(docs)
+        agg = pairs.agg(
+            F.count(F.lit(1)).alias("n"),
+            # decimal(38,0) state: exact + order-insensitive, and the
+            # 2M-row sum of int64 hashes cannot overflow under ANSI
+            F.sum(F.xxhash64("id_a", "id_b").cast("decimal(38,0)")).alias("chk"),
+        )
+        t0 = time.time()
+        row = agg.collect()[0]
+        wall = time.time() - t0
+        plan = agg._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
+        engaged = ("skew=true" in plan) or ("AQEShuffleRead skewed" in plan)
+        print(f"  {label}: {row['n']} pairs, {wall:.1f}s, "
+              f"skew_markers={engaged}")
+        return row["n"], row["chk"], wall, engaged
+
+    failures = 0
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", AQE_ENGAGE_PARTITIONS)
+        n_base, chk_base, wall_base, eng_base = run_once("baseline-confs")
+        for k, v in AQE_ENGAGE_CONFS.items():
+            spark.conf.set(k, v)
+        n_eng, chk_eng, wall_eng, eng_eng = run_once("engage-confs")
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    if not eng_eng:
+        failures += 1
+        print("FAIL aqe-engage: no skew markers in the engaged run's "
+              "executed plan")
+    if (n_base, chk_base) != (n_eng, chk_eng):
+        failures += 1
+        print(f"FAIL aqe-engage: results differ under skew split "
+              f"(n {n_base} vs {n_eng}, chk {chk_base} vs {chk_eng})")
+    budget = WALL_SLACK * wall_base + PAIR_NS * n_base + CONST_S
+    if wall_eng > budget:
+        failures += 1
+        print(f"FAIL aqe-engage: engaged wall {wall_eng:.1f}s exceeds "
+              f"budget {budget:.1f}s")
+    if not failures:
+        print(f"aqe-engage PASS: skew split fired ({AQE_ENGAGE_TIER}-copy "
+              f"hot tier), identical {n_base} pairs, wall "
+              f"{wall_eng:.1f}s <= budget {budget:.1f}s "
+              f"(baseline {wall_base:.1f}s, baseline_markers={eng_base})")
+    return failures
 
 
 # ------------------------------------------------------------- fuzz kind
@@ -318,6 +447,13 @@ def main() -> int:
     ap.add_argument("--cpus", type=int,
                     default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
     ap.add_argument("--skip-stress", action="store_true")
+    ap.add_argument("--aqe", action="store_true",
+                    help="prove AQE's skew-split fires on the planted hot "
+                         "band (engagement thresholds), with answer "
+                         "invariance + wall budget")
+    ap.add_argument("--aqe-base", default="/root/testdata/sf0.001",
+                    help="base corpus for --aqe (small base keeps the "
+                         "median partition tiny so the hot key dominates)")
     a = ap.parse_args()
 
     spark = build_spark(a.cpus)
@@ -340,6 +476,8 @@ def main() -> int:
             failures += len(problems)
             if a.report:
                 _append_report(a.report, a, out, problems)
+        if a.aqe:
+            failures += run_aqe_engage(spark, a.aqe_base, tmp)
         if a.fuzz:
             failures += run_fuzz(spark, a.sf_fuzz, a.fuzz, a.seed, tmp)
     finally:

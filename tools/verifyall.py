@@ -148,9 +148,12 @@ def main() -> int:
         # hot IVF cells; results must be identical between
         # partitions=1/AQE-off and 32/AQE-on (skew handling may only
         # ever change the plan, never the answer)
+        # --aqe (r12): AQE's OptimizeSkewedJoin must actually FIRE on
+        # the planted hot band (engagement thresholds), return the
+        # identical pair set, and stay within the stress wall budget
         stages.append(("skewfuzz",
                        [sys.executable, os.path.join(TOOLS, "skewcheck.py"),
-                        "--skip-stress", "--fuzz", "3",
+                        "--skip-stress", "--aqe", "--fuzz", "3",
                         "--sf-fuzz", sf, "--seed", "57"], None))
     # per-query sf1 regression budgets vs the committed bench artifact
     # (instant JSON check; fails only on a clean-run violation)
