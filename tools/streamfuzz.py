@@ -76,10 +76,21 @@ unsupported in streaming aggregation).
    sampled third of specs) ``ivf_search`` over the streamed store must
    equal search over the batch store. Exercises the
    parquet-is-the-state recipe under random growth histories.
+   (Family 7 is the IVFPQ sibling over the compressed code store.)
+
+8. **streaming incremental exact-substring dedup** (r12): random
+   min_tokens / hash_fn / batch count / corpus subset / batch-split
+   salt, ONE batch replayed mid-stream, and (on a sampled third) a
+   MID-STREAM maintenance cycle compacting all three stores —
+   gram/count via compact_batch_store, the span update store via
+   compact_span_store's latest-wins fold. The corpus-current span
+   table after the final batch must equal a from-scratch
+   ``duplicated_spans`` over everything ingested.
 
 Usage: python tools/streamfuzz.py [--n-dedup 12] [--n-agg 12]
                                   [--n-join 10] [--n-session 10]
                                   [--n-stateful 10] [--n-ivf 8]
+                                  [--n-ivfpq 6] [--n-spans 6]
                                   [--seed 2026] [--sf DIR]
 Exit 0 iff zero mismatches.
 """
@@ -308,6 +319,92 @@ def _f5_replay(file_batches, reset_at):
                 last[k] = (n, t, mn, mx, False)
                 state[k] = (n, t, mn, mx)
     return last
+
+
+def _spans_family(spark, tmp: str, seed: int, n_spans: int, sf_dir: str) -> int:
+    """Family 8 (r12): randomized streaming exact-substring span-dedup
+    growth. Random min_tokens / hash_fn / batch count / corpus subset /
+    batch-split salt per spec; one batch replayed mid-stream
+    (foreachBatch's at-least-once contract); on a sampled third a
+    MID-STREAM maintenance cycle compacts all three stores (gram/count
+    via compact_batch_store — union keeps summable partials correct —
+    and the span update store via compact_span_store's latest-wins
+    fold) and the stream continues onto the baselines. After the final
+    batch the corpus-current span table (latest update per doc) must
+    equal a from-scratch duplicated_spans over everything ingested —
+    the incremental path's defining property under arbitrary growth
+    histories."""
+    import random as _random
+    import shutil as _shutil
+
+    from pyspark.sql import functions as F
+
+    from pyspark_pipeline_framework_spark.io.compaction import (
+        compact_batch_store,
+        compact_span_store,
+    )
+    from pyspark_pipeline_framework_spark.llm.dedup import (
+        current_span_table,
+        duplicated_spans,
+    )
+    from pyspark_pipeline_framework_spark.streaming.stateful import (
+        incremental_spans_batch,
+    )
+
+    rng = _random.Random(seed * 7919 + 88)
+    docs_full = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    failures = 0
+    for i in range(n_spans):
+        L = rng.choice([4, 6, 8, 12])
+        hf = rng.choice(["md5", "xxhash64"])
+        nb = rng.randint(2, 4)
+        m = rng.randint(1, 3)          # corpus subset (m=1 → full table)
+        salt = rng.randint(0, 10**6)   # batch-split salt
+        t0 = time.time()
+        sub = docs_full.where(F.col("doc_id") % m == 0)
+        store = os.path.join(tmp, f"spans8_{i}_g")
+        counts = os.path.join(tmp, f"spans8_{i}_c")
+        spans = os.path.join(tmp, f"spans8_{i}_s")
+        proc = incremental_spans_batch(
+            store, counts, spans, min_tokens=L, hash_fn=hf
+        )
+        replay_at = rng.randrange(nb)
+        compact_at = rng.randrange(nb - 1) if i % 3 == 0 else None
+        compacted = False
+        for j in range(nb):
+            b = sub.where((F.col("doc_id") + salt) % nb == j)
+            proc(b, j)
+            if j == replay_at:
+                proc(b, j)  # at-least-once replay of the same batch id
+            if compact_at == j:
+                for p in (store, counts):
+                    compact_batch_store(spark, p, p + ".c")
+                    _shutil.rmtree(p)
+                    _shutil.move(p + ".c", p)
+                compact_span_store(spark, spans, spans + ".c")
+                _shutil.rmtree(spans)
+                _shutil.move(spans + ".c", spans)
+                compacted = True
+        got = sorted(
+            map(tuple, current_span_table(spark.read.parquet(spans)).collect())
+        )
+        want = sorted(
+            map(tuple, duplicated_spans(sub, min_tokens=L, hash_fn=hf).collect())
+        )
+        ok = got == want
+        label = (f"spans8 #{i} L={L} hash={hf} nb={nb} m={m}"
+                 + (" +compact" if compacted else ""))
+        if not ok:
+            failures += 1
+            miss = [x for x in want if x not in got][:3]
+            extra = [x for x in got if x not in want][:3]
+            print(f"FAIL  {label}: streamed spans != from-scratch "
+                  f"({len(got)} vs {len(want)} rows) missing={miss} extra={extra}")
+        else:
+            print(f"OK    {label} ({len(got)} spans, {time.time() - t0:.1f}s)")
+    return failures
 
 
 def _stateful_family(spark, tmp, seed, n_stateful, tws: bool) -> int:
@@ -688,7 +785,7 @@ def _ivfpq_family(spark, tmp: str, seed: int, n_ivfpq: int, sf_dir: str) -> int:
 
 def run(n_dedup: int, n_agg: int, seed: int, sf_dir: str,
         n_join: int = 10, n_session: int = 10, n_stateful: int = 10,
-        n_ivf: int = 8, n_ivfpq: int = 6) -> int:
+        n_ivf: int = 8, n_ivfpq: int = 6, n_spans: int = 6) -> int:
     import random
 
     from pyspark.sql import functions as F
@@ -975,6 +1072,15 @@ def run(n_dedup: int, n_agg: int, seed: int, sf_dir: str,
         failures += _ivfpq_family(spark, tmp, seed, n_ivfpq, sf_dir)
         n_run7 = n_ivfpq
 
+    # ---- family 8: streaming incremental exact-substring dedup -------
+    # (r12) random min_tokens/hash/batch-count/subset/salt, injected
+    # at-least-once replay, sampled mid-stream three-store compaction; the
+    # corpus-current span table must equal from-scratch duplicated_spans.
+    n_run8 = 0
+    if n_spans:
+        failures += _spans_family(spark, tmp, seed, n_spans, sf_dir)
+        n_run8 = n_spans
+
     # ---- family 5: randomized stateful processors -------------------
     # (VERDICT r7 item 6) random key cardinality / batch splits / state
     # lifecycle, run through BOTH state APIs — the legacy
@@ -998,11 +1104,13 @@ def run(n_dedup: int, n_agg: int, seed: int, sf_dir: str,
 
     shutil.rmtree(tmp, ignore_errors=True)
     total = (len(dedup_specs) + len(agg_specs)
-             + len(join_specs) + len(session_specs)) + n_run5 + n_run6 + n_run7
+             + len(join_specs) + len(session_specs)
+             ) + n_run5 + n_run6 + n_run7 + n_run8
     print(f"\n{total} stateful streaming specs, {failures} mismatches, "
           f"{time.time() - t_all:.0f}s (seed={seed})")
     return 1 if failures or total < (n_dedup + n_agg + n_join + n_session
-                                     + n_stateful + n_ivf + n_ivfpq) else 0
+                                     + n_stateful + n_ivf + n_ivfpq
+                                     + n_spans) else 0
 
 
 def main() -> int:
@@ -1014,13 +1122,15 @@ def main() -> int:
     ap.add_argument("--n-stateful", type=int, default=10)
     ap.add_argument("--n-ivf", type=int, default=8)
     ap.add_argument("--n-ivfpq", type=int, default=6)
+    ap.add_argument("--n-spans", type=int, default=6)
     ap.add_argument("--seed", type=int, default=2026)
     ap.add_argument("--sf", default=os.environ.get("SPARK_GRAFT_SF_DIR",
                                                    "/root/testdata/sf0.01"))
     a = ap.parse_args()
     return run(a.n_dedup, a.n_agg, a.seed, a.sf,
                n_join=a.n_join, n_session=a.n_session,
-               n_stateful=a.n_stateful, n_ivf=a.n_ivf, n_ivfpq=a.n_ivfpq)
+               n_stateful=a.n_stateful, n_ivf=a.n_ivf, n_ivfpq=a.n_ivfpq,
+               n_spans=a.n_spans)
 
 
 if __name__ == "__main__":

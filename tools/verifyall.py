@@ -129,14 +129,14 @@ def main() -> int:
     # update-mode aggregation + stream-stream join + session-window
     # aggregation + randomized stateful processors vs batch/replay)
     # — 52 specs full, 12 fast
-    nd, na, nj, ns, nst, niv, nivpq = ((3, 3, 2, 2, 2, 2, 2) if a.fast
-                                       else (12, 12, 10, 10, 8, 6, 5))
+    nd, na, nj, ns, nst, niv, nivpq, nsp = ((3, 3, 2, 2, 2, 2, 2, 2) if a.fast
+                                            else (12, 12, 10, 10, 8, 6, 5, 5))
     stages.append(("streamfuzz",
                    [sys.executable, os.path.join(TOOLS, "streamfuzz.py"),
                     "--n-dedup", str(nd), "--n-agg", str(na),
                     "--n-join", str(nj), "--n-session", str(ns),
                     "--n-stateful", str(nst), "--n-ivf", str(niv),
-                    "--n-ivfpq", str(nivpq),
+                    "--n-ivfpq", str(nivpq), "--n-spans", str(nsp),
                     "--sf", sf], None))
     # config-layer negative-path fuzz (no Spark, ~2s): mutated conf
     # text / parsed dicts must fail typed, never with a raw traceback
