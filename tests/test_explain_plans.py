@@ -279,6 +279,30 @@ def test_duplicated_spans_plan(spark, sf_dir):
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
 
 
+def test_incremental_spans_plan(spark, sf_dir):
+    """Incremental ExactSubstr: the final dup-position join keeps the
+    family's merge-hinted sort-merge shape (the dup set grows with the
+    corpus), the newly-duplicated gram lookup IS a broadcast (bounded
+    by the NEW batch's vocabulary — that asymmetry is the point of the
+    incremental path), and nothing is a cartesian product."""
+    from pyspark.sql import functions as F
+
+    from pyspark_pipeline_framework_spark.llm.dedup import (
+        incremental_duplicated_spans,
+        substring_count_partials,
+        substring_gram_stream,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    og = substring_gram_stream(docs.where(F.col("doc_id") % 4 != 0), 8)
+    ng = substring_gram_stream(docs.where(F.col("doc_id") % 4 == 0), 8)
+    p = _raw_plan(incremental_duplicated_spans(
+        ng, og, substring_count_partials(og), min_tokens=8))
+    assert "SortMergeJoin" in p
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
 def test_pq_adc_search_plan(spark, sf_dir):
     """PQ-ADC search: distance tables broadcast (never shuffled against
     the code store), no cartesian product, lookup-sum as a real

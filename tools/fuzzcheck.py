@@ -905,6 +905,13 @@ class Gen:
         return {"kind": "spans", "base": "documents", "stages": [],
                 "L": r.choice([3, 5, 8, 12]),
                 "cut": r.random() < 0.4,
+                # r12: incremental sub — corpus split (m, j), the new
+                # batch = doc_id % m == j; the Spark side goes through
+                # the gram/count stores + merge_span_tables while the
+                # oracle stays the from-scratch SQL (the defining
+                # incremental == from-scratch equivalence, randomized)
+                "split": ((r.choice([3, 4, 5]), 0)
+                          if r.random() < 0.35 else None),
                 "pred": self.predicate("documents", list(TABLES["documents"]["cols"].items()))
                         if r.random() < 0.5 else None,
                 "terminal": {"op": "spans"}}
@@ -2432,12 +2439,30 @@ def to_spark(spec: dict, spark, sf_dir: str, base_df=None):
         from pyspark_pipeline_framework_spark.llm.dedup import (
             cut_spans,
             duplicated_spans,
+            incremental_duplicated_spans,
+            merge_span_tables,
+            substring_count_partials,
+            substring_gram_stream,
         )
 
         d = table(spark, sf_dir, "documents")
         if spec["pred"]:
             d = d.filter(F.expr(spec["pred"]))
-        spans = duplicated_spans(d, min_tokens=spec["L"], hash_fn="md5")
+        if spec.get("split"):
+            m, j = spec["split"]
+            old = d.where(F.col("doc_id") % m != j)
+            new = d.where(F.col("doc_id") % m == j)
+            og = substring_gram_stream(old, spec["L"], hash_fn="md5")
+            upd = incremental_duplicated_spans(
+                substring_gram_stream(new, spec["L"], hash_fn="md5"),
+                og, substring_count_partials(og), min_tokens=spec["L"],
+            )
+            spans = merge_span_tables(
+                duplicated_spans(old, min_tokens=spec["L"], hash_fn="md5"),
+                upd,
+            )
+        else:
+            spans = duplicated_spans(d, min_tokens=spec["L"], hash_fn="md5")
         if not spec["cut"]:
             return spans
         return cut_spans(d, spans).select(
