@@ -1276,6 +1276,7 @@ def incremental_duplicated_spans(
     *,
     min_tokens: int = 8,
     id_col: str = "doc_id",
+    validate: bool = False,
 ) -> DataFrame:
     """Incremental exact-substring dedup: spans for the documents a
     new batch TOUCHES — the new documents themselves PLUS the old
@@ -1314,10 +1315,28 @@ def incremental_duplicated_spans(
 
     Both stores MUST be built with identical ``(min_tokens, hash_fn)``
     — the schema cannot carry that, and a mismatch joins incompatible
-    hash spaces. Document ids must be unique across batches (re-ingest
-    of an existing id would double its positions; delete it from the
-    stores first — see :func:`substring_count_partials` on negative
-    partials)."""
+    hash spaces. ``validate=True`` adds a cheap structural check (two
+    1-row probes: an md5 gram hash is 32 hex chars, an xxhash64 one a
+    signed decimal string — the same drift the band-store validate
+    catches); ``min_tokens`` drift at equal hash_fn is undetectable
+    from the store — version your store paths. Document ids must be
+    unique across batches (re-ingest of an existing id would double
+    its positions; delete it from the stores first — see
+    :func:`substring_count_partials` on negative partials)."""
+    if validate:
+        probes = [new_grams.select("gh").first(), corpus_grams.select("gh").first()]
+        # an md5 digest is exactly 32 hex chars; an xxhash64 rendered
+        # as a signed decimal string is at most 20 chars
+        kinds = [
+            None if p is None else ("md5" if len(p[0]) == 32 else "xxhash64")
+            for p in probes
+        ]
+        if None not in kinds and kinds[0] != kinds[1]:
+            raise ValueError(
+                f"gram-store mismatch: new side hashes look like {kinds[0]}, "
+                f"corpus store like {kinds[1]} — both sides must be built "
+                "with identical (min_tokens, hash_fn)"
+            )
     if corpus_counts is None:
         corpus_counts = substring_count_partials(corpus_grams)
     new_counts = substring_count_partials(new_grams).withColumnRenamed("cnt", "__n")

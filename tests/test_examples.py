@@ -107,6 +107,24 @@ def test_incremental_dedup_example(spark):
     assert store.count() > 0
 
 
+def test_exact_substring_dedup_example(spark):
+    """Batch detect→cut AND the incremental gram/count-store recipe
+    declared in HOCON; the clean text and the folded span table both
+    land, and the incremental span table equals a from-scratch
+    duplicated_spans over the whole corpus."""
+    from pyspark_pipeline_framework_spark.llm.dedup import duplicated_spans
+
+    assert main([os.path.join(REPO, "examples", "exact_substring_dedup.conf")]) == 0
+    clean = spark.read.parquet(os.path.join(REPO, ".scratch/examples/clean_docs"))
+    assert {"clean_text", "removed_tokens"} <= set(clean.columns)
+    assert clean.where("removed_tokens > 0").count() > 0
+    spans = spark.read.parquet(os.path.join(REPO, ".scratch/examples/span_table"))
+    # same source the example's common_settings.conf data_root points at
+    src = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    want = sorted(map(tuple, duplicated_spans(src, min_tokens=8).collect()))
+    assert sorted(map(tuple, spans.collect())) == want
+
+
 def test_ann_index_example(spark):
     """Incremental IVF ANN through the registry ops declared in HOCON;
     the knn results, centroid table, and cell-partitioned store all

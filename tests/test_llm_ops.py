@@ -1400,14 +1400,22 @@ def test_incremental_spans_planted(spark):
     assert sorted(map(tuple, merged.collect())) == sorted(
         map(tuple, scratch.collect())
     )
-    # empty new batch: no updates, merge is identity
+    # empty new batch: no updates, merge is identity (validate must
+    # tolerate the empty probe)
     empty = spark.createDataFrame([], "doc_id: bigint, text: string")
     eg = substring_gram_stream(empty, 8, hash_fn="md5")
-    upd0 = incremental_duplicated_spans(eg, og, oc, min_tokens=8)
+    upd0 = incremental_duplicated_spans(eg, og, oc, min_tokens=8, validate=True)
     assert upd0.count() == 0
     assert sorted(map(tuple, merge_span_tables(prior, upd0).collect())) == sorted(
         map(tuple, prior.collect())
     )
+    # hash-scheme drift between the new batch and the store is caught
+    # by validate (md5 digests are 32 hex chars, xxhash64 decimals not)
+    import pytest as _pytest
+
+    xg = substring_gram_stream(new_docs, 8, hash_fn="xxhash64")
+    with _pytest.raises(ValueError, match="gram-store mismatch"):
+        incremental_duplicated_spans(xg, og, oc, min_tokens=8, validate=True)
 
 
 def test_incremental_spans_matches_batch_xxhash(spark, sf_dir):
