@@ -1341,17 +1341,21 @@ def incremental_duplicated_spans(
         corpus_counts = substring_count_partials(corpus_grams)
     new_counts = substring_count_partials(new_grams).withColumnRenamed("cnt", "__n")
     # history counts for the NEW batch's vocabulary only (never the
-    # whole store vocabulary): the count store is filtered by the join
-    # before aggregating, so the shuffle carries matching grams only
-    hist_new = (
-        corpus_counts.join(new_counts.select("gh"), "gh")
-        .groupBy("gh")
-        .agg(F.sum("cnt").cast("long").alias("__h"))
-    )
-    tot_new = new_counts.join(hist_new, "gh", "left").select(
-        "gh",
-        F.coalesce(F.col("__h"), F.lit(0)).alias("__h"),
-        F.col("__n"),
+    # whole store vocabulary): ONE right join keeps exactly the store
+    # partials matching the batch vocabulary, and grouping on (gh, __n)
+    # folds them — __n is functionally dependent on gh, so this is the
+    # same per-gram (hist, new) pair the previous two-join formulation
+    # produced, with half the references to the new-batch subtree.
+    # The result is batch-vocabulary-bounded by contract, so pinning it
+    # (lazy localCheckpoint) makes every downstream consumer read the
+    # computed blocks instead of re-executing the gram/count subtrees —
+    # the DAG references tot_new twice and its ancestors up to 6 times.
+    tot_new = (
+        corpus_counts.join(new_counts, "gh", "right")
+        .groupBy("gh", "__n")
+        .agg(F.coalesce(F.sum("cnt"), F.lit(0)).cast("long").alias("__h"))
+        .select("gh", "__h", "__n")
+        .localCheckpoint(eager=False)
     )
     # grams this batch flipped to duplicated: exactly one historical
     # occurrence (hist==1; with n>=1 the total is now >=2). hist==0 is
@@ -1361,13 +1365,19 @@ def incremental_duplicated_spans(
     # dup grams among the new batch's grams (for the new docs' spans)
     dup_new = tot_new.where(F.col("__h") + F.col("__n") >= 2).select("gh")
     # affected old docs: each newly-dup gram has exactly ONE historical
-    # position — the broadcast is bounded by the new batch's vocabulary
+    # position — the broadcast is bounded by the new batch's vocabulary.
+    # affected (ids only) and old_pos (the affected docs' gram
+    # positions) are batch-proportional and each referenced twice —
+    # pinned for the same reason as tot_new.
     affected = (
         corpus_grams.join(F.broadcast(newly_dup), "gh")
         .select(id_col)
         .distinct()
+        .localCheckpoint(eager=False)
     )
-    old_pos = corpus_grams.join(affected, id_col, "left_semi")
+    old_pos = corpus_grams.join(
+        affected, id_col, "left_semi"
+    ).localCheckpoint(eager=False)
     # dup grams appearing ONLY in affected docs' history: n==0 there,
     # so duplicated iff hist >= 2 — a pure store property (grams the
     # new batch also carries are covered by dup_new; union distinct)
@@ -1398,7 +1408,11 @@ def merge_span_tables(
     units, never row-by-row), every other document's prior spans are
     kept. The result equals a from-scratch :func:`duplicated_spans`
     over the grown corpus. One anti-join on the id + a union — the
-    updated side is batch-proportional, so AQE broadcasts it."""
+    updated side is batch-proportional, so AQE broadcasts it. The
+    updated side is referenced twice (anti-join key + union payload);
+    pinning it (lazy localCheckpoint, batch-proportional by contract)
+    runs the incremental DAG once instead of twice."""
+    updated_spans = updated_spans.localCheckpoint(eager=False)
     changed = updated_spans.select(id_col).distinct()
     return prior_spans.join(changed, id_col, "left_anti").unionByName(updated_spans)
 
