@@ -70,9 +70,10 @@ def compact_batch_store(
     """Rewrite a ``batch_id=N``-per-micro-batch store as one baseline
     partition ``batch_id=<baseline_batch_id>`` at ``out_path``.
 
-    ``target_files`` bounds the output file count (one exchange; default
-    the session parallelism — ``connect_compat.session_parallelism``,
-    Connect-safe). ``partition_by`` instead
+    ``target_files`` pins the output file count (one exchange; default
+    is a REBALANCE exchange that AQE sizes by bytes, so file count
+    tracks store size — one file for a tiny store, advisory-sized
+    files for a huge one). ``partition_by`` instead
     sub-partitions the baseline by the given columns (e.g. ``["cell"]``
     for an IVF store, so searches static-prune compacted history too);
     rows are repartitioned on those keys so each value lands in few
@@ -195,14 +196,26 @@ def compact_batch_store(
         missing = [c for c in partition_by if c not in body.columns]
         if missing:
             raise ValueError(f"partition_by columns not in store: {missing}")
-        body = body.repartition(*[F.col(c) for c in partition_by])
+        # REBALANCE on the keys instead of a bare repartition: same
+        # few-files-per-value layout, but AQE sizes the shuffle output
+        # by bytes (advisory partition size), so a small store folds to
+        # a handful of right-sized files and a huge one fans out — the
+        # file count tracks DATA SIZE, not the session's core count
+        body = body.hint("rebalance", *partition_by)
         spec = ["batch_id", *partition_by]
     else:
-        from pyspark_pipeline_framework_spark.connect_compat import (
-            session_parallelism,
+        # default sizing is scale-adaptive: REBALANCE lets AQE coalesce
+        # the rewrite to ~advisory-partition-size files (one file for a
+        # small store, hundreds for a 100 TB one) instead of always
+        # emitting one file per session core — the whole point of
+        # compaction is to UNDO small-files, so the rewrite must not
+        # reintroduce them at low data volumes. An explicit
+        # ``target_files`` still pins the exact output file count.
+        body = (
+            body.repartition(target_files)
+            if target_files
+            else body.hint("rebalance")
         )
-
-        body = body.repartition(target_files or session_parallelism(spark))
         spec = ["batch_id"]
     if sort_within_partitions:
         missing = [c for c in sort_within_partitions if c not in body.columns]
@@ -268,7 +281,6 @@ def compact_span_store(
             f"out_path and spans_path must not be nested (got out_path="
             f"{out_path!r} inside/containing spans_path={spans_path!r})"
         )
-    from pyspark_pipeline_framework_spark.connect_compat import session_parallelism
     from pyspark_pipeline_framework_spark.llm.dedup import current_span_table
 
     df = spark.read.parquet(spans_path)
@@ -277,10 +289,10 @@ def compact_span_store(
             f"{spans_path} is not a batch_id-partitioned store "
             f"(columns: {df.columns})"
         )
-    body = (
-        current_span_table(df, id_col)
-        .withColumn("batch_id", F.lit(baseline_batch_id).cast("int"))
-        .repartition(target_files or session_parallelism(spark))
+    body = current_span_table(df, id_col).withColumn(
+        "batch_id", F.lit(baseline_batch_id).cast("int")
     )
+    # same scale-adaptive default sizing as compact_batch_store
+    body = body.repartition(target_files) if target_files else body.hint("rebalance")
     body.write.mode("errorifexists").partitionBy("batch_id").parquet(out_path)
     return spark.read.schema(body.schema).parquet(out_path)

@@ -395,7 +395,9 @@ def q_dedup_minhash_del_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda: minhash_bands(d.where(F.col("doc_id") % 5 != 1), **kw),
     )
     store = _scratch(sf_dir, "band_store_del")
-    corpus.write.mode("overwrite").parquet(f"{store}/batch_id=0")
+    # REBALANCE: size the store's files by bytes (AQE advisory size),
+    # not by the fixture's cached partition count — r12 §6 file sizing
+    corpus.hint("rebalance").write.mode("overwrite").parquet(f"{store}/batch_id=0")
     out = _scratch(sf_dir, "band_store_del_c")
     shutil.rmtree(out, ignore_errors=True)  # compaction refuses overwrite
     tomb = d.where(F.col("doc_id") % 7 == 2).select(F.col("doc_id").alias("id"))
@@ -465,12 +467,14 @@ def q_dedup_minhash_ttl_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda: minhash_bands(d.where(F.col("doc_id") % 5 != 1), **kw),
     )
     store = _scratch(sf_dir, "band_store_ttl")
-    corpus.where(F.col("id") % 3 == 0).write.mode("overwrite").parquet(
-        f"{store}/batch_id=0"
-    )
-    corpus.where(F.col("id") % 3 != 0).write.mode("overwrite").parquet(
-        f"{store}/batch_id=1"
-    )
+    # REBALANCE both batch writes: files sized by bytes, not by the
+    # fixture's cached partition count — r12 §6 file sizing
+    corpus.where(F.col("id") % 3 == 0).hint("rebalance").write.mode(
+        "overwrite"
+    ).parquet(f"{store}/batch_id=0")
+    corpus.where(F.col("id") % 3 != 0).hint("rebalance").write.mode(
+        "overwrite"
+    ).parquet(f"{store}/batch_id=1")
     out = _scratch(sf_dir, "band_store_ttl_c")
     shutil.rmtree(out, ignore_errors=True)  # compaction refuses overwrite
     baseline = compact_batch_store(spark, store, out, min_batch_id=1)
@@ -1032,7 +1036,8 @@ def q_sim_knn_ivf_del(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda: ivf_add(emb, cdf, dim=64, mode="exact"),
     )
     store = _scratch(sf_dir, "ivf_store_del")
-    assigned.write.mode("overwrite").parquet(f"{store}/batch_id=0")
+    # REBALANCE: r12 §6 file sizing (see q_dedup_minhash_del_md5)
+    assigned.hint("rebalance").write.mode("overwrite").parquet(f"{store}/batch_id=0")
     out = _scratch(sf_dir, "ivf_store_del_c")
     shutil.rmtree(out, ignore_errors=True)  # compaction refuses overwrite
     tomb = emb.where(F.col("vec_id") % 7 == 2).select("vec_id")
@@ -2544,7 +2549,8 @@ def q_sim_knn_ivfpq_del(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pruned ADC search over the compacted baseline.
     cent, cb, full_store = _ivfpq_artifacts(spark, sf_dir)
     store = _scratch(sf_dir, "ivfpq_store_del")
-    full_store.write.mode("overwrite").parquet(f"{store}/batch_id=0")
+    # REBALANCE: r12 §6 file sizing (see q_dedup_minhash_del_md5)
+    full_store.hint("rebalance").write.mode("overwrite").parquet(f"{store}/batch_id=0")
     out = _scratch(sf_dir, "ivfpq_store_del_c")
     shutil.rmtree(out, ignore_errors=True)  # compaction refuses overwrite
     tomb = emb.where(F.col("vec_id") % 7 == 2).select("vec_id")
