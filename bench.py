@@ -267,6 +267,12 @@ def main() -> None:
         s0 = _steal_jiffies()
         t: dict[str, float] = {}
         for name, case in sorted(all_cases().items()):
+            # label every job with its query name (guide §1.3) so UI /
+            # event-log stages are attributable when profiling a pass
+            try:
+                spark.sparkContext.setJobDescription(f"bench:{name}")
+            except Exception:
+                pass  # Connect has no sparkContext; labeling is best-effort
             samples, n = [], 0
             for _ in range(2):
                 t0 = time.perf_counter()
