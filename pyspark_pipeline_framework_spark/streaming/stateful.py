@@ -283,7 +283,17 @@ def incremental_neardup_batch(
         # still safe — the retry overwrites the same partition before
         # recomputing pairs
         new_dir = f"{store_path}/batch_id={batch_id}"
-        w = bands_df.write.mode("overwrite")
+        # REBALANCE (AQE works inside foreachBatch — verified r12): the
+        # banding pipeline ends in a cores-wide shuffle, so an unhinted
+        # write emits one tiny file per shuffle partition per
+        # micro-batch; byte-sized rebalancing keeps the store's file
+        # count proportional to DATA, not batches×cores (guide §6)
+        balanced = (
+            bands_df.hint("rebalance", *partition_by)
+            if partition_by
+            else bands_df.hint("rebalance")
+        )
+        w = balanced.write.mode("overwrite")
         if partition_by:
             w = w.partitionBy(*partition_by)
         w.parquet(new_dir)
@@ -297,7 +307,9 @@ def incremental_neardup_batch(
         # rather than silently dropping corpus history.
         corpus = store.where(F.col("batch_id") < F.lit(batch_id)).drop("batch_id")
         pairs = incremental_candidate_pairs(new, corpus)
-        pairs.write.mode("overwrite").parquet(f"{pairs_path}/batch_id={batch_id}")
+        pairs.hint("rebalance").write.mode("overwrite").parquet(
+            f"{pairs_path}/batch_id={batch_id}"
+        )
 
     return process
 
@@ -365,15 +377,22 @@ def incremental_spans_batch(
         # nothing is pinned in executor storage between micro-batches,
         # and a mid-batch retry overwrites the same partitions before
         # recomputing anything downstream
-        w = grams.write.mode("overwrite")
+        # REBALANCE all three store writes (same §6 file-sizing rationale
+        # as the MinHash writer above; AQE works inside foreachBatch)
+        balanced = (
+            grams.hint("rebalance", *partition_by)
+            if partition_by
+            else grams.hint("rebalance")
+        )
+        w = balanced.write.mode("overwrite")
         if partition_by:
             w = w.partitionBy(*partition_by)
         w.parquet(f"{store_path}/batch_id={batch_id}")
         store = spark.read.parquet(store_path)
         new = store.where(F.col("batch_id") == F.lit(batch_id)).drop("batch_id")
-        substring_count_partials(new).write.mode("overwrite").parquet(
-            f"{counts_path}/batch_id={batch_id}"
-        )
+        substring_count_partials(new).hint("rebalance").write.mode(
+            "overwrite"
+        ).parquet(f"{counts_path}/batch_id={batch_id}")
         # batch_id < N (not != N): a replayed batch must not see its
         # own prior attempt as history (same rationale as the MinHash
         # store above)
@@ -386,7 +405,9 @@ def incremental_spans_batch(
         upd = incremental_duplicated_spans(
             new, corpus, hist_counts, min_tokens=min_tokens, id_col=id_col
         )
-        upd.write.mode("overwrite").parquet(f"{spans_path}/batch_id={batch_id}")
+        upd.hint("rebalance").write.mode("overwrite").parquet(
+            f"{spans_path}/batch_id={batch_id}"
+        )
 
     return process
 
