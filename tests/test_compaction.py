@@ -71,8 +71,20 @@ def test_compacted_band_store_preserves_incremental_pairs(spark, tmp_path, sf_di
 def test_compaction_bounds_file_count(spark, tmp_path, sf_dir):
     import glob
 
+    from pyspark_pipeline_framework_spark.llm.dedup import minhash_bands
+
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
-    store, _, _ = _band_store(spark, tmp_path, docs)
+    # Build the small-files condition EXPLICITLY (4 files per batch):
+    # since r12 the streaming writers REBALANCE their per-batch writes,
+    # so at test size they emit ~1 right-sized file per batch and no
+    # longer reproduce the pathology this test bounds — the fixture
+    # here stands in for a store written by months of pre-r12 batches
+    # (or by batches large enough to span many advisory partitions).
+    store = str(tmp_path / "store")
+    for i, pred in enumerate([F.col("doc_id") % 3 == 0, F.col("doc_id") % 3 == 1]):
+        minhash_bands(docs.where(pred)).repartition(4).write.mode(
+            "overwrite"
+        ).parquet(f"{store}/batch_id={i}")
     compacted = str(tmp_path / "store_c")
     compact_batch_store(spark, store, compacted, target_files=2)
     files = glob.glob(f"{compacted}/batch_id=-1/*.parquet")
@@ -80,6 +92,28 @@ def test_compaction_bounds_file_count(spark, tmp_path, sf_dir):
     # more parquet files before than after (the point of the exercise)
     before = glob.glob(f"{store}/batch_id=*/*.parquet")
     assert len(before) > len(files)
+
+
+def test_rebalanced_writes_are_file_sized_by_data(spark, tmp_path, sf_dir):
+    """r12: the streaming per-batch writes and the compaction default
+    rewrite REBALANCE, so a small store holds a handful of right-sized
+    files — not one file per shuffle partition / session core."""
+    import glob
+
+    parallelism = spark.sparkContext.defaultParallelism
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    store, pairs, _ = _band_store(spark, tmp_path, docs)
+    for batch_dir in glob.glob(f"{store}/batch_id=*"):
+        n = len(glob.glob(f"{batch_dir}/*.parquet"))
+        assert 0 < n < max(4, parallelism // 2), (
+            f"{batch_dir}: {n} files — per-batch write not rebalanced"
+        )
+    # compaction default (no target_files): byte-sized output, so this
+    # tiny store must fold to a handful of files, not `parallelism`
+    compacted = str(tmp_path / "store_c_default")
+    compact_batch_store(spark, store, compacted)
+    n = len(glob.glob(f"{compacted}/batch_id=-1/*.parquet"))
+    assert 0 < n < max(4, parallelism // 2), f"default compaction wrote {n} files"
 
 
 def test_compacted_ivf_store_search_and_cell_pruning(spark, tmp_path, sf_dir):
