@@ -11,7 +11,9 @@ Scale shape (the 100 TB contract):
   :func:`doc_postings`), never a second scan or exchange;
 - corpus-level constants (N docs, total token count) are a one-row
   aggregate broadcast via ``crossJoin`` (the scalar-subquery pattern
-  used throughout the suite — never a driver collect);
+  used throughout the suite — never a driver collect), computed
+  map-side from the pre-explode token arrays (:func:`_corpus_stats`)
+  so the stats branch never re-executes the postings explode+exchange;
 - queries are the SMALL side by definition: query terms broadcast into
   the postings scan, so only postings that match some query term are
   ever scored — the wide score aggregation is keyed by
@@ -96,6 +98,29 @@ def doc_postings(
     )
 
 
+def _corpus_stats(
+    df: DataFrame, id_col: str, text_col: str, with_total: bool
+) -> DataFrame:
+    """One-row corpus constants for the scoring formulas, WITHOUT
+    executing the postings subtree: ``n_docs`` (distinct ids with at
+    least one non-blank token — exactly ``countDistinct(id)`` over the
+    postings table) and, when ``with_total``, ``s_total`` (total
+    non-blank tokens — exactly ``sum(tf)`` over postings, since tf
+    partitions the exploded tokens by (id, term)). Computed map-side
+    from the pre-explode token arrays: a second corpus scan, but no
+    explode and no (id, term) exchange — at 100 TB that exchange is
+    the single biggest cost in the old scalar-subquery branch, paid
+    again by the scoring pipeline which re-executes postings anyway."""
+    sz = F.size(F.filter(_terms(text_col), lambda x: x != ""))
+    sized = df.select(F.col(id_col).alias("id"), sz.alias("__dl")).where(
+        F.col("__dl") > 0
+    )
+    aggs = [F.countDistinct("id").alias("n_docs")]
+    if with_total:
+        aggs.append(F.sum(F.col("__dl").cast("long")).alias("s_total"))
+    return sized.groupBy().agg(*aggs)
+
+
 def _rational_part(n_docs: Column, s_total: Column, dfreq: Column, tf: Column, dl: Column) -> Column:
     """floor(1e6 · idf · tf_part) as BIGINT — see module docstring.
     Expression shape (two exact-integer casts, two divisions, two
@@ -160,10 +185,7 @@ def bm25_topk(
     if idf_mode not in ("rational", "ln"):
         raise ValueError(f"idf_mode must be 'rational' or 'ln', got {idf_mode!r}")
     post = doc_postings(docs, id_col, text_col)
-    stats = post.groupBy().agg(
-        F.countDistinct("id").alias("n_docs"),
-        F.sum("tf").alias("s_total"),
-    )
+    stats = _corpus_stats(docs, id_col, text_col, with_total=True)
     qterms = (
         queries.select(
             F.col(query_id_col).alias("query_id"),
@@ -225,7 +247,7 @@ def tfidf_topk_terms(
     if idf_mode not in ("rational", "ln"):
         raise ValueError(f"idf_mode must be 'rational' or 'ln', got {idf_mode!r}")
     post = doc_postings(docs, id_col, text_col).drop("dl")
-    stats = post.groupBy().agg(F.countDistinct("id").alias("n_docs"))
+    stats = _corpus_stats(docs, id_col, text_col, with_total=False)
     dfreq = post.groupBy("term").agg(F.countDistinct("id").alias("dfreq"))
     joined = post.join(dfreq, "term").crossJoin(F.broadcast(stats))
     if idf_mode == "rational":
