@@ -80,6 +80,9 @@ def main() -> int:
     out = {
         "source": {
             "file": os.path.basename(src),
+            # alphas are core-count-specific ratios; bench.py and the
+            # gate skip the alpha check when run off this core count
+            "pinned_cpus": int(full.get("cpus", 32)),
             "suite_total_sec": full.get("value"),
             "steal_sec": full.get("steal_sec"),
             "sf1_steal_sec": steal,

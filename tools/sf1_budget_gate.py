@@ -79,7 +79,9 @@ def main(argv: list[str] | None = None) -> int:
         print("sf1-budget-gate: no tools/sf1_budgets.json pinned yet — skipping")
         return 0
     with open(a.budgets) as f:
-        alpha = json.load(f)["alpha"]
+        budgets = json.load(f)
+    alpha = budgets["alpha"]
+    pinned_cpus = budgets.get("source", {}).get("pinned_cpus")
     if not os.path.exists(a.src):
         print("sf1-budget-gate: no BENCH_FULL.json — skipping")
         return 0
@@ -99,6 +101,16 @@ def main(argv: list[str] | None = None) -> int:
                   "artifact to gate. Re-run `python bench.py` on a quiet host "
                   "and commit the clean BENCH_FULL.json.")
             return 1
+    # core-awareness (r12 VERDICT item 2): the alphas are sf1/sf0.1
+    # ratios measured at a specific core count; judging an off-reference
+    # run (e.g. the driver's 8-core scaling pass) against them fabricates
+    # violations. Skip rather than mislead.
+    run_cpus = full.get("cpus")
+    if (pinned_cpus is not None and run_cpus is not None
+            and int(run_cpus) != int(pinned_cpus)):
+        print(f"sf1-budget-gate: skipped — artifact ran at {run_cpus} cores, "
+              f"budgets pinned at {pinned_cpus} (alphas are core-specific)")
+        return 0
     sf1 = full.get("sf1") or {}
     queries = sf1.get("queries") or {}
     timings = full.get("queries") or {}
