@@ -1277,6 +1277,7 @@ def incremental_duplicated_spans(
     min_tokens: int = 8,
     id_col: str = "doc_id",
     validate: bool = False,
+    pin_intermediates: bool = True,
 ) -> DataFrame:
     """Incremental exact-substring dedup: spans for the documents a
     new batch TOUCHES — the new documents themselves PLUS the old
@@ -1322,7 +1323,21 @@ def incremental_duplicated_spans(
     from the store — version your store paths. Document ids must be
     unique across batches (re-ingest of an existing id would double
     its positions; delete it from the stores first — see
-    :func:`substring_count_partials` on negative partials)."""
+    :func:`substring_count_partials` on negative partials).
+
+    ``pin_intermediates`` (default True) pins the batch-proportional
+    intermediates (``tot_new``, ``affected``, ``old_pos``) with lazy
+    ``localCheckpoint`` so each executes once per action instead of
+    once per downstream consumer (the gram/count subtrees are
+    referenced up to 6×). The trade: local checkpoints live in
+    executor-local storage, NOT reliable storage — on a cluster,
+    losing an executor after a pin materializes fails the job instead
+    of recomputing the lineage, and the pinned blocks anchor their
+    executors against aggressive dynamic deallocation. The pinned data
+    is bounded by the new batch's size by contract, so the default is
+    right for batch-sized ticks; pass ``False`` on deployments with
+    executor churn (spot/preemptible nodes, aggressive downscaling)
+    where a recomputable-but-slower plan is the better trade."""
     if validate:
         probes = [new_grams.select("gh").first(), corpus_grams.select("gh").first()]
         # an md5 digest is exactly 32 hex chars; an xxhash64 rendered
@@ -1339,6 +1354,8 @@ def incremental_duplicated_spans(
             )
     if corpus_counts is None:
         corpus_counts = substring_count_partials(corpus_grams)
+    _pin = (lambda d: d.localCheckpoint(eager=False)) if pin_intermediates \
+        else (lambda d: d)
     new_counts = substring_count_partials(new_grams).withColumnRenamed("cnt", "__n")
     # history counts for the NEW batch's vocabulary only (never the
     # whole store vocabulary): ONE right join keeps exactly the store
@@ -1355,8 +1372,8 @@ def incremental_duplicated_spans(
         .groupBy("gh", "__n")
         .agg(F.coalesce(F.sum("cnt"), F.lit(0)).cast("long").alias("__h"))
         .select("gh", "__h", "__n")
-        .localCheckpoint(eager=False)
     )
+    tot_new = _pin(tot_new)
     # grams this batch flipped to duplicated: exactly one historical
     # occurrence (hist==1; with n>=1 the total is now >=2). hist==0 is
     # new-only (no old doc affected); hist>=2 was already duplicated
@@ -1369,15 +1386,12 @@ def incremental_duplicated_spans(
     # affected (ids only) and old_pos (the affected docs' gram
     # positions) are batch-proportional and each referenced twice —
     # pinned for the same reason as tot_new.
-    affected = (
+    affected = _pin(
         corpus_grams.join(F.broadcast(newly_dup), "gh")
         .select(id_col)
         .distinct()
-        .localCheckpoint(eager=False)
     )
-    old_pos = corpus_grams.join(
-        affected, id_col, "left_semi"
-    ).localCheckpoint(eager=False)
+    old_pos = _pin(corpus_grams.join(affected, id_col, "left_semi"))
     # dup grams appearing ONLY in affected docs' history: n==0 there,
     # so duplicated iff hist >= 2 — a pure store property (grams the
     # new batch also carries are covered by dup_new; union distinct)
@@ -1401,6 +1415,7 @@ def merge_span_tables(
     prior_spans: DataFrame,
     updated_spans: DataFrame,
     id_col: str = "doc_id",
+    pin_intermediates: bool = True,
 ) -> DataFrame:
     """Fold an :func:`incremental_duplicated_spans` output into the
     prior span table: every document present in ``updated_spans`` is
@@ -1411,8 +1426,11 @@ def merge_span_tables(
     updated side is batch-proportional, so AQE broadcasts it. The
     updated side is referenced twice (anti-join key + union payload);
     pinning it (lazy localCheckpoint, batch-proportional by contract)
-    runs the incremental DAG once instead of twice."""
-    updated_spans = updated_spans.localCheckpoint(eager=False)
+    runs the incremental DAG once instead of twice.
+    ``pin_intermediates=False`` skips the pin — same executor-churn
+    trade as :func:`incremental_duplicated_spans`."""
+    if pin_intermediates:
+        updated_spans = updated_spans.localCheckpoint(eager=False)
     changed = updated_spans.select(id_col).distinct()
     return prior_spans.join(changed, id_col, "left_anti").unionByName(updated_spans)
 

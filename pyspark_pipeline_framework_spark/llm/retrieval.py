@@ -78,6 +78,15 @@ def _terms(text_col: str) -> Column:
     return _word_array(text_col)
 
 
+def _nonblank_terms(text_col: str) -> Column:
+    """The filtered token array every retrieval operator is defined
+    over: :func:`_terms` minus the ``''`` artifact of splitting a blank
+    document. Shared by :func:`doc_postings` and :func:`_corpus_stats`
+    so the corpus constants can never diverge from the postings table
+    the scores are computed over."""
+    return F.filter(_terms(text_col), lambda x: x != "")
+
+
 def doc_postings(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
@@ -89,7 +98,7 @@ def doc_postings(
     alternative (window-sum or per-doc re-aggregate of tf) costs a
     second full-postings exchange keyed by doc, which at corpus scale
     is the single biggest avoidable shuffle in the scoring plan."""
-    tt = F.filter(_terms(text_col), lambda x: x != "")
+    tt = _nonblank_terms(text_col)
     toks = df.select(F.col(id_col).alias("id"), tt.alias("__t")).select(
         "id", F.explode("__t").alias("term"), F.size("__t").alias("__dl")
     )
@@ -111,12 +120,15 @@ def _corpus_stats(
     explode and no (id, term) exchange — at 100 TB that exchange is
     the single biggest cost in the old scalar-subquery branch, paid
     again by the scoring pipeline which re-executes postings anyway."""
-    sz = F.size(F.filter(_terms(text_col), lambda x: x != ""))
+    sz = F.size(_nonblank_terms(text_col))
     sized = df.select(F.col(id_col).alias("id"), sz.alias("__dl")).where(
         F.col("__dl") > 0
     )
     aggs = [F.countDistinct("id").alias("n_docs")]
     if with_total:
+        # sum(int) already widens to long; the cast stays only to pin
+        # s_total to the exact type the sum(tf)-over-postings branch
+        # produced (oracle schema parity), independent of size()'s type.
         aggs.append(F.sum(F.col("__dl").cast("long")).alias("s_total"))
     return sized.groupBy().agg(*aggs)
 

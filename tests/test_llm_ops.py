@@ -1418,6 +1418,49 @@ def test_incremental_spans_planted(spark):
         incremental_duplicated_spans(xg, og, oc, min_tokens=8, validate=True)
 
 
+def test_incremental_spans_pin_opt_out(spark, sf_dir):
+    """pin_intermediates=False removes every localCheckpoint pin (no
+    LogicalRDD scan in either the incremental or the merge plan — the
+    recomputable-lineage shape for executor-churn deployments, r12
+    VERDICT item 6) and the results are identical to the pinned path.
+    Inputs come from parquet (never createDataFrame, whose local
+    relation is itself a LogicalRDD) so the marker is unambiguous."""
+    from pyspark.sql import functions as F_
+
+    from pyspark_pipeline_framework_spark.llm.dedup import (
+        duplicated_spans,
+        incremental_duplicated_spans,
+        merge_span_tables,
+        substring_count_partials,
+        substring_gram_stream,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    old_docs = docs.where(F_.col("doc_id") % 4 != 0)
+    new_docs = docs.where(F_.col("doc_id") % 4 == 0)
+    og = substring_gram_stream(old_docs, 8, hash_fn="md5")
+    oc = substring_count_partials(og)
+    ng = substring_gram_stream(new_docs, 8, hash_fn="md5")
+    prior = duplicated_spans(old_docs, min_tokens=8, hash_fn="md5")
+
+    pinned = incremental_duplicated_spans(ng, og, oc, min_tokens=8)
+    unpinned = incremental_duplicated_spans(
+        ng, og, oc, min_tokens=8, pin_intermediates=False
+    )
+    assert "LogicalRDD" in pinned._jdf.queryExecution().analyzed().toString()
+    assert "LogicalRDD" not in unpinned._jdf.queryExecution().analyzed().toString()
+    merged_unpinned = merge_span_tables(prior, unpinned, pin_intermediates=False)
+    assert "LogicalRDD" not in (
+        merged_unpinned._jdf.queryExecution().analyzed().toString()
+    )
+    assert sorted(map(tuple, unpinned.collect())) == sorted(
+        map(tuple, pinned.collect())
+    )
+    assert sorted(map(tuple, merged_unpinned.collect())) == sorted(
+        map(tuple, merge_span_tables(prior, pinned).collect())
+    )
+
+
 def test_incremental_spans_matches_batch_xxhash(spark, sf_dir):
     """Incremental == from-scratch over the real documents table with
     the production xxhash64 recipe (the suite case pins md5), both

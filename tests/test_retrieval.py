@@ -413,6 +413,25 @@ def test_doc_postings_single_exchange(spark, sf_dir):
     assert "Window" not in plan
 
 
+def test_corpus_stats_subtree_has_no_explode(spark, sf_dir):
+    # the map-side corpus-constants branch (r12 §3): n_docs/s_total must
+    # come from the pre-explode token arrays — no Generate (explode) and
+    # no exchange beyond the single-partition final aggregate. A refactor
+    # that reintroduces the postings subtree here re-pays the corpus-wide
+    # (id, term) exchange at 100 TB just to produce two scalars.
+    from pyspark_pipeline_framework_spark.llm.retrieval import _corpus_stats
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = _corpus_stats(
+        d, "doc_id", "text", with_total=True
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "Generate" not in plan, plan
+    # countDistinct(id) plans as a two-level aggregate (partial by id →
+    # exchange → final): 2 exchanges of near-empty aggregate rows, never
+    # the corpus-wide (id, term) exchange the postings subtree would add
+    assert plan.count("Exchange") <= 2, plan
+
+
 # ------------------------------------------------ property: BM25 reference
 
 from hypothesis import HealthCheck, given, settings, strategies as st  # noqa: E402
