@@ -256,9 +256,16 @@ def _md5_signature_arrow(exploded, id_col: str, num_hashes: int):
     conv + cast are three string ops per word). The Arrow stage
     computes the same mins vectorized: one md5 per DISTINCT base hash
     (a per-partition cache the JVM plan cannot express — measured ~10×
-    duplication in the shingle stream), ``np.minimum`` over uint32
-    words, a pandas groupby-min per batch. Measured 6.6 s → 1.9 s on
-    the ×10 signature stage, bit-identical output.
+    duplication in the shingle stream), words unpacked straight from
+    the raw digest bytes (``np.frombuffer`` of big-endian u32 ≡ the
+    hex-slice ``int(x, 16)`` parses), per-doc partial mins via
+    ``np.minimum.reduceat`` over id change-points (explode emits each
+    doc's shingles contiguously; non-contiguous recurrence would only
+    add partial rows the final agg merges anyway). Measured 6.6 s →
+    1.9 s on the ×10 signature stage vs pure SQL in r7, and the
+    r13 rewrite of the per-batch body (frombuffer + reduceat replacing
+    per-word int() parses + pandas groupby-min) another 4.7× on the
+    Python time, bit-identical output.
 
     Bit-exactness: tokenization, shingling and the base ``md5(shingle)``
     stay JVM-side, so Python only ever sees 32-hex ASCII digests — no
@@ -290,15 +297,17 @@ def _md5_signature_arrow(exploded, id_col: str, num_hashes: int):
         import numpy as np
         import pandas as pd
 
+        md5 = hashlib.md5
+        groups = list(range(n_groups))
         cache: dict = {}
         mat = np.empty((1024, num_hashes), dtype=np.int64)
         for pdf in batches:
             if not len(pdf):
                 continue
-            hs = pdf["__h"]
+            hs = pdf["__h"].to_numpy()
             if len(cache) > _MD5_SIG_CACHE_CAP:
                 cache.clear()
-            new = [h for h in pd.unique(hs.to_numpy()) if h not in cache]
+            new = [h for h in pd.unique(hs) if h not in cache]
             if new:
                 need = len(cache) + len(new)
                 if need > mat.shape[0]:
@@ -309,24 +318,34 @@ def _md5_signature_arrow(exploded, id_col: str, num_hashes: int):
                     mat = grown
                 pos = len(cache)
                 for h in new:
-                    ws: list = []
-                    for g in range(n_groups):
-                        dg = hashlib.md5(f"{g}:{h}".encode()).hexdigest()
-                        ws.extend(
-                            (
-                                int(dg[0:8], 16),
-                                int(dg[8:16], 16),
-                                int(dg[16:24], 16),
-                                int(dg[24:32], 16),
-                            )
-                        )
-                    mat[pos] = ws[:num_hashes]
+                    # raw digest bytes ARE the four big-endian u32 words
+                    # int(hexdigest[0:8], 16) parses — one frombuffer
+                    # replaces n_groups*4 hex-slice int() parses
+                    # (microbenched with the reduceat below: 4.7x on a
+                    # realistic 280k-row/28k-distinct task batch,
+                    # bit-identical partial mins)
+                    hb = h.encode()
+                    buf = b"".join(
+                        md5(b"%d:%s" % (g, hb)).digest() for g in groups
+                    )
+                    mat[pos] = np.frombuffer(buf, dtype=">u4")[:num_hashes]
                     cache[h] = pos
                     pos += 1
-            idx = hs.map(cache).to_numpy(dtype=np.int64)
-            W = pd.DataFrame(mat[idx], columns=cols)
-            W.insert(0, id_field.name, pdf[id_field.name].to_numpy())
-            yield W.groupby(id_field.name, sort=False, dropna=False).min().reset_index()
+            idx = pd.Series(hs).map(cache).to_numpy(dtype=np.int64)
+            ids = pdf[id_field.name].to_numpy()
+            # per-doc partial mins via reduceat over id change-points:
+            # explode emits each doc's shingles contiguously, so
+            # change-point segments ARE per-doc groups; if an id ever
+            # recurred non-contiguously it would just emit one partial
+            # row per segment — the JVM-side final groupBy(id).min
+            # merges partials either way, so correctness never depends
+            # on contiguity (only this stage's output row count does)
+            starts = np.flatnonzero(np.r_[True, ids[1:] != ids[:-1]])
+            W = pd.DataFrame(
+                np.minimum.reduceat(mat[idx], starts, axis=0), columns=cols
+            )
+            W.insert(0, id_field.name, ids[starts])
+            yield W
 
     partial = base.mapInPandas(compute, out_schema)
     mins = partial.groupBy(id_col).agg(
