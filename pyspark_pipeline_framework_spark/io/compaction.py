@@ -226,7 +226,7 @@ def compact_batch_store(
         body = body.sortWithinPartitions(*sort_within_partitions)
     # errorifexists: compaction targets a fresh directory, never an
     # existing one — the swap is the caller's explicit, checkable step
-    body.write.mode("errorifexists").partitionBy(*spec).parquet(out_path)
+    _write_advisory_sized(spark, body, out_path, spec)
     # read back with the EXPLICIT schema: a zero-row partitioned write
     # (empty history, or every row tombstoned) emits no data files, and
     # schema inference over the bare directory would fail — an empty
@@ -294,5 +294,35 @@ def compact_span_store(
     )
     # same scale-adaptive default sizing as compact_batch_store
     body = body.repartition(target_files) if target_files else body.hint("rebalance")
-    body.write.mode("errorifexists").partitionBy("batch_id").parquet(out_path)
+    _write_advisory_sized(spark, body, out_path, ["batch_id"])
     return spark.read.schema(body.schema).parquet(out_path)
+
+
+def _write_advisory_sized(spark, body, out_path: str, spec: list) -> None:
+    """The compaction write, with AQE actually honoring the advisory
+    partition size. Spark's default
+    ``coalescePartitions.parallelismFirst=true`` makes AQE IGNORE
+    ``advisoryPartitionSizeInBytes`` when coalescing the REBALANCE
+    shuffle and stop at ``minPartitionSize`` (1 MB) pieces instead —
+    measured r13: a 5 MB store rewrote to 6 x ~1 MB files at a 64 MB
+    advisory, and changing the advisory did nothing. Compaction exists
+    to produce right-sized files, so the flag is scoped to false for
+    exactly this write (the Spark tuning docs' own recommendation for
+    file sizing) and restored after; query parallelism elsewhere is
+    untouched. No-op for an explicit ``repartition(target_files)``."""
+    key = "spark.sql.adaptive.coalescePartitions.parallelismFirst"
+    try:
+        saved = spark.conf.get(key, None)
+    except Exception:
+        saved = None
+    spark.conf.set(key, "false")
+    try:
+        body.write.mode("errorifexists").partitionBy(*spec).parquet(out_path)
+    finally:
+        if saved is None:
+            try:
+                spark.conf.unset(key)
+            except Exception:
+                pass
+        else:
+            spark.conf.set(key, saved)

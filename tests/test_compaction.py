@@ -68,6 +68,52 @@ def test_compacted_band_store_preserves_incremental_pairs(spark, tmp_path, sf_di
     assert after.select("batch_id").distinct().count() == 2
 
 
+def test_compaction_file_count_tracks_advisory_size(spark, tmp_path, sf_dir):
+    """r13: the default rewrite must honor advisoryPartitionSizeInBytes.
+    Spark's coalescePartitions.parallelismFirst=true default makes AQE
+    ignore the advisory and stop at ~1 MB pieces (measured: a 5 MB store
+    rewrote to 6 files at a 64 MB advisory, advisory changes inert) —
+    the compaction write scopes the flag to false, so a small store is
+    ONE file at a big advisory and ~bytes/advisory files at a small one."""
+    import glob
+    import os
+
+    from pyspark_pipeline_framework_spark.llm.dedup import minhash_bands
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    store = str(tmp_path / "store")
+    minhash_bands(docs).write.mode("overwrite").parquet(f"{store}/batch_id=0")
+    out_big = str(tmp_path / "c_big")
+    compact_batch_store(spark, store, out_big)  # session advisory: 64 MB
+    big_files = glob.glob(f"{out_big}/batch_id=-1/*.parquet")
+    total = sum(os.path.getsize(f) for f in big_files)
+    assert len(big_files) == 1, f"{len(big_files)} files for {total} bytes @64m"
+
+    key = "spark.sql.adaptive.advisoryPartitionSizeInBytes"
+    saved = spark.conf.get(key, None)
+    spark.conf.set(key, str(16 << 10))  # 16 KiB: force a multi-file rewrite
+    try:
+        out_small = str(tmp_path / "c_small")
+        compact_batch_store(spark, store, out_small)
+        small_files = glob.glob(f"{out_small}/batch_id=-1/*.parquet")
+        # count scales with bytes/advisory (coalescing works on the
+        # pre-compression shuffle sizes, so exact equality is not the
+        # contract — direction and magnitude are)
+        assert len(small_files) > 2 * len(big_files), (
+            f"advisory inert: {len(small_files)} files @16k vs "
+            f"{len(big_files)} @64m for {total} bytes"
+        )
+    finally:
+        if saved is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, saved)
+    # parallelismFirst restored after the writes
+    assert spark.conf.get(
+        "spark.sql.adaptive.coalescePartitions.parallelismFirst", "true"
+    ) != "false"
+
+
 def test_compaction_bounds_file_count(spark, tmp_path, sf_dir):
     import glob
 
