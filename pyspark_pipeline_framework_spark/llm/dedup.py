@@ -879,12 +879,20 @@ def _star_components(
         nbr_min = sym.groupBy("u").agg(F.min("v").alias("mn"))
         # large-star: emit (v, min(Γ⁺(u))) for every neighbor v > u —
         # each undirected edge is emitted exactly once, from its
-        # smaller endpoint, so the output is already hi→lo oriented
+        # smaller endpoint, so the output is already hi→lo oriented.
+        # NO distinct here (r13): duplicates cannot change the round —
+        # ``mins`` is a min-aggregate (dup-insensitive, and its partial
+        # agg collapses dups map-side before the exchange) and the
+        # small-star join's dup output rows vanish in ``small``'s final
+        # distinct — so deduping large only traded one full (u, v)
+        # exchange of the edge set PER ROUND for slightly fatter join
+        # input (dup multiplicity is bounded by neighbors sharing a
+        # least(u, mn); on the long-chain graphs this algorithm is the
+        # escape hatch for, degree ≤ 2 means near-zero dups).
         large = (
             sym.join(nbr_min, "u")
             .where(F.col("v") > F.col("u"))
             .select(F.col("v").alias("u"), F.least(F.col("u"), F.col("mn")).alias("v"))
-            .distinct()
         )
         large = _truncate(large, checkpoint_dir)
         # small-star on the oriented output: for each hub u, attach u
