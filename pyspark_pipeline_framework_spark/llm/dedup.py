@@ -1383,6 +1383,15 @@ def incremental_duplicated_spans(
         corpus_counts = substring_count_partials(corpus_grams)
     _pin = (lambda d: d.localCheckpoint(eager=False)) if pin_intermediates \
         else (lambda d: d)
+    # new_grams is consumed twice (count partials + dup-position union)
+    # but is deliberately NOT pinned (r13, measured): the gram stream is
+    # the LARGEST batch-derived intermediate (one row per token, ~50 B
+    # each — several times the raw text), while recomputing it is a
+    # map-only tokenize+explode from the batch; pinning traded nothing
+    # at the bench point (3.23s vs 3.19s best-of-6, inside noise) and
+    # at scale would hold gram-sized executor storage to save a cheap
+    # narrow recompute. Only JOIN-REDUCED, batch-vocabulary-bounded
+    # intermediates are pinned below.
     new_counts = substring_count_partials(new_grams).withColumnRenamed("cnt", "__n")
     # history counts for the NEW batch's vocabulary only (never the
     # whole store vocabulary): ONE right join keeps exactly the store
