@@ -375,42 +375,88 @@ def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Suppliers-who-kept-orders-waiting (Q21 shape; latest-shipping
     line of a multi-supplier order stands in for the missing
-    receipt/commit dates). EXISTS -> left-semi and NOT EXISTS ->
-    left-anti, both non-equi-correlated, both against the same
-    l_orderkey shuffle key as the base join — Catalyst runs all three
-    as one co-partitioned chain, so lineitem shuffles on l_orderkey
-    once per side with no payload wider than (orderkey, suppkey,
-    shipdate)."""
+    receipt/commit dates).
+
+    The EXISTS/NOT EXISTS correlated subqueries are folded into ONE
+    per-order aggregate instead of semi/anti joins against two more
+    lineitem scans: a row of supplier s qualifies iff the order has a
+    second distinct supplier (EXISTS) and no OTHER supplier shipped
+    strictly later (NOT EXISTS) — and "max shipdate over the other
+    suppliers" is derivable from the top-2 per-supplier max-shipdate
+    structs (``other_max = m1`` unless s IS the unique top supplier,
+    then ``m2``; a tie at m1 makes both branches m1). lineitem is
+    scanned ONCE and exchanged ONCE on l_orderkey: the orders semi-join
+    runs BEFORE the shared repartition — equivalent, because the
+    per-order aggregate is only ever consulted for orders that survive
+    the probe's own semi-join — so the probe and aggregate branches
+    are canonically identical up to the exchange and AQE executes the
+    scan→semi→shuffle stage once (the explicit repartition also
+    pre-satisfies the (l_orderkey, l_suppkey) aggregate, clustering on
+    a key subset). Versus the subquery form's three scans plus two
+    lineitem-sized broadcast builds (or, past the broadcast threshold,
+    two extra l_orderkey shuffles). r13 interleaved A/B, results
+    identical at every SF: 1.13s → 0.92s at sf0.1, and ~3.5× at ×10
+    (min 5.95s → 1.61s) where the duplicate scans and 6M-row broadcast
+    builds dominate.
+
+    Null semantics match the subquery form exactly: null-suppkey rows
+    can never witness EXISTS (``_s2 != s`` is NULL) so they are
+    excluded from the per-supplier groups; a null shipdate can never
+    out-ship anything (``_d3 > d`` is NULL) so the row is kept when
+    the other-supplier max is NULL, and a null-shipdate probe row is
+    kept unconditionally (both via the isNull disjuncts)."""
     n = table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_1")
     s = table(spark, sf_dir, "supplier")
-    o = table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
-    l = table(spark, sf_dir, "lineitem")
-    l1 = l.select("l_orderkey", "l_suppkey", "l_shipdate")
-    l2 = l.select(F.col("l_orderkey").alias("_k2"), F.col("l_suppkey").alias("_s2"))
-    l3 = l.select(
-        F.col("l_orderkey").alias("_k3"),
-        F.col("l_suppkey").alias("_s3"),
-        F.col("l_shipdate").alias("_d3"),
-    )
-    base = (
-        l1.join(F.broadcast(s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)),
-                F.col("s_suppkey") == F.col("l_suppkey"))
+    o = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey")
+    shared = (
+        table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_suppkey", "l_shipdate")
+        .filter(F.col("l_suppkey").isNotNull())
         .join(o, o.o_orderkey == F.col("l_orderkey"), "left_semi")
+        .repartition(F.col("l_orderkey"))
+    )
+    per_supp = shared.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max("l_shipdate").alias("__smax")
+    )
+    per_order = (
+        per_supp.groupBy("l_orderkey")
+        .agg(
+            F.count(F.lit(1)).alias("__n_supp"),
+            F.slice(
+                F.sort_array(
+                    F.collect_list(F.struct(F.col("__smax"), F.col("l_suppkey"))),
+                    False,
+                ),
+                1,
+                2,
+            ).alias("__top2"),
+        )
+        .withColumnRenamed("l_orderkey", "__ok")
+    )
+    top1 = F.col("__top2")[0]
+    top2 = F.element_at("__top2", 2)  # NULL when the order has 1 supplier
+    other_max = F.when(
+        F.col("l_suppkey") == top1["l_suppkey"], top2["__smax"]
+    ).otherwise(top1["__smax"])
+    qual = (
+        shared.join(
+            F.broadcast(s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)),
+            F.col("s_suppkey") == F.col("l_suppkey"),
+        )
+        .join(per_order, F.col("__ok") == F.col("l_orderkey"))
+        .filter(
+            (F.col("__n_supp") >= 2)
+            & (
+                F.col("l_shipdate").isNull()
+                | other_max.isNull()
+                | (F.col("l_shipdate") >= other_max)
+            )
+        )
     )
     return (
-        base.join(
-            l2,
-            (F.col("_k2") == F.col("l_orderkey")) & (F.col("_s2") != F.col("l_suppkey")),
-            "left_semi",
-        )
-        .join(
-            l3,
-            (F.col("_k3") == F.col("l_orderkey"))
-            & (F.col("_s3") != F.col("l_suppkey"))
-            & (F.col("_d3") > F.col("l_shipdate")),
-            "left_anti",
-        )
-        .groupBy("s_name")
+        qual.groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
         .orderBy(F.col("numwait").desc(), "s_name")
         .limit(20)

@@ -111,11 +111,24 @@ def test_tpch_q17_decorrelated_avg_no_cartesian(spark, sf_dir):
     assert "HashAggregate" in p  # per-part avg as an aggregate, not a loop
 
 
-def test_tpch_q21_semi_anti_chain(spark, sf_dir):
+def test_tpch_q21_single_lineitem_pass(spark, sf_dir):
+    """r13: the EXISTS/NOT-EXISTS subqueries are folded into one
+    per-order aggregate — no LeftAnti scan of lineitem remains, and the
+    probe and aggregate branches share one canonical scan→semi→shuffle
+    subtree so AQE executes the lineitem stage once (measured ~3.5× at
+    ×10 vs the 3-scan semi/anti chain)."""
     p = plan(spark, sf_dir, "q_tpch_q21")
-    assert "LeftSemi" in p and "LeftAnti" in p
+    assert "LeftAnti" not in p  # NOT EXISTS folded into the aggregate
     assert "CartesianProduct" not in p
     assert "TakeOrderedAndProject" in p  # top-20 without a global sort
+    # both lineitem branches end at an Exchange over the identical
+    # semi-joined scan — the precondition for AQE stage reuse; the
+    # repartition must not be planned as a broadcast
+    import re
+
+    lineitem_scans = re.findall(r"Scan parquet.*\n.*lineitem", p)
+    assert len(lineitem_scans) <= 2  # probe + aggregate branch copies
+    assert "LeftSemi" in p  # orders 'F' prune below the shared exchange
 
 
 def test_tpch_q22_scalar_subquery_is_single_row_broadcast(spark, sf_dir):
